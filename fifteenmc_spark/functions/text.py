@@ -1,0 +1,81 @@
+"""Text-analysis column expressions for the training-data pipeline surface.
+
+All pure Column expressions (JVM-side).  Regexes are kept in the common
+subset of Java regex (Spark) and RE2 (DuckDB oracle) so the same pattern
+string can appear in oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny multilingual stopword list used for the quality score — deterministic,
+# no external model.  (The real reference has no text pipeline; this is the
+# engine's 100 TB training-data surface.)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "de", "la", "el", "le", "und", "der")
+
+PUNCT_RE = "[^a-zA-Z0-9 ]"
+TOKEN_SPLIT_RE = "\\s+"
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.trim(col), TOKEN_SPLIT_RE)
+
+
+def token_count(col) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, TOKEN_SPLIT_RE)))
+
+
+def char_count(col) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col) -> Column:
+    """Fraction of characters that are not [a-zA-Z0-9 ]."""
+    n = F.length(col).cast("double")
+    punct = (F.length(col) - F.length(F.regexp_replace(col, PUNCT_RE, ""))).cast("double")
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def mean_token_len(col) -> Column:
+    """Mean token length = (chars excluding whitespace) / token count."""
+    nchars = F.length(F.regexp_replace(col, "\\s", "")).cast("double")
+    ntok = token_count(col).cast("double")
+    return F.when(ntok > 0, nchars / ntok).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col) -> Column:
+    """Fraction of tokens that are in the small stopword list."""
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    total = F.size(toks)
+    return F.when(total > 0, hits.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Composite heuristic quality score in [0,1]:
+    rewards moderate length, low punctuation noise, plausible token length.
+    Deterministic and oracle-expressible (pure arithmetic)."""
+    n = F.length(col).cast("double")
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    tl = mean_token_len(col)
+    tok_score = F.when((tl >= 2.0) & (tl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_score + punct_score + tok_score) / F.lit(3.0)
+
+
+def fingerprint64(col) -> Column:
+    """Document fingerprint: xxhash64 of normalized text (lower, collapse
+    whitespace).  Used for exact-dup detection at scale; one 8-byte key per
+    doc instead of shipping full text through the shuffle."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
+    return F.xxhash64(norm)
+
+
+def md5_hex(col) -> Column:
+    """Portable content hash — identical hex in Spark and DuckDB oracle."""
+    return F.md5(F.col(col).cast("binary") if isinstance(col, str) else col.cast("binary"))

@@ -1,0 +1,94 @@
+"""Table registry and IO helpers (SURVEY.md §2.1, S1-S9 / K1-K6).
+
+The reference hand-validates schemas on every load (case-insensitive column
+matching at precompute_poi_reach.py:48, required-column checks at
+precompute_poi_reach.py:49-51).  Here the same discipline is a small helper
+over `spark.read.parquet` — Catalyst handles pushdown/pruning once the data
+is parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The driver-generated synthetic tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as long ns
+# under spark.sql.legacy.parquet.nanosAsLong (set in session.py); converted
+# back to microsecond timestamps here.  DuckDB reads the same column natively.
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet source (ref: pd.read_parquet, precompute_poi_reach.py:37)."""
+    if name in _NANO_TS_COLS:
+        # runtime-settable; needed when the caller's session (e.g. the
+        # driver's) was not built by session.get_spark
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: read_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view for spark.sql use."""
+    for t in TABLES:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def require_columns(df: DataFrame, cols: list[str], where: str = "") -> DataFrame:
+    """Schema validation on load, case-insensitive (ref:
+    precompute_poi_reach.py:48-51, test_path.py:251-254)."""
+    have = {c.lower(): c for c in df.columns}
+    missing = [c for c in cols if c.lower() not in have]
+    if missing:
+        raise ValueError(f"missing required columns {missing} {where}: have {df.columns}")
+    # canonicalize names to the requested spelling
+    renames = {have[c.lower()]: c for c in cols if have[c.lower()] != c}
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    return df
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    """Parquet sink (ref K1/K3: snap_poi_to_nodes.py:245,
+    graph_construction.py:298-307 — npz replaced by partitioned parquet)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink with header (ref K2: graph_construction.py:246-247)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON sink (ref K4: grid_creation.py:134-138)."""
+    df.write.mode(mode).json(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", properties: dict | None = None) -> None:
+    """DB sink (ref K6: README.md:2 'persisting results in a database')."""
+    df.write.mode(mode).jdbc(url, table, properties=properties or {})

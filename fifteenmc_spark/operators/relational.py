@@ -1,0 +1,737 @@
+"""Declared-query contract (SURVEY.md §2.11, D1-D22).
+
+Each entry pairs an idiomatic-Spark DataFrame builder with the equivalent
+ANSI SQL the DuckDB oracle runs on the same parquet tables.  Conventions
+(SURVEY.md §2.11): deterministic ORDER BY, ROUND(x,4) on float aggregates,
+no approx functions, identical column aliases on both sides.
+
+Determinism notes baked into the SQL:
+- big double sums go through DECIMAL(25,6) so Spark and DuckDB produce the
+  *exact* same value regardless of accumulation order (double += is
+  order-dependent; decimal sum is exact);
+- COUNT/SUM-of-int results are cast BIGINT on the DuckDB side (DuckDB
+  widens integer SUM to HUGEINT, which would be a schema mismatch);
+- YEAR/MONTH cast to INT on both sides;
+- timestamps are never returned raw — always date_format'ed strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import geo
+from ..io import read_table
+
+
+@dataclass(frozen=True)
+class DeclaredQuery:
+    name: str
+    doc: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver falls back to rows-only check
+    tags: tuple[str, ...] = field(default=())
+
+
+QUERIES: dict[str, DeclaredQuery] = {}
+
+
+def _register(name: str, doc: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn):
+        QUERIES[name] = DeclaredQuery(name, doc, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# Exact-sum helper: route a double expression through decimal so the sum is
+# order-independent, then back to double for the oracle-matching schema.
+def _dsum(col, alias: str, scale: int = 4):
+    return F.round(F.sum(col.cast("decimal(25,6)")).cast("double"), scale).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# D1 scan + filter + project (P2-style predicate algebra)
+# ---------------------------------------------------------------------------
+@_register(
+    "d1_scan_filter",
+    "Pushdown-friendly scan: filter + 2-column projection (ref walkability "
+    "filter shape, graph_construction.py:49-72).",
+    """
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity > 30
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    ("scan", "filter", "projection"),
+)
+def d1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2 inner equi-join (J1)
+# ---------------------------------------------------------------------------
+@_register(
+    "d2_inner_join",
+    "Inner equi-join customer⋈orders (ref J1 dictionary join, "
+    "graph_construction.py:243,250-255).",
+    """
+    SELECT c.c_name, o.o_orderkey
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 400000
+    ORDER BY c_name, o_orderkey
+    """,
+    ("join",),
+)
+def d2(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .select("c_name", "o_orderkey")
+        .orderBy("c_name", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3 broadcast dim chain join (J1 chain)
+# ---------------------------------------------------------------------------
+@_register(
+    "d3_dim_chain_join",
+    "customer⋈nation⋈region with small dims broadcast — the 100 TB plan: "
+    "fact table streams, dims broadcast, zero shuffle on the dims.",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    ORDER BY c_custkey
+    """,
+    ("join", "broadcast"),
+)
+def d3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4 left outer + sentinel null handling (P8)
+# ---------------------------------------------------------------------------
+@_register(
+    "d4_left_outer",
+    "Left outer join with COALESCE sentinel (ref P8 fillna(-1), "
+    "precompute_poi_reach.py:58-60).",
+    """
+    SELECT c.c_custkey, COALESCE(o.o_orderkey, -1) AS o_key
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      ON c.c_custkey = o.o_custkey
+    ORDER BY c_custkey, o_key
+    """,
+    ("join", "null-handling"),
+)
+def d4(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select("c_custkey", F.coalesce("o_orderkey", F.lit(-1).cast("bigint")).alias("o_key"))
+        .orderBy("c_custkey", "o_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5 semi / anti joins (J8, U3)
+# ---------------------------------------------------------------------------
+@_register(
+    "d5_semi_join",
+    "Left-semi join: customers having a big order (ref J8 existence join, "
+    "validate_csr.py:23-29).",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    ORDER BY c_custkey
+    """,
+    ("join", "semi"),
+)
+def d5a(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "d5_anti_join",
+    "Left-anti join: customers with no big order (ref U3 membership split, "
+    "poi_query.py:86-104).",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    ORDER BY c_custkey
+    """,
+    ("join", "anti"),
+)
+def d5b(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D6 group-by aggregation, TPC-H Q1 shape (A1-A4)
+# ---------------------------------------------------------------------------
+@_register(
+    "d6_groupby_agg",
+    "Hash aggregation with partial (map-side) combine — replaces the "
+    "reference's hand-rolled lexsort+reduceat sort-agg "
+    "(graph_construction.py:139-148).  Double sums go through DECIMAL for "
+    "cross-engine exactness.",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6))), 4) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 4) AS DOUBLE) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    ("aggregate",),
+)
+def d6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast("decimal(25,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(qty_dec), 4).cast("double").alias("sum_qty"),
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")), 4
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(qty_dec).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D7 distinct / count distinct (A3)
+# ---------------------------------------------------------------------------
+@_register(
+    "d7_count_distinct",
+    "Exact COUNT(DISTINCT) per group (ref A3 unique categories, "
+    "precompute_poi_reach.py:152).",
+    """
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    ("aggregate", "distinct"),
+)
+def d7(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D8 exact percentile / median (A4)
+# ---------------------------------------------------------------------------
+@_register(
+    "d8_median",
+    "Exact median per group — the reference uses np.median for summary "
+    "stats (precompute_poi_reach.py:206-207); engine uses exact "
+    "percentile(), never approx, for oracle parity.",
+    """
+    SELECT l_returnflag, ROUND(MEDIAN(l_extendedprice), 4) AS med_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    ("aggregate", "percentile"),
+)
+def d8(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("med_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D9 rollup (reach-cube shape, §1.1)
+# ---------------------------------------------------------------------------
+@_register(
+    "d9_rollup",
+    "GROUP BY ROLLUP — grouping-set form of the reference's reach cube "
+    "(precompute_poi_reach.py:168-170).",
+    """
+    SELECT n.n_name, o.o_orderpriority, COUNT(*) AS cnt
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP(n.n_name, o.o_orderpriority)
+    ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST, cnt
+    """,
+    ("aggregate", "rollup"),
+)
+def d9(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("n_name").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first(), "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D10 ranking window: top-k per group (W2)
+# ---------------------------------------------------------------------------
+@_register(
+    "d10_topk_per_group",
+    "row_number() top-3 per customer — the reference's argmin-per-group "
+    "(W2, snap_poi_to_nodes.py:183) generalized.",
+    """
+    SELECT c_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3 ORDER BY c_custkey, rn
+    """,
+    ("window", "topk"),
+)
+def d10(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .orderBy("c_custkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D11 running-total window (W1)
+# ---------------------------------------------------------------------------
+@_register(
+    "d11_running_total",
+    "Running sum over rows — the reference's cum_m path accumulation "
+    "(test_path.py:313-330) as a window.",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_total
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+    ("window",),
+)
+def d11(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 4).alias("run_total")
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# D12 lag/lead (G5 pairing pattern)
+# ---------------------------------------------------------------------------
+@_register(
+    "d12_lag",
+    "LAG over event stream — the reference pairs consecutive path nodes "
+    "the same way (G5, test_path.py:312-333).",
+    """
+    SELECT event_id, user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events ORDER BY user_id, event_id
+    """,
+    ("window", "lag"),
+)
+def d12(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# D13 global top-k (O3)
+# ---------------------------------------------------------------------------
+@_register(
+    "d13_topk",
+    "ORDER BY ... LIMIT k — Spark plans TakeOrderedAndProject (no full "
+    "sort); the reference's argsort[:500] (test_path.py:339-341).",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    ("sort", "limit"),
+)
+def d13(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# D14 set operations (U1/U2 + declared INTERSECT/EXCEPT)
+# ---------------------------------------------------------------------------
+@_register(
+    "d14_union",
+    "UNION DISTINCT (ref U1 symmetrize, graph_construction.py:132-134).",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk
+    """,
+    ("setop",),
+)
+def d14a(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct().orderBy("nk")
+
+
+@_register(
+    "d14_intersect",
+    "INTERSECT — nation keys present on both customer and supplier sides.",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk
+    """,
+    ("setop",),
+)
+def d14b(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s).orderBy("nk")
+
+
+@_register(
+    "d14_except",
+    "EXCEPT — customer nations with no high-balance supplier (supplier "
+    "side filtered so the result is non-empty at every sf).",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 5000
+    ORDER BY nk
+    """,
+    ("setop",),
+)
+def d14c(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
+    return c.subtract(s).orderBy("nk")  # EXCEPT DISTINCT semantics
+
+
+# ---------------------------------------------------------------------------
+# D15 string functions (F7/F8)
+# ---------------------------------------------------------------------------
+@_register(
+    "d15_strings",
+    "LOWER/TRIM/REGEXP_REPLACE/SUBSTRING battery — the reference's tag "
+    "normalizer (F8, graph_construction.py:34-35) and sanitize_key (F7, "
+    "precompute_poi_reach.py:22-30).",
+    """
+    SELECT p_partkey,
+           LOWER(TRIM(p_name)) AS name_norm,
+           REGEXP_REPLACE(LOWER(p_type), '[^a-z0-9._-]+', '_', 'g') AS type_key,
+           SUBSTRING(p_brand, 1, 6) AS brand6
+    FROM part ORDER BY p_partkey
+    """,
+    ("string",),
+)
+def d15(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.trim(F.col("p_name"))).alias("name_norm"),
+        F.regexp_replace(F.lower(F.col("p_type")), "[^a-z0-9._-]+", "_").alias("type_key"),
+        F.substring("p_brand", 1, 6).alias("brand6"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# D16 math/trig: haversine on the oracle (F1/F2)
+# ---------------------------------------------------------------------------
+_HAV_SQL = """
+    SELECT p_partkey,
+           ROUND(2.0 * 6371008.8 * ASIN(SQRT(LEAST(1.0, GREATEST(0.0,
+               POW(SIN(RADIANS(lat2 - lat1) / 2), 2)
+               + COS(RADIANS(lat1)) * COS(RADIANS(lat2))
+                 * POW(SIN(RADIANS(lon2 - lon1) / 2), 2))))), 4) AS hav_m
+    FROM (
+      SELECT p_partkey,
+             CAST(p_partkey % 360 AS DOUBLE) - 180.0 AS lon1,
+             CAST(p_partkey % 170 AS DOUBLE) / 2.0 - 42.5 AS lat1,
+             CAST((p_partkey * 7) % 360 AS DOUBLE) - 180.0 AS lon2,
+             CAST((p_partkey * 3) % 170 AS DOUBLE) / 2.0 - 42.5 AS lat2
+      FROM part) t
+    ORDER BY p_partkey
+    """
+
+
+@_register(
+    "d16_haversine",
+    "Haversine (R=6371008.8, clip-guard) on synthetic coordinates — "
+    "validates the F1 edge-weight formula (graph_construction.py:164-181) "
+    "against the oracle.",
+    _HAV_SQL,
+    ("math", "geo"),
+)
+def d16(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    t = p.select(
+        "p_partkey",
+        ((pk % 360).cast("double") - 180.0).alias("lon1"),
+        ((pk % 170).cast("double") / 2.0 - 42.5).alias("lat1"),
+        (((pk * 7) % 360).cast("double") - 180.0).alias("lon2"),
+        (((pk * 3) % 170).cast("double") / 2.0 - 42.5).alias("lat2"),
+    )
+    return t.select(
+        "p_partkey",
+        F.round(
+            geo.haversine_m(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2"), geo.R_EDGE_WEIGHTS_M), 4
+        ).alias("hav_m"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# D17 conditional / sentinel battery (F10, P8)
+# ---------------------------------------------------------------------------
+@_register(
+    "d17_conditionals",
+    "CASE/LEAST/GREATEST/NULLIF/COALESCE — the reference's sentinel & guard "
+    "functions (F10: isfinite/fillna/clip, poi_query.py:101, "
+    "precompute_poi_reach.py:58).",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS disc_band,
+           LEAST(l_quantity, 25.0) AS q_cap,
+           GREATEST(l_tax, 0.02) AS tax_floor,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS rf
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    ("conditional",),
+)
+def d17(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") > 0.05, "hi").otherwise("lo").alias("disc_band"),
+        F.least("l_quantity", F.lit(25.0)).alias("q_cap"),
+        F.greatest("l_tax", F.lit(0.02)).alias("tax_floor"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias("rf"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# D18 date/time (§2.7 gap coverage)
+# ---------------------------------------------------------------------------
+@_register(
+    "d18_year_month",
+    "YEAR/MONTH grouping over order dates.",
+    """
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS y, CAST(MONTH(o_orderdate) AS INT) AS m,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY 1, 2 ORDER BY y, m
+    """,
+    ("datetime", "aggregate"),
+)
+def d18a(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"), F.month("o_orderdate").cast("int").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("y", "m")
+    )
+
+
+@_register(
+    "d18_date_trunc",
+    "date_trunc('week') buckets over the events stream table.",
+    """
+    SELECT STRFTIME(DATE_TRUNC('week', ts), '%Y-%m-%d') AS week_start, COUNT(*) AS cnt
+    FROM events GROUP BY 1 ORDER BY week_start
+    """,
+    ("datetime", "aggregate"),
+)
+def d18b(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week_start"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("week_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D19 tumbling-window batch equivalent (§2.9)
+# ---------------------------------------------------------------------------
+@_register(
+    "d19_tumbling_window",
+    "15-minute tumbling buckets via epoch math — the batch-checkable twin "
+    "of the Structured Streaming window() in streaming/windows.py.",
+    """
+    SELECT user_id, CAST(FLOOR(EPOCH(ts) / 900) AS BIGINT) AS w,
+           COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 4) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY user_id, w
+    """,
+    ("datetime", "window-agg", "streaming-equivalent"),
+)
+def d19(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.floor(F.unix_timestamp("ts") / 900).alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), _dsum(F.col("value"), "sum_value"))
+        .orderBy("user_id", "w")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D20 array ops over embeddings (F13)
+# ---------------------------------------------------------------------------
+@_register(
+    "d20_array_ops",
+    "Array length + element access on array<float> embeddings (ref F13 "
+    "coords[0]/coords[-1], graph_construction.py:87-89).",
+    """
+    SELECT vec_id, CAST(LEN(embedding) AS INT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+           ROUND(CAST(embedding[-1] AS DOUBLE), 4) AS e_last
+    FROM embeddings ORDER BY vec_id
+    """,
+    ("array",),
+)
+def d20(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e1"),
+        F.round(F.element_at("embedding", -1).cast("double"), 4).alias("e_last"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# D21 pivot / conditional aggregation (reach-cube shape)
+# ---------------------------------------------------------------------------
+@_register(
+    "d21_pivot",
+    "Conditional-agg pivot — the wide {metric}_{category} layout of the "
+    "reach cube (precompute_poi_reach.py:168-170) is exactly "
+    "groupBy().pivot(); spelled as portable CASE WHEN sums.",
+    """
+    SELECT o_custkey,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(25,6)) END), 4) AS DOUBLE) AS total_f,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(25,6)) END), 4) AS DOUBLE) AS total_o,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(25,6)) END), 4) AS DOUBLE) AS total_p
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    ("pivot", "aggregate"),
+)
+def d21(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+
+    def piv(status, alias):
+        return (
+            F.round(
+                F.sum(F.when(F.col("o_orderstatus") == status, F.col("o_totalprice").cast("decimal(25,6)"))), 4
+            )
+            .cast("double")
+            .alias(alias)
+        )
+
+    return (
+        o.groupBy("o_custkey")
+        .agg(piv("F", "total_f"), piv("O", "total_o"), piv("P", "total_p"))
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D22 one Bellman-Ford relaxation round (G2 kernel)
+# ---------------------------------------------------------------------------
+@_register(
+    "d22_graph_relax",
+    "One shortest-path relaxation round = join + group-min — the exact "
+    "DataFrame kernel the iterative bounded Dijkstra (plans/reach.py) "
+    "repeats until the frontier drains (ref G2, "
+    "precompute_poi_reach.py:86-125).  Edges synthesized from nation.",
+    """
+    SELECT e.src AS node_id, ROUND(MIN(s.d + e.w), 4) AS dist_m
+    FROM (SELECT n_nationkey AS src, 100 + n_regionkey AS dst,
+                 1.0 + CAST(n_nationkey AS DOUBLE) * 0.1 AS w FROM nation) e
+    JOIN (SELECT 100 + r_regionkey AS node_id, 0.0 AS d FROM region) s
+      ON e.dst = s.node_id
+    GROUP BY e.src ORDER BY node_id
+    """,
+    ("graph", "iterative-kernel"),
+)
+def d22(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    edges = n.select(
+        F.col("n_nationkey").alias("src"),
+        (F.lit(100) + F.col("n_regionkey")).alias("dst"),
+        (F.lit(1.0) + F.col("n_nationkey").cast("double") * 0.1).alias("w"),
+    )
+    seeds = r.select((F.lit(100) + F.col("r_regionkey")).alias("node_id"), F.lit(0.0).alias("d"))
+    return (
+        edges.join(F.broadcast(seeds), edges.dst == seeds.node_id)
+        .groupBy(F.col("src").alias("node_id"))
+        .agg(F.round(F.min(F.col("d") + F.col("w")), 4).alias("dist_m"))
+        .orderBy("node_id")
+    )
