@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import fifteenmc_spark.operators  # noqa: E402,F401  (registers all query modules)
 from fifteenmc_spark.operators.relational import QUERIES  # noqa: E402
 
 

@@ -1,1 +1,1 @@
-from . import relational  # noqa: F401
+from . import dedup, multimodal, relational, similarity, textops  # noqa: F401

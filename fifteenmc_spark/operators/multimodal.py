@@ -1,0 +1,158 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched pandas functions via mapInPandas.
+
+The container has no image/audio libs, so the decode step is STUBBED
+(`decode_image` raises NotImplementedError; `fake_decode_meta` is the
+deterministic stand-in) — but the Spark-side plumbing is real and tested:
+schema, binary columns, mapInPandas batch shape, and the Arrow transfer.
+
+Scale design: payloads never enter a shuffle — feature extraction is a
+narrow mapInPandas over the scan; only the (small) extracted features move.
+At 100 TB you partition by asset shard and keep `payload` out of every
+groupBy/join (join on asset_id, fetch payload late).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import read_table
+from .relational import _register
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("modality", T.StringType()),  # image | audio | video | text
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.IntegerType()),
+                    T.StructField("mime", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("codepoint_sum", T.LongType()),
+        T.StructField("n_batch_rows", T.IntegerType()),
+    ]
+)
+
+_MODALITIES = ("image", "audio", "video", "text")
+
+
+def synthesize_assets(spark, sf_dir: str) -> DataFrame:
+    """Deterministic multimodal asset table derived from `documents`:
+    payload = utf-8 bytes of the text (an opaque blob as far as the engine
+    is concerned), modality assigned round-robin by doc_id."""
+    d = read_table(spark, sf_dir, "documents")
+    modality = F.element_at(F.array(*[F.lit(m) for m in _MODALITIES]), (F.col("doc_id") % 4 + 1).cast("int"))
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.octet_length("text").alias("n_bytes"),
+            F.concat(F.lit("application/x-"), modality).alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):
+    """Real decoder requires PIL/libjpeg — not in this container.  The
+    plumbing around it (schema, batching) is exercised via
+    fake_decode_meta instead."""
+    raise NotImplementedError("image decode requires an imaging library not present in this container")
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode: fake (width, height) from the
+    byte length — keeps the downstream schema and tests real."""
+    n = len(payload)
+    return (n % 640 + 1, n % 480 + 1)
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas.  Emits per-asset byte stats plus the batch size it saw
+    (pins down the batch shape in tests)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "codepoint_sum": payloads.map(
+                        lambda b: sum(ord(c) for c in bytes(b).decode("utf-8"))
+                    ).astype("int64"),
+                    "n_batch_rows": len(pdf),
+                }
+            )
+
+    return assets.mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+@_register(
+    "m1_asset_meta",
+    "Multimodal asset metadata: per-modality asset count, total payload "
+    "bytes, payload content hash sample — pure column ops over the binary "
+    "column (payload itself never shuffles; only the 3 aggregate columns).",
+    """
+    WITH assets AS (
+      SELECT doc_id AS asset_id,
+             (['image','audio','video','text'])[CAST(doc_id % 4 AS INT) + 1] AS modality,
+             text AS payload_text
+      FROM documents)
+    SELECT modality, COUNT(*) AS n_assets,
+           CAST(SUM(STRLEN(payload_text)) AS BIGINT) AS total_bytes,
+           MIN(MD5(payload_text)) AS min_payload_md5
+    FROM assets GROUP BY modality ORDER BY modality
+    """,
+    ("multimodal", "pipeline"),
+)
+def m1(spark, sf_dir):
+    a = synthesize_assets(spark, sf_dir)
+    return (
+        a.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.min(F.md5("payload")).alias("min_payload_md5"),
+        )
+        .orderBy("modality")
+    )
+
+
+@_register(
+    "m2_feature_extract",
+    "Arrow-batched mapInPandas feature extraction over binary payloads "
+    "(the UDF scale path: pandas batches, not per-row Python).  Oracle "
+    "recomputes the code-point checksum relationally.",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(STRLEN(text) AS INT) AS n_bytes,
+           CAST(list_sum(list_transform(string_split_regex(text, ''),
+                                        c -> ascii(c))) AS BIGINT) AS codepoint_sum
+    FROM documents ORDER BY asset_id
+    """,
+    ("multimodal", "pandas-udf", "pipeline"),
+)
+def m2(spark, sf_dir):
+    feats = extract_features(synthesize_assets(spark, sf_dir))
+    return feats.select("asset_id", "n_bytes", "codepoint_sum").orderBy("asset_id")

@@ -1,0 +1,230 @@
+"""Similarity search over the `embeddings` table (array<float>, dim 64).
+
+Two paths, mirroring what a 100 TB vector pipeline needs:
+
+- v1 brute-force cosine top-k: exact baseline.  Query vectors are broadcast
+  (they are few); the corpus streams — one scan, no shuffle of the corpus,
+  per-partition partial top-k via window rank after a broadcast nested-loop
+  join.  At cluster scale the corpus side stays partitioned and only the
+  k×|queries| winners move.
+- v2 LSH (random-hyperplane) bucketing: signatures computed scan-side from
+  deterministic integer hyperplanes; candidates = same-bucket pairs, then
+  exact cosine re-rank.  The bucket key is the shuffle key, turning O(n²)
+  into per-bucket work — the IVF/LSH "scale path".
+
+All dot products accumulate in DOUBLE in array-index order on both engines
+(Spark: aggregate() left fold; DuckDB: list_dot_product on DOUBLE[]), so the
+4-decimal rounded values agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .relational import _register
+
+N_QUERY_VECS = 3  # vec_id < 3 are the demo query vectors
+TOP_K = 5
+
+
+def dot_double(a, b) -> Column:
+    """Index-order double-precision dot product of two array<float> columns
+    — F.zip_with products, then a left-fold sum (deterministic order)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def norm2(a) -> Column:
+    return F.sqrt(dot_double(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot_double(a, b) / (norm2(a) * norm2(b))
+
+
+_COS_SQL = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (SQRT(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * SQRT(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+# ---------------------------------------------------------------------------
+# v1: brute-force cosine top-k (exact ANN baseline)
+# ---------------------------------------------------------------------------
+@_register(
+    "v1_cosine_topk",
+    "Exact top-5 cosine neighbors for each query vector (vec_id < 3).  "
+    "Query side broadcast; corpus side scans once; winners selected by a "
+    "rank window partitioned by query.",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id, embedding FROM embeddings),
+    scored AS (
+      SELECT q.qid, c.vec_id,
+             {_COS_SQL.format(a="q.qe", b="c.embedding")} AS sim
+      FROM q, c WHERE q.qid <> c.vec_id),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT qid, vec_id, rnk, ROUND(sim, 4) AS sim
+    FROM ranked WHERE rnk <= {TOP_K} ORDER BY qid, rnk
+    """,
+    ("similarity", "ann", "pipeline"),
+)
+def v1(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e.select("vec_id", "embedding"))
+        .where(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", cosine(F.col("qe"), F.col("embedding")).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.select("qid", "vec_id", "sim", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id", "rnk", F.round("sim", 4).alias("sim"))
+        .orderBy("qid", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v2: LSH random-hyperplane bucketing (the scale path)
+# ---------------------------------------------------------------------------
+N_PLANES = 8  # 8-bit bucket code → 256 buckets
+
+
+def _plane_coef(j: int, i: int) -> int:
+    # deterministic pseudo-hyperplane coefficient in [-3, 3]
+    return ((i * 31 + j * 17 + 7) % 7) - 3
+
+
+def _sig_bit_sql(j: int, emb: str) -> str:
+    terms = " + ".join(
+        f"CAST({emb}[{i + 1}] AS DOUBLE) * ({_plane_coef(j, i)})" for i in range(64)
+    )
+    return f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)"
+
+
+@_register(
+    "v2_lsh_bucket",
+    "Random-hyperplane LSH: 8-bit signature per vector from deterministic "
+    "integer hyperplanes, plus per-bucket population — the partition key "
+    "for bucketed ANN joins.  Signature is a scan-side projection; the "
+    "only shuffle is the final per-bucket count.",
+    f"""
+    WITH sig AS (
+      SELECT vec_id,
+             CAST({" + ".join(_sig_bit_sql(j, "embedding") for j in range(N_PLANES))} AS INT) AS bucket
+      FROM embeddings)
+    SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+    FROM sig GROUP BY bucket ORDER BY bucket
+    """,
+    ("similarity", "lsh", "pipeline"),
+)
+def v2(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+
+    def sig_bit(j: int) -> Column:
+        dot = F.lit(0.0)
+        # 64 fixed coefficients — constant-folded by Catalyst into one
+        # codegen'd expression; index order matches the SQL exactly
+        for i in range(64):
+            dot = dot + F.element_at(emb, i + 1).cast("double") * F.lit(float(_plane_coef(j, i)))
+        return F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+
+    code = F.lit(0)
+    for j in range(N_PLANES):
+        code = code + sig_bit(j)
+    sig = e.select("vec_id", code.cast("int").alias("bucket"))
+    return (
+        sig.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v3: embedding-cosine near-duplicate pairs via LSH buckets
+# ---------------------------------------------------------------------------
+NEAR_DUP_COS = 0.85
+
+
+@_register(
+    "v3_embedding_near_dup",
+    "Embedding near-dup pairs: same-LSH-bucket candidates re-ranked by "
+    "exact cosine >= 0.85.  The join is per-bucket (never O(n²)); at 100 TB "
+    "this is the embedding twin of MinHash-LSH text dedup.",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             CAST({" + ".join(_sig_bit_sql(j, "embedding") for j in range(N_PLANES))} AS INT) AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS sim
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, ROUND(sim, 4) AS sim
+    FROM pairs WHERE sim >= {NEAR_DUP_COS} ORDER BY vec_a, vec_b
+    """,
+    ("similarity", "dedup", "lsh", "pipeline"),
+)
+def v3(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+
+    def sig_bit(j: int) -> Column:
+        dot = F.lit(0.0)
+        for i in range(64):
+            dot = dot + F.element_at(emb, i + 1).cast("double") * F.lit(float(_plane_coef(j, i)))
+        return F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+
+    code = F.lit(0)
+    for j in range(N_PLANES):
+        code = code + sig_bit(j)
+    sig = e.select("vec_id", "embedding", code.cast("int").alias("bucket"))
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+    )
+    return (
+        pairs.where(F.col("sim") >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v4: per-label embedding statistics
+# ---------------------------------------------------------------------------
+@_register(
+    "v4_embedding_stats",
+    "Per-label corpus stats: count + mean L2 norm — the monitoring query "
+    "for an embedding ingest pipeline.",
+    """
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+    ("similarity", "aggregate", "pipeline"),
+)
+def v4(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg(norm2(F.col("embedding"))), 4).alias("avg_norm"))
+        .orderBy("label")
+    )

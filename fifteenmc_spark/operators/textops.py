@@ -1,0 +1,201 @@
+"""Text-analysis queries over the `documents` table — the training-data
+pipeline surface (language-ID, quality scoring, token counting, document
+fingerprinting).  All pure Column expressions; every query has a DuckDB
+oracle twin registered in the same style as operators/relational.py.
+
+The reference has no text pipeline; this is the engine's 100 TB
+training-data surface mandated by the build spec.  At scale these run as a
+single narrow projection over the documents scan — no shuffle except the
+final aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..io import read_table
+from .relational import _register
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+@_register(
+    "t1_token_count",
+    "Whitespace token count + char count per document; scan-only, no "
+    "shuffle (aggregation is map-side partial).",
+    """
+    SELECT doc_id,
+           CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS INT) AS n_tokens,
+           CAST(LENGTH(text) AS INT) AS n_chars_calc
+    FROM documents ORDER BY doc_id
+    """,
+    ("text", "pipeline"),
+)
+def t1(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_calc"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+@_register(
+    "t2_quality_score",
+    "Heuristic quality score: length score + punctuation-noise score + "
+    "token-length plausibility, averaged.  Pure arithmetic → identical in "
+    "the oracle.",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS DOUBLE) AS n,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS n_clean,
+             CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS DOUBLE) AS n_nospace,
+             CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS n_tok
+      FROM documents)
+    SELECT doc_id,
+           ROUND((
+             LEAST(n / 200.0, 1.0)
+             + (1.0 - LEAST((CASE WHEN n > 0 THEN (n - n_clean) / n ELSE 0.0 END) * 4.0, 1.0))
+             + (CASE WHEN n_tok > 0 AND n_nospace / n_tok >= 2.0 AND n_nospace / n_tok <= 12.0
+                     THEN 1.0 ELSE 0.5 END)
+           ) / 3.0, 4) AS quality
+    FROM m ORDER BY doc_id
+    """,
+    ("text", "pipeline"),
+)
+def t2(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(T.quality_score(F.col("text")), 4).alias("quality")).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram/stopword heuristic) vs the labeled lang column
+# ---------------------------------------------------------------------------
+_LANG_MARKERS = {
+    # tiny deterministic marker lists; the point is the *operator shape*
+    # (score-per-language then argmax), not linguistic accuracy
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    toks = _LANG_MARKERS[lang]
+    conds = " + ".join(f"CASE WHEN t = '{w}' THEN 1 ELSE 0 END" for w in toks)
+    return f"(SELECT SUM({conds}) FROM UNNEST(toks) AS u(t))"
+
+
+@_register(
+    "t3_lang_id",
+    "Language-ID by stopword-marker voting: score each candidate language "
+    "by marker-token hits, argmax with deterministic tie-break.  In Spark "
+    "this is aggregate() over the token array — one pass, no explode, no "
+    "shuffle.",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             string_split(LOWER(TRIM(text)), ' ') AS toks
+      FROM documents),
+    s2 AS (
+      SELECT doc_id,
+             {_lang_score_sql("en")} AS s_en,
+             {_lang_score_sql("es")} AS s_es,
+             {_lang_score_sql("fr")} AS s_fr,
+             {_lang_score_sql("de")} AS s_de
+      FROM scored)
+    SELECT doc_id,
+           CASE GREATEST(s_en, s_es, s_fr, s_de)
+             WHEN 0 THEN 'und'
+             WHEN s_en THEN 'en'
+             WHEN s_es THEN 'es'
+             WHEN s_fr THEN 'fr'
+             ELSE 'de' END AS lang_pred
+    FROM s2 ORDER BY doc_id
+    """,
+    ("text", "pipeline", "lang-id"),
+)
+def t3(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+
+    def score(lang):
+        markers = _LANG_MARKERS[lang]
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc + F.when(t.isin(*markers), 1).otherwise(0),
+        ).alias(f"s_{lang}")
+
+    s2 = d.select("doc_id", score("en"), score("es"), score("fr"), score("de"))
+    best = F.greatest("s_en", "s_es", "s_fr", "s_de")
+    # tie-break order en > es > fr > de mirrors the CASE WHEN chain
+    pred = (
+        F.when(best == 0, "und")
+        .when(F.col("s_en") == best, "en")
+        .when(F.col("s_es") == best, "es")
+        .when(F.col("s_fr") == best, "fr")
+        .otherwise("de")
+    )
+    return s2.select("doc_id", pred.alias("lang_pred")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint
+# ---------------------------------------------------------------------------
+@_register(
+    "t4_fingerprint",
+    "Content fingerprint: md5 of whitespace-normalized lowercased text — "
+    "the portable form of functions.text.fingerprint64 (which uses "
+    "xxhash64 in the hot path; md5 here because the oracle must agree).",
+    """
+    SELECT doc_id,
+           MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+    ("text", "pipeline", "dedup"),
+)
+def t4(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    return d.select("doc_id", F.md5(norm.cast("binary")).alias("fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus stats rollup (per source × lang)
+# ---------------------------------------------------------------------------
+@_register(
+    "t5_corpus_stats",
+    "Per-(source,lang) corpus statistics: docs, total chars, mean tokens — "
+    "the monitoring query a data pipeline runs per ingest batch.",
+    """
+    SELECT source, lang, COUNT(*) AS docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_tokens
+    FROM documents GROUP BY source, lang ORDER BY source, lang
+    """,
+    ("text", "pipeline", "aggregate"),
+)
+def t5(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(
+                F.sum(T.token_count(F.col("text")).cast("bigint")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
