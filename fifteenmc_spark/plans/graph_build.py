@@ -1,0 +1,171 @@
+"""Road-graph construction as a declarative DataFrame pipeline
+(SURVEY.md §2.2 P2-P4, §2.3 J1, §2.4 A1-A2, §2.5 W3, §2.6 U1).
+
+The reference builds a single-machine CSR (`graph_construction.py:123-162`):
+symmetrize → drop self-loops → lexsort → dedup-min → bincount → cumsum.
+In Spark the *edge table is the graph* — CSR is a physical layout for one
+address space and is deliberately not replicated.  The same canonical form
+falls out of `union` + `where` + `groupBy().min()`, which Catalyst executes
+as one shuffle on (src, dst) with map-side partial aggregation.
+
+Scale notes
+-----------
+- Dense node indexing is the only global-order operation.  A naive
+  `row_number() OVER (ORDER BY osm_node_id)` funnels every row through ONE
+  partition; instead `assign_dense_index` uses sort + zipWithIndex (range
+  repartition → per-partition offsets), which is fully parallel.
+- The weight join broadcasts nothing blindly: node coordinates are joined
+  u-side and v-side by key; at 100 TB both are shuffle hash joins on the
+  node id, co-partitioned by Catalyst.
+- `dedup-min` shuffles (src, dst, w) triples only — geometry and tags are
+  projected out before the shuffle (the reference does the same with
+  `[[u, v]]` at graph_construction.py:250).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import geo
+
+# Walkability tag sets (graph_construction.py:57-63) — public OSM taxonomy.
+ALWAYS_WALKABLE = (
+    "footway", "path", "pedestrian", "steps", "platform", "crossing",
+    "living_street", "cycleway", "track", "residential", "unclassified", "service",
+)
+BIG_ROADS = ("primary", "primary_link", "secondary", "secondary_link", "tertiary", "tertiary_link")
+SIDEWALK_OK = ("yes", "both", "left", "right")
+FOOT_OK = ("yes", "designated", "permissive")
+FAST_ROADS = ("motorway", "motorway_link", "trunk", "trunk_link")
+
+_TAG_COLS = ("highway", "foot", "sidewalk", "motorroad", "oneway")
+
+
+def clean_walkable_edges(edges: DataFrame) -> DataFrame:
+    """P2: keep pedestrian-usable ways, drop fast roads
+    (`clean_walkable_edges`, graph_construction.py:49-72).
+
+    keep = highway ∈ ALWAYS ∪ (highway ∈ BIG ∧ (sidewalk ok ∨ foot ok)),
+    minus (highway ∈ FAST ∨ motorroad = yes).  Tags are normalized with
+    strip().lower() and missing columns treated as '' (P1).  Pure predicate
+    algebra → pushed into the parquet scan by Catalyst."""
+    cols = {c: geo.norm_tag(F.col(c)) if c in edges.columns else F.lit("") for c in _TAG_COLS}
+    keep = cols["highway"].isin(*ALWAYS_WALKABLE) | (
+        cols["highway"].isin(*BIG_ROADS)
+        & (cols["sidewalk"].isin(*SIDEWALK_OK) | cols["foot"].isin(*FOOT_OK))
+    )
+    is_fast = cols["highway"].isin(*FAST_ROADS) | (cols["motorroad"] == "yes")
+    return edges.where(keep & ~is_fast)
+
+
+def assign_dense_index(nodes: DataFrame, id_col: str = "osm_node_id") -> DataFrame:
+    """W3: dense 0..N-1 index in ascending id order
+    (graph_construction.py:241-243 uses sort + arange).
+
+    Implemented with sort + zipWithIndex instead of a global-order window:
+    repartitionByRange gives range-ordered partitions, zipWithIndex adds
+    per-partition offsets computed from one lightweight count job — no
+    single-partition bottleneck at any N."""
+    ranged = nodes.repartitionByRange(F.col(id_col)).sortWithinPartitions(id_col)
+    schema = T.StructType(
+        [T.StructField("node_idx", T.IntegerType(), False)] + list(ranged.schema.fields)
+    )
+    indexed = ranged.rdd.zipWithIndex().map(lambda t: (int(t[1]), *t[0]))
+    return ranged.sparkSession.createDataFrame(indexed, schema)
+
+
+def build_graph(nodes_raw: DataFrame, edges_raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """G1-as-DataFrames: canonical (graph_nodes, graph_edges).
+
+    graph_nodes(node_idx INT, osm_node_id BIGINT, lon FLOAT, lat FLOAT)
+    graph_edges(src INT, dst INT, w FLOAT) — symmetrized (U1), self-loops
+    dropped (P4), parallel edges deduped to min weight (A1), weights =
+    haversine R=6371008.8 with 0.01 m zero clamp, float32
+    (graph_construction.py:123-181).
+
+    Input: nodes_raw(osm_node_id, lon, lat), edges_raw(u, v [osm ids], tags).
+    Edges whose endpoints have no node row are dropped (inner join — the
+    reference's dict .map + dropna, graph_construction.py:250-255).
+    """
+    nodes = assign_dense_index(
+        nodes_raw.select(
+            "osm_node_id", F.col("lon").cast("float").alias("lon"), F.col("lat").cast("float").alias("lat")
+        )
+    )
+
+    e = edges_raw.where((F.col("u") >= 0) & (F.col("v") >= 0)).select("u", "v")  # P3
+    nu = nodes.select(
+        F.col("osm_node_id").alias("u"),
+        F.col("node_idx").alias("src"),
+        F.col("lon").alias("u_lon"),
+        F.col("lat").alias("u_lat"),
+    )
+    nv = nodes.select(
+        F.col("osm_node_id").alias("v"),
+        F.col("node_idx").alias("dst"),
+        F.col("lon").alias("v_lon"),
+        F.col("lat").alias("v_lat"),
+    )
+    # J1 ×2: id→index mapping join on each endpoint; inner join drops
+    # dangling endpoints exactly like the reference's dropna
+    weighted = (
+        e.join(nu, "u")
+        .join(nv, "v")
+        .select(
+            "src",
+            "dst",
+            geo.edge_weight_m(F.col("u_lon"), F.col("u_lat"), F.col("v_lon"), F.col("v_lat")).alias("w"),
+        )
+    )
+    # U1 symmetrize → P4 self-loop drop → A1 min-weight dedup (one shuffle)
+    sym = weighted.unionAll(
+        weighted.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    edges = (
+        sym.where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").cast("float").alias("w"))
+    )
+    return nodes, edges
+
+
+def degree_stats(edges: DataFrame, n_nodes: int) -> DataFrame:
+    """A2+A5 invariants (validate_csr.py:12-18): out-degree mean/max and
+    zero-degree node count over the canonical symmetric edge table."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.agg(
+        F.round(F.sum("deg") / F.lit(n_nodes), 4).alias("mean_deg"),
+        F.max("deg").alias("max_deg"),
+        (F.lit(n_nodes) - F.count(F.lit(1))).alias("n_zero_deg"),
+    )
+
+
+def reciprocity_violations(edges: DataFrame) -> DataFrame:
+    """J8 existence check (validate_csr.py:21-29): edges (u,v) with no
+    (v,u) — must be empty for the symmetrized graph.  Left-anti self-join
+    on the swapped key."""
+    swapped = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.select("src", "dst").join(swapped, ["src", "dst"], "left_anti")
+
+
+def validate_weights(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Metamorphic weight check (validate_dist.py:1-22): recompute haversine
+    from node coordinates and compare to stored weights — median and p90 of
+    the ratio plus the count of edges off by >2×."""
+    nu = nodes.select(F.col("node_idx").alias("src"), F.col("lon").alias("u_lon"), F.col("lat").alias("u_lat"))
+    nv = nodes.select(F.col("node_idx").alias("dst"), F.col("lon").alias("v_lon"), F.col("lat").alias("v_lat"))
+    ratio = F.col("w") / geo.edge_weight_m(
+        F.col("u_lon"), F.col("u_lat"), F.col("v_lon"), F.col("v_lat")
+    ).cast("double")
+    return (
+        edges.join(nu, "src")
+        .join(nv, "dst")
+        .select(ratio.alias("ratio"))
+        .agg(
+            F.round(F.percentile("ratio", F.lit(0.5)), 6).alias("median_ratio"),
+            F.round(F.percentile("ratio", F.lit(0.9)), 6).alias("p90_ratio"),
+            F.sum(F.when(F.col("ratio") > 2.0, 1).otherwise(0)).alias("n_bad"),
+        )
+    )

@@ -1,0 +1,142 @@
+"""Serving-side queries over the gold tables (SURVEY.md §3.2, §3.3):
+point reachability (G7) and path-to-nearest-POI (G4/G5 + W1).
+
+Both consume the precomputed `reach` table — the materialized-view design
+the reference pins (`poi_query.py:97-99`): a point query never touches the
+graph, it reads one node's rows from a category-partitioned parquet table
+(partition-pruned scan at cluster scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import geo
+from . import reach as reach_mod
+from . import snap as snap_mod
+
+MAX_SNAP_M_DEFAULT = 300.0  # test_path.py:374
+
+
+def point_reachability(
+    reach: DataFrame,
+    nodes: DataFrame,
+    lon: float,
+    lat: float,
+    radius_m: float = 1000.0,
+    categories: list[str] | None = None,
+    max_snap_m: float | None = None,
+) -> DataFrame:
+    """G7 (poi_query.py:60-118): snap the query point to its nearest node
+    (J4), return that node's per-category reach rows within ``radius_m``
+    (P6), sorted by distance (O2).
+
+    Output: category, dist_m, time_s, poi_id.  Empty result if the point
+    cannot be snapped."""
+    snapped = snap_mod.snap_single_point(nodes, lon, lat, max_snap_m=max_snap_m)
+    if snapped is None:
+        return reach.select("category", "dist_m", "time_s", "poi_id").limit(0)
+    node_idx, _ = snapped
+    out = reach.where(F.col("node_idx") == F.lit(node_idx))
+    if categories:  # P5
+        out = out.where(F.col("category").isin(*categories))
+    return (
+        out.where(F.col("dist_m").isNotNull() & (F.col("dist_m") <= F.lit(float(radius_m))))  # P6
+        .select("category", "dist_m", "time_s", "poi_id")
+        .orderBy("dist_m", "category")
+    )
+
+
+def path_to_nearest_poi(
+    nodes: DataFrame,
+    edges: DataFrame,
+    pois: DataFrame,
+    lon: float,
+    lat: float,
+    category: str,
+    limit_m: float = reach_mod.LIMIT_M_DEFAULT,
+    max_snap_m: float = MAX_SNAP_M_DEFAULT,
+) -> DataFrame:
+    """§3.3 (test_path.py:366-420): walking path from (lon, lat) to the
+    nearest POI of ``category``.
+
+    Runs the bounded multi-source job with prev tracking (G2), backtracks
+    start→source (G4), then re-costs each step and accumulates the running
+    total (G5 + W1).  Output rows (B7 schema): seq, node_idx, lon, lat,
+    step_m, cum_m, poi_id, category.
+
+    The backtrack collects the prev-pointer table to the driver — it is
+    bounded by the reach region (≤ limit_m around the seeds), thousands of
+    rows, not the whole graph; the heavy work (Dijkstra) stays
+    distributed."""
+    spark = nodes.sparkSession
+    out_schema = (
+        "seq INT, node_idx INT, lon FLOAT, lat FLOAT, step_m FLOAT, cum_m FLOAT, "
+        "poi_id BIGINT, category STRING"
+    )
+    snapped = snap_mod.snap_single_point(nodes, lon, lat, max_snap_m=max_snap_m)
+    if snapped is None:
+        return spark.createDataFrame([], out_schema)
+    start_idx, _ = snapped
+
+    n_nodes = nodes.count()
+    key = geo.sanitize_key(F.lit(category))
+    seeds = (
+        reach_mod._valid_sources(pois, n_nodes)
+        .where(geo.sanitize_key(F.col("category")) == key)
+        .select("node_idx", F.lit(category).alias("category"), "poi_id")
+    )
+    sp = reach_mod.shortest_paths_bounded(edges, seeds, limit_m=limit_m, track_prev=True)
+
+    # prev map is bounded by the reach region — small by construction
+    prev_rows = {
+        r["node_idx"]: (r["prev"], r["poi_id"])
+        for r in sp.select("node_idx", "prev", "poi_id").collect()
+    }
+    if start_idx not in prev_rows:
+        return spark.createDataFrame([], out_schema)  # no POI within limit_m
+
+    # G4: follow prev start → source POI node
+    chain, cur = [], start_idx
+    poi_id = prev_rows[start_idx][1]
+    while cur is not None and len(chain) <= len(prev_rows):
+        chain.append(cur)
+        cur = prev_rows[cur][0]
+    path = spark.createDataFrame(
+        [(i, int(n)) for i, n in enumerate(chain)], "seq INT, node_idx INT"
+    )
+
+    # G5: pair consecutive nodes (lag), join the edge table for the true
+    # step weight, haversine R=6371000 fallback (test_path.py:318-328)
+    w_seq = Window.orderBy("seq")
+    paired = (
+        path.join(nodes.select("node_idx", "lon", "lat"), "node_idx")
+        .withColumn("prev_node", F.lag("node_idx").over(w_seq))
+        .withColumn("prev_lon", F.lag("lon").over(w_seq))
+        .withColumn("prev_lat", F.lag("lat").over(w_seq))
+    )
+    e = edges.select(F.col("src").alias("prev_node"), F.col("dst").alias("node_idx"), "w")
+    step = F.when(F.col("prev_node").isNull(), F.lit(0.0)).otherwise(
+        F.coalesce(
+            F.col("w").cast("double"),
+            geo.haversine_m(F.col("prev_lon"), F.col("prev_lat"), F.col("lon"), F.col("lat"), geo.R_QUERY_M),
+        )
+    )
+    w_cum = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)  # W1
+    return (
+        paired.join(e, ["prev_node", "node_idx"], "left")
+        .withColumn("step_m", step.cast("float"))
+        .withColumn("cum_m", F.sum("step_m").over(w_cum).cast("float"))
+        .select(
+            "seq",
+            "node_idx",
+            "lon",
+            "lat",
+            "step_m",
+            "cum_m",
+            F.lit(poi_id).cast("bigint").alias("poi_id"),
+            F.lit(category).alias("category"),
+        )
+        .orderBy("seq")
+    )

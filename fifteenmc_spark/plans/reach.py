@@ -1,0 +1,209 @@
+"""Iterative bounded multi-source shortest paths → the `reach` gold table
+(SURVEY.md §2.8 G2, the reference's compute core).
+
+The reference runs a binary-heap Dijkstra over CSR arrays per category
+(`precompute_poi_reach.py:86-125`), bounded at `limit_m`.  A heap is a
+single-address-space structure; the distributed equivalent is frontier
+Bellman-Ford: each round relaxes every edge leaving the frontier
+(join) and keeps the per-node minimum (groupBy-min) — exactly the kernel
+declared as query d22.  Rounds ≈ hop diameter within `limit_m` (tens, on a
+walking graph); every round is one co-partitioned join + one aggregation.
+
+Differences from the reference, by design:
+- ALL categories run in one pass (category is a state column) instead of
+  the reference's per-category loop — one job, shared edge scan.
+- Tie-break is deterministic set semantics: the winning source for a node
+  is min(dist, poi_id) lexicographically.  The reference's winner on
+  exact distance ties depends on heap pop order
+  (`precompute_poi_reach.py:119-123`, strict `<` keeps first-settled);
+  the engine pins the order-free rule instead, so results are stable
+  under any partitioning.
+- Unreachable = NULL (reference: inf / -1); sentinels are materialized
+  only at reference-shaped sinks (SURVEY.md §1.2).
+
+Scale notes
+-----------
+- The edge table is repartitioned by `src` once and cached; every round's
+  frontier join reuses that partitioning, so only the (small) frontier
+  shuffles per round.
+- State and frontier are localCheckpoint'ed each round to truncate the
+  growing lineage (on a cluster use a reliable checkpoint dir instead).
+- The `limit_m` bound keeps the frontier from sweeping the whole graph;
+  with per-tile processing (buffer 2 km > limit 1 km,
+  grid_creation.py:235-236) tiles never exchange state, so the whole
+  computation is tile-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import geo
+
+LIMIT_M_DEFAULT = 1000.0  # precompute_poi_reach.py:132
+MAX_ROUNDS_DEFAULT = 200
+
+
+def _valid_sources(pois: DataFrame, n_nodes: int) -> DataFrame:
+    """P3: sources with node_idx in [0, N) (precompute_poi_reach.py:177)."""
+    return pois.where((F.col("node_idx") >= 0) & (F.col("node_idx") < F.lit(n_nodes)))
+
+
+def shortest_paths_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    limit_m: float = LIMIT_M_DEFAULT,
+    max_rounds: int = MAX_ROUNDS_DEFAULT,
+    track_prev: bool = False,
+) -> DataFrame:
+    """G2 kernel: multi-source bounded shortest paths over
+    ``edges(src, dst, w)`` from ``seeds(node_idx, category, poi_id)``.
+
+    Returns ``(node_idx, category, dist_m, poi_id[, prev])`` for every
+    node within ``limit_m`` of a seed of that category.  ``prev`` (with
+    ``track_prev=True``) is the upstream node on the winning path, NULL at
+    seeds — input to path backtracking (G4).
+    """
+    edges = edges.select("src", "dst", F.col("w").cast("double").alias("w")).repartition("src").cache()
+
+    val_cols = ["dist_m", "poi_id"] + (["prev"] if track_prev else [])
+
+    def as_state(df: DataFrame) -> DataFrame:
+        # the lexicographic (dist, poi_id) struct IS the merge operator
+        return df.select("node_idx", "category", F.struct(*val_cols).alias("v"))
+
+    init = seeds.select(
+        "node_idx", "category", F.lit(0.0).alias("dist_m"), "poi_id",
+        *([F.lit(None).cast("int").alias("prev")] if track_prev else []),
+    )
+    # duplicate seeds on one node: min poi_id wins (deterministic twin of
+    # the reference's first-in-list rule, precompute_poi_reach.py:99-104)
+    state = as_state(init).groupBy("node_idx", "category").agg(F.min("v").alias("v")).localCheckpoint()
+    frontier = state
+
+    for _ in range(max_rounds):
+        cand = (
+            frontier.withColumnRenamed("node_idx", "src")
+            .join(edges, "src")
+            .select(
+                F.col("dst").alias("node_idx"),
+                "category",
+                (F.col("v.dist_m") + F.col("w")).alias("dist_m"),
+                F.col("v.poi_id").alias("poi_id"),
+                *([F.col("src").alias("prev")] if track_prev else []),
+            )
+            .where(F.col("dist_m") <= F.lit(float(limit_m)))  # bounded search
+        )
+        cand_min = as_state(cand).groupBy("node_idx", "category").agg(F.min("v").alias("v"))
+        # strict improvement vs current state (reference's `nd < dist[v]`,
+        # extended with the poi_id tie-break for determinism)
+        improved = (
+            cand_min.join(
+                state.select("node_idx", "category", F.col("v").alias("v_old")),
+                ["node_idx", "category"],
+                "left",
+            )
+            .where(F.col("v_old").isNull() | (F.col("v") < F.col("v_old")))
+            .select("node_idx", "category", "v")
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        state = (
+            state.unionAll(improved)
+            .groupBy("node_idx", "category")
+            .agg(F.min("v").alias("v"))
+            .localCheckpoint()
+        )
+        frontier = improved
+
+    out = state.select("node_idx", "category", F.col("v.dist_m").alias("dist_m"), F.col("v.poi_id").alias("poi_id"),
+                       *([F.col("v.prev").alias("prev")] if track_prev else []))
+    edges.unpersist()
+    return out
+
+
+def compute_reach(
+    nodes: DataFrame,
+    edges: DataFrame,
+    pois: DataFrame,
+    limit_m: float = LIMIT_M_DEFAULT,
+    speed_mps: float = geo.WALK_SPEED_MPS,
+    max_rounds: int = MAX_ROUNDS_DEFAULT,
+) -> DataFrame:
+    """The `reach` gold table (SURVEY.md §1.1, B6): one row per
+    (node_idx, category) for every node and every POI category —
+    ``dist_m FLOAT, time_s FLOAT, poi_id BIGINT``, NULL when unreachable
+    within ``limit_m`` (reference: inf / -1 sentinels,
+    precompute_poi_reach.py:159-218).  Categories are sanitized keys (F7).
+
+    Materialized once, partitioned by category on write — point queries
+    then read one node's rows, never touching the graph."""
+    n_nodes = nodes.count()
+    seeds = _valid_sources(pois, n_nodes).select(
+        "node_idx", geo.sanitize_key(F.col("category")).alias("category"), "poi_id"
+    )
+    reached = shortest_paths_bounded(edges, seeds, limit_m=limit_m, max_rounds=max_rounds)
+
+    # dense (node × category) frame: reference emits full length-N arrays
+    # per category; NULL rows here are its inf/-1 entries
+    grid = nodes.select("node_idx").crossJoin(seeds.select("category").distinct())
+    return (
+        grid.join(reached, ["node_idx", "category"], "left")
+        .select(
+            "node_idx",
+            "category",
+            F.col("dist_m").cast("float").alias("dist_m"),
+            geo.walking_time_s(F.col("dist_m"), speed_mps).cast("float").alias("time_s"),
+            "poi_id",
+        )
+    )
+
+
+def reach_summary(
+    reach: DataFrame, pois: DataFrame, n_nodes: int, limit_m: float = LIMIT_M_DEFAULT
+) -> DataFrame:
+    """A4 per-category summary (precompute_poi_reach.py:204-228):
+    category, n_sources, n_within, median_dist_m, median_time_s, limit_m.
+    Exact percentile (np.median in the reference), never approx."""
+    src_counts = (
+        _valid_sources(pois, n_nodes)
+        .select(geo.sanitize_key(F.col("category")).alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_sources"))
+    )
+    stats = reach.groupBy("category").agg(
+        F.sum(F.when(F.col("dist_m").isNotNull(), 1).otherwise(0)).cast("int").alias("n_within"),
+        F.round(F.percentile("dist_m", F.lit(0.5)), 4).alias("median_dist_m"),
+        F.round(F.percentile("time_s", F.lit(0.5)), 4).alias("median_time_s"),
+    )
+    return (
+        stats.join(src_counts, "category", "left")
+        .select(
+            "category",
+            F.coalesce("n_sources", F.lit(0)).cast("int").alias("n_sources"),
+            "n_within",
+            "median_dist_m",
+            "median_time_s",
+            F.lit(float(limit_m)).alias("limit_m"),
+        )
+        .orderBy("category")
+    )
+
+
+def reach_pivot(reach: DataFrame) -> DataFrame:
+    """The reference's wide {dist,time,poi}_{category} layout
+    (precompute_poi_reach.py:168-170) as a pivot over the long table —
+    kept for sink parity; the long form is the queryable one."""
+    cats = [r["category"] for r in reach.select("category").distinct().orderBy("category").collect()]
+    return (
+        reach.groupBy("node_idx")
+        .pivot("category", cats)
+        .agg(
+            F.first("dist_m").alias("dist"),
+            F.first("time_s").alias("time"),
+            F.first("poi_id").alias("poi"),
+        )
+        .orderBy("node_idx")
+    )

@@ -1,0 +1,137 @@
+"""Spatial kNN snap join (SURVEY.md §2.3 J2-J4): each point → nearest
+graph node, with snap distance.
+
+The reference builds a cKDTree over all nodes in EPSG:3857 and queries k=1
+per POI (`snap_poi_to_nodes.py:81-86,176-188`) — a single-machine spatial
+index.  Spark has no native kNN join, so the engine uses the bucketed form:
+
+1. project both sides to Web-Mercator meters (closed-form, no pyproj);
+2. assign each node to a square grid cell of side `cell_m`;
+3. candidate pairs = point's cell × its 3×3 neighbor ring (9 cell keys per
+   point, generated scan-side with `explode`);
+4. exact Euclidean 3857 distance (matches the KD-tree's metric, so
+   `dist_to_node_m` is bit-comparable to the reference) + top-1 via
+   `row_number` (W2), ties broken by smaller node_idx.
+
+Correctness requires cell_m >= the max snap radius of interest: any true
+nearest node within `cell_m` of the point is guaranteed to be in the ring.
+Nodes farther than `cell_m` can only win if no node is inside the ring —
+those points are reported unmatched (NULL node_idx), exactly the max-snap
+rejection semantics of `test_path.py:374` when cell_m >= max_snap_m.
+
+Scale notes
+-----------
+- The shuffle key is the cell id — spatially local, so skew follows urban
+  density; AQE skew-join splitting handles downtown cells.
+- Candidate fan-out is bounded: 9 cells/point × nodes-per-cell; cell size
+  tunes the tradeoff (default 600 m > the 300 m default snap radius).
+- No driver-side index, no collect: both sides stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import geo
+
+DEFAULT_CELL_M = 600.0  # 2x the reference's 300 m max snap (test_path.py:374)
+
+
+def _cell(coord: Column, cell_m: float) -> Column:
+    return F.floor(coord / F.lit(cell_m)).cast("long")
+
+
+def _cell_key(cx: Column, cy: Column) -> Column:
+    # pack two 32-bit cell coords into one 64-bit join key
+    return cx * F.lit(4_294_967_296) + cy
+
+
+def snap_points_to_nodes(
+    points: DataFrame,
+    nodes: DataFrame,
+    point_id_col: str = "poi_id",
+    max_snap_m: float | None = None,
+    cell_m: float = DEFAULT_CELL_M,
+) -> DataFrame:
+    """J2: bucketed kNN(k=1) join.  Input ``points(point_id, lon, lat,
+    ...)`` and ``nodes(node_idx, lon, lat)``; output = points plus
+    ``node_idx`` and ``dist_to_node_m`` (float32, Euclidean in EPSG:3857 —
+    the reference KD-tree's metric), NULL when no node within reach.
+
+    If ``max_snap_m`` is given, matches farther than it are rejected
+    (NULL), mirroring test_path.py:262-268.
+    """
+    if max_snap_m is not None and max_snap_m > cell_m:
+        cell_m = max_snap_m  # keep the 3x3-ring correctness guarantee
+
+    npx = geo.web_mercator_x(F.col("lon"))
+    npy = geo.web_mercator_y(F.col("lat"))
+    n = nodes.select(
+        "node_idx",
+        npx.alias("nx"),
+        npy.alias("ny"),
+        _cell_key(_cell(npx, cell_m), _cell(npy, cell_m)).alias("cell"),
+    )
+
+    ppx = geo.web_mercator_x(F.col("lon"))
+    ppy = geo.web_mercator_y(F.col("lat"))
+    # 3x3 neighbor ring, generated scan-side (9 rows per point)
+    offsets = F.array(
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    )
+    p = points.select(
+        F.col(point_id_col).alias("__pid"),
+        ppx.alias("px"),
+        ppy.alias("py"),
+        F.explode(offsets).alias("o"),
+    ).select(
+        "__pid",
+        "px",
+        "py",
+        _cell_key(_cell(F.col("px"), cell_m) + F.col("o.dx"), _cell(F.col("py"), cell_m) + F.col("o.dy")).alias(
+            "cell"
+        ),
+    )
+
+    dx = F.col("px") - F.col("nx")
+    dy = F.col("py") - F.col("ny")
+    dist = F.sqrt(dx * dx + dy * dy)
+    cand = p.join(n, "cell").select("__pid", dist.alias("dist_to_node_m"), "node_idx")
+    if max_snap_m is not None:
+        cand = cand.where(F.col("dist_to_node_m") <= F.lit(float(max_snap_m)))
+
+    # W2 top-1 per point, deterministic tie-break by node_idx — implemented
+    # as min(struct(dist, node_idx)): a plain aggregation with map-side
+    # partial combine, cheaper than a row_number sort-window at scale
+    best = cand.groupBy("__pid").agg(F.min(F.struct("dist_to_node_m", "node_idx")).alias("b"))
+    out = points.join(best, points[point_id_col] == best["__pid"], "left").select(
+        *[points[c] for c in points.columns],
+        F.col("b.node_idx").alias("node_idx"),
+        F.col("b.dist_to_node_m").cast("float").alias("dist_to_node_m"),
+    )
+    return out
+
+
+def snap_single_point(
+    nodes: DataFrame, lon: float, lat: float, max_snap_m: float | None = None
+) -> tuple[int, float] | None:
+    """J4: snap one query point — equirectangular pre-filter then exact
+    haversine R=6371000 (`poi_query.py:21-47`), as a TakeOrdered(1) over
+    the node table.  Returns (node_idx, dist_m) or None if beyond
+    max_snap_m.
+
+    The pre-filter keeps the sort key cheap: the exact haversine is only
+    evaluated on the 256 equirectangular-nearest candidates."""
+    approx = geo.equirectangular_m2(F.col("lon"), F.col("lat"), F.lit(lon), F.lit(lat))
+    cand = nodes.select("node_idx", "lon", "lat", approx.alias("a2")).orderBy("a2", "node_idx").limit(256)
+    exact = cand.select(
+        "node_idx",
+        geo.haversine_m(F.col("lon"), F.col("lat"), F.lit(lon), F.lit(lat), geo.R_QUERY_M).alias("dist_m"),
+    ).orderBy("dist_m", "node_idx")
+    row = exact.first()
+    if row is None:
+        return None
+    if max_snap_m is not None and row["dist_m"] > max_snap_m:
+        return None
+    return int(row["node_idx"]), float(row["dist_m"])

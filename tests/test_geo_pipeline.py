@@ -1,0 +1,287 @@
+"""Golden tests for the geospatial core (grid → graph build → snap →
+bounded Dijkstra reach → point/path query) against independent
+numpy/scipy oracles (tests/geo_fixtures.py; FIXTURES.md B1-B8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fifteenmc_spark.functions import geo
+from fifteenmc_spark.plans import graph_build, grid, query, reach, snap
+
+from . import geo_fixtures as gf
+
+BBOX = (18.40, 54.20, 18.90, 54.60)
+LIMIT_M = 1000.0
+
+
+@pytest.fixture(scope="module")
+def fx(spark):
+    nodes_pdf = gf.lattice_nodes()
+    edges_pdf = gf.lattice_edges_raw(nodes_pdf)
+    pois_pdf = gf.poi_fixture(nodes_pdf)
+    gnodes_pdf, gedges_pdf = gf.golden_canonical_graph(nodes_pdf, edges_pdf)
+
+    nodes_raw = spark.createDataFrame(nodes_pdf)
+    edges_raw = spark.createDataFrame(edges_pdf)
+    # pipeline order per SURVEY.md §3.1: walkability filter, then build
+    gnodes, gedges = graph_build.build_graph(nodes_raw, graph_build.clean_walkable_edges(edges_raw))
+    gnodes = gnodes.cache()
+    gedges = gedges.cache()
+    return {
+        "nodes_pdf": nodes_pdf,
+        "edges_pdf": edges_pdf,
+        "pois_pdf": pois_pdf,
+        "gnodes_pdf": gnodes_pdf,
+        "gedges_pdf": gedges_pdf,
+        "nodes_raw": nodes_raw,
+        "edges_raw": edges_raw,
+        "gnodes": gnodes,
+        "gedges": gedges,
+    }
+
+
+# ---------------------------------------------------------------------------
+# G6 grid generation vs golden (B4)
+# ---------------------------------------------------------------------------
+def test_grid_matches_golden(spark):
+    got = (
+        grid.generate_tiles(spark, BBOX, tile_km=10.0, buffer_km=2.0)
+        .orderBy("grid_id")
+        .toPandas()
+    )
+    want = gf.golden_grid(BBOX, 10.0, 2.0)
+    assert list(got["grid_id"]) == list(want["grid_id"])
+    for spark_col, want_col in [
+        ("centroid", ("clon", "clat")),
+    ]:
+        np.testing.assert_allclose(
+            [c["lon"] for c in got[spark_col]], want[want_col[0]], atol=1e-12
+        )
+        np.testing.assert_allclose(
+            [c["lat"] for c in got[spark_col]], want[want_col[1]], atol=1e-12
+        )
+    np.testing.assert_allclose([b["minlon"] for b in got["tile_bbox"]], want["tminx"], atol=1e-12)
+    np.testing.assert_allclose([b["maxlat"] for b in got["tile_bbox"]], want["tmaxy"], atol=1e-12)
+    np.testing.assert_allclose([b["minlon"] for b in got["buffer_bbox"]], want["bminx"], atol=1e-12)
+    np.testing.assert_allclose([b["maxlat"] for b in got["buffer_bbox"]], want["bmaxy"], atol=1e-12)
+
+
+def test_buffer_halo_assignment(spark):
+    tiles = grid.generate_tiles(spark, BBOX, tile_km=10.0, buffer_km=2.0).cache()
+    # a point just inside one tile's edge must land in >= 2 buffer bboxes
+    one = tiles.first()
+    edge_lon = one["tile_bbox"]["minlon"] + 1e-4
+    mid_lat = (one["tile_bbox"]["minlat"] + one["tile_bbox"]["maxlat"]) / 2
+    pts = spark.createDataFrame(pd.DataFrame({"pid": [1], "lon": [edge_lon], "lat": [mid_lat]}))
+    hits = grid.assign_points_to_tiles(pts, tiles).select("grid_id").collect()
+    assert len(hits) >= 2  # own tile + west neighbor's buffer halo
+    strict = grid.assign_points_to_tiles(pts, tiles, use_buffer=False).collect()
+    assert len(strict) == 1  # tile bboxes partition the plane
+
+
+def test_k_nearest_tiles(spark):
+    tiles = grid.generate_tiles(spark, BBOX, tile_km=10.0, buffer_km=2.0)
+    got = grid.k_nearest_tiles(tiles, 18.60, 54.35, k=5).toPandas()
+    assert len(got) == 5
+    assert got["dist_km"].is_monotonic_increasing
+
+
+# ---------------------------------------------------------------------------
+# P2 walkability + J1/W3/U1/P4/A1 canonical graph vs golden (B1/B2)
+# ---------------------------------------------------------------------------
+def test_walkability_filter(fx):
+    got = graph_build.clean_walkable_edges(fx["edges_raw"]).count()
+    want = int(gf.golden_walkable_mask(fx["edges_pdf"]).sum())
+    assert got == want
+
+
+def test_dense_index_matches_sorted_ids(fx):
+    got = fx["gnodes"].orderBy("node_idx").toPandas()
+    want = fx["gnodes_pdf"]
+    assert list(got["node_idx"]) == list(want["node_idx"])
+    assert list(got["osm_node_id"]) == list(want["osm_node_id"])
+
+
+def test_canonical_edges_match_golden(fx):
+    got = fx["gedges"].orderBy("src", "dst").toPandas()
+    want = fx["gedges_pdf"].sort_values(["src", "dst"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert list(got["src"]) == list(want["src"])
+    assert list(got["dst"]) == list(want["dst"])
+    np.testing.assert_allclose(got["w"], want["w"], rtol=1e-6)
+
+
+def test_graph_invariants(fx):
+    # J8 reciprocity: symmetrized graph has zero one-way pairs
+    assert graph_build.reciprocity_violations(fx["gedges"]).isEmpty()
+    # metamorphic weight check: stored w / recomputed haversine ≈ 1
+    v = graph_build.validate_weights(fx["gedges"], fx["gnodes"]).first()
+    assert abs(v["median_ratio"] - 1.0) < 1e-5
+    assert v["n_bad"] == 0
+
+
+def test_metamorphic_permuted_input(spark, fx):
+    # permuting input row order must not change the canonical edge table
+    shuffled = spark.createDataFrame(
+        fx["edges_pdf"].sample(frac=1.0, random_state=99).reset_index(drop=True)
+    )
+    _, e2 = graph_build.build_graph(fx["nodes_raw"], graph_build.clean_walkable_edges(shuffled))
+    a = fx["gedges"].orderBy("src", "dst").toPandas()
+    b = e2.orderBy("src", "dst").toPandas()
+    assert list(a["src"]) == list(b["src"])
+    np.testing.assert_allclose(a["w"], b["w"], rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# J2 snap vs golden (B3)
+# ---------------------------------------------------------------------------
+def test_snap_matches_golden(spark, fx):
+    pois = spark.createDataFrame(fx["pois_pdf"])
+    got = (
+        snap.snap_points_to_nodes(pois, fx["gnodes"], max_snap_m=300.0)
+        .orderBy("poi_id")
+        .toPandas()
+    )
+    want = gf.golden_snap(fx["pois_pdf"], fx["gnodes_pdf"], max_snap_m=300.0).sort_values("poi_id").reset_index(drop=True)
+    for g, w in zip(got.itertuples(), want.itertuples()):
+        if w.node_idx == -1:
+            assert g.node_idx is None or pd.isna(g.node_idx), f"poi {g.poi_id} should be rejected"
+        else:
+            assert g.node_idx == w.node_idx, f"poi {g.poi_id}: {g.node_idx} != {w.node_idx}"
+            assert abs(g.dist_to_node_m - w.dist_to_node_m) < 1e-2
+
+
+def test_snap_single_point(fx):
+    # exactly on a node → that node, distance ~0
+    row = fx["gnodes_pdf"].iloc[10]
+    got = snap.snap_single_point(fx["gnodes"], float(row["lon"]), float(row["lat"]))
+    assert got is not None and got[0] == row["node_idx"] and got[1] < 1e-6
+    # far away → rejected by max_snap
+    assert snap.snap_single_point(fx["gnodes"], 10.0, 50.0, max_snap_m=300.0) is None
+
+
+# ---------------------------------------------------------------------------
+# G2 bounded multi-source Dijkstra vs scipy golden (B6)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def reach_ctx(spark, fx):
+    snapped = gf.golden_snap(fx["pois_pdf"], fx["gnodes_pdf"], max_snap_m=300.0)
+    snapped = snapped[snapped["node_idx"] >= 0].copy()
+    pois_sdf = spark.createDataFrame(
+        snapped[["poi_id", "category", "node_idx"]].astype({"node_idx": "int32"})
+    )
+    reach_df = reach.compute_reach(
+        fx["gnodes"], fx["gedges"], pois_sdf, limit_m=LIMIT_M
+    ).cache()
+    return {"snapped": snapped, "pois_sdf": pois_sdf, "reach": reach_df}
+
+
+def test_reach_matches_scipy_golden(fx, reach_ctx):
+    snapped = reach_ctx["snapped"]
+    for cat in ("supermarket", "pharmacy"):
+        sub = snapped[snapped["category"] == cat]
+        dist, winners = gf.golden_reach(fx["gnodes_pdf"], fx["gedges_pdf"], sub, LIMIT_M)
+        got = (
+            reach_ctx["reach"]
+            .where(F.col("category") == cat)
+            .orderBy("node_idx")
+            .toPandas()
+        )
+        assert len(got) == len(fx["gnodes_pdf"])
+        for r in got.itertuples():
+            want_d = dist[r.node_idx]
+            if not np.isfinite(want_d):
+                assert pd.isna(r.dist_m), f"node {r.node_idx} should be unreachable"
+            else:
+                assert abs(r.dist_m - want_d) < 1e-2, f"node {r.node_idx}"
+                assert r.poi_id in winners[r.node_idx], f"node {r.node_idx} winner"
+                assert abs(r.time_s - r.dist_m / 1.111) < 1e-3
+
+
+def test_reach_seed_nodes_zero(reach_ctx):
+    # every valid snapped POI's node has dist 0 for its category
+    seeds = reach_ctx["snapped"]
+    got = reach_ctx["reach"].where(F.col("dist_m") == 0.0).toPandas()
+    seed_pairs = {(int(r.node_idx), r.category) for r in seeds.itertuples()}
+    got_pairs = {(int(r.node_idx), r.category) for r in got.itertuples()}
+    assert seed_pairs == got_pairs
+
+
+def test_reach_summary(fx, reach_ctx):
+    s = reach.reach_summary(
+        reach_ctx["reach"], reach_ctx["pois_sdf"], len(fx["gnodes_pdf"]), LIMIT_M
+    ).toPandas()
+    snapped = reach_ctx["snapped"]
+    for r in s.itertuples():
+        sub = snapped[snapped["category"].map(lambda c: c == r.category)]
+        assert r.n_sources == len(sub)
+        dist, _ = gf.golden_reach(fx["gnodes_pdf"], fx["gedges_pdf"], sub, LIMIT_M)
+        finite = dist[np.isfinite(dist)]
+        assert r.n_within == len(finite)
+        assert abs(r.median_dist_m - float(np.median(finite))) < 1e-2
+
+
+def test_reach_pivot_shape(reach_ctx):
+    wide = reach.reach_pivot(reach_ctx["reach"].limit(0).unionAll(reach_ctx["reach"]))
+    cats = sorted(
+        r["category"] for r in reach_ctx["reach"].select("category").distinct().collect()
+    )
+    cols = set(wide.columns)
+    for c in cats:
+        assert {f"{c}_dist", f"{c}_time", f"{c}_poi"} <= cols
+
+
+# ---------------------------------------------------------------------------
+# G7 point query + G4/G5 path query (B7)
+# ---------------------------------------------------------------------------
+def test_point_reachability(fx, reach_ctx):
+    q = fx["gnodes_pdf"].iloc[150]
+    got = query.point_reachability(
+        reach_ctx["reach"], fx["gnodes"], float(q["lon"]), float(q["lat"]), radius_m=LIMIT_M
+    ).toPandas()
+    want = (
+        reach_ctx["reach"]
+        .where(F.col("node_idx") == int(q["node_idx"]))
+        .where(F.col("dist_m").isNotNull() & (F.col("dist_m") <= LIMIT_M))
+        .count()
+    )
+    assert len(got) == want
+    assert got["dist_m"].is_monotonic_increasing
+
+
+def test_path_to_nearest_poi(fx, reach_ctx):
+    q = fx["gnodes_pdf"].iloc[150]
+    path = query.path_to_nearest_poi(
+        fx["gnodes"],
+        fx["gedges"],
+        reach_ctx["pois_sdf"],
+        float(q["lon"]),
+        float(q["lat"]),
+        "supermarket",
+        limit_m=LIMIT_M,
+    ).toPandas()
+    assert len(path) >= 1
+    assert path["seq"].tolist() == list(range(len(path)))
+    assert path.iloc[0]["node_idx"] == q["node_idx"]
+    assert path.iloc[0]["step_m"] == 0.0
+    # cum_m at the end equals the reach distance at the start node
+    want = (
+        reach_ctx["reach"]
+        .where((F.col("node_idx") == int(q["node_idx"])) & (F.col("category") == "supermarket"))
+        .first()
+    )
+    assert abs(path["cum_m"].iloc[-1] - want["dist_m"]) < 1e-2
+    # last node is the winning POI's node
+    snapped = reach_ctx["snapped"]
+    end_node = int(path.iloc[-1]["node_idx"])
+    assert end_node in set(snapped[snapped["category"] == "supermarket"]["node_idx"].astype(int))
+    # every step's weight matches the edge table (float32 tolerance)
+    ge = fx["gedges_pdf"].set_index(["src", "dst"])["w"]
+    for i in range(1, len(path)):
+        u, v = int(path.iloc[i - 1]["node_idx"]), int(path.iloc[i]["node_idx"])
+        assert abs(path.iloc[i]["step_m"] - float(ge.loc[(u, v)])) < 1e-3
