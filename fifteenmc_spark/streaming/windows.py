@@ -1,0 +1,109 @@
+"""Structured Streaming surface (SURVEY.md §2.9, §7.11).
+
+The reference has no streaming runtime — every script is a one-shot
+``main()`` (graph_construction.py:201).  The engine's events surface
+(TESTDATA `events`: event_id, ts, user_id, event_type, value, props) gets
+the standard Spark streaming treatment: tumbling / sliding / session
+windows with watermark-bounded state, plus a stateful sessionization
+example.  Everything here is built-in Structured Streaming — zero custom
+state stores.
+
+Each builder takes a DataFrame (batch OR streaming — the transformations
+are identical by design; that is the point of the unified Dataset API), so
+the DuckDB oracle can check the batch twin (declared query d19) while the
+streaming tests drive the same code through a file-source stream with
+``trigger(availableNow=True)``.
+
+Scale notes
+-----------
+- Watermarks bound state: without `withWatermark` a streaming session
+  window accumulates state forever at 100 TB/day ingest.
+- Window aggregations are hash aggs keyed by (window, user) — map-side
+  partial combine applies; the shuffle carries one row per key per
+  trigger, never raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WATERMARK_DEFAULT = "30 minutes"
+
+
+def with_event_time(events: DataFrame, watermark: str | None = WATERMARK_DEFAULT) -> DataFrame:
+    """Attach the event-time watermark (late data beyond it is dropped and
+    its state evicted).  No-op on batch frames (watermark is ignored)."""
+    return events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+
+
+def tumbling_counts(events: DataFrame, width: str = "15 minutes", watermark: str | None = WATERMARK_DEFAULT) -> DataFrame:
+    """Non-overlapping event-time buckets per user: count + sum(value).
+    Batch twin: declared query d19 (epoch-math form)."""
+    e = with_event_time(events, watermark)
+    return (
+        e.groupBy("user_id", F.window("ts", width).alias("win"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "30 minutes",
+    slide: str = "10 minutes",
+    watermark: str | None = WATERMARK_DEFAULT,
+) -> DataFrame:
+    """Overlapping windows (width, slide): each event lands in
+    width/slide windows — event-type activity rates."""
+    e = with_event_time(events, watermark)
+    return (
+        e.groupBy("event_type", F.window("ts", width, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("event_type", F.col("win.start").alias("win_start"), "cnt")
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "20 minutes", watermark: str | None = WATERMARK_DEFAULT
+) -> DataFrame:
+    """Session windows per user: a session closes after `gap` of
+    inactivity (built-in session_window — dynamic, event-time merged)."""
+    e = with_event_time(events, watermark)
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("sess"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_events(spark, events_dir: str, schema) -> DataFrame:
+    """File-source stream over an events parquet directory — the test/demo
+    entry (production would swap in Kafka with the same downstream plan)."""
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def run_to_memory(stream_df: DataFrame, table_name: str, timeout_s: float = 120.0) -> None:
+    """Drain a (bounded) stream into an in-memory sink with
+    availableNow + complete mode — used by tests to compare streaming
+    results against the batch twin of the same builder."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

@@ -1,0 +1,57 @@
+"""Structured Streaming windows: the streaming result must equal the
+batch result of the same builder over the same events (unified API —
+that equivalence is the correctness contract; d19 pins the batch side
+against DuckDB)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fifteenmc_spark.io import read_table
+from fifteenmc_spark.streaming import windows as W
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_small, tmp_path_factory):
+    # re-write events as a clean microsecond-ts parquet dir (the raw
+    # testdata file is TIMESTAMP(NANOS), awkward for a file stream source)
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    read_table(spark, sf_small, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _batch(spark, events_stream_dir):
+    return spark.read.parquet(events_stream_dir)
+
+
+def _sorted_pdf(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    return pdf.sort_values(sorted(pdf.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "builder",
+    [W.tumbling_counts, W.sliding_counts, W.session_windows],
+    ids=["tumbling", "sliding", "session"],
+)
+def test_stream_equals_batch(spark, events_stream_dir, builder):
+    batch = _batch(spark, events_stream_dir)
+    want = _sorted_pdf(builder(batch))
+    assert len(want) > 0
+
+    stream = W.stream_events(spark, events_stream_dir, batch.schema)
+    assert stream.isStreaming
+    name = f"sink_{builder.__name__}"
+    W.run_to_memory(builder(stream), name)
+    got = _sorted_pdf(spark.table(name))
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_watermark_present_in_plan(spark, events_stream_dir):
+    batch = _batch(spark, events_stream_dir)
+    stream = W.stream_events(spark, events_stream_dir, batch.schema)
+    plan = W.tumbling_counts(stream)._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
