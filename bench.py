@@ -3,8 +3,14 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timing = full execution to a count-collect (foreach-noop would skip result
-materialization; collect of ordered output matches what the oracle measures)."""
+Timing = full execution through a noop sink — every output column is
+materialized (a bare count() would let Catalyst prune unprojected
+columns and under-measure).  A warm-up pass touches every table first
+(parquet footers + JVM JIT) so per-query numbers measure the queries,
+matching BASELINE.md's "warm session" definition.  Set BENCH_DUCKDB=1 to
+also time the DuckDB oracle on the same queries and report the ratio the
+judge grades (BASELINE.md: within 2x of DuckDB at sf0.1).
+"""
 
 from __future__ import annotations
 
@@ -15,6 +21,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import fifteenmc_spark.operators  # noqa: F401  (registers all query modules)
+from fifteenmc_spark.io import TABLES, read_table
 from fifteenmc_spark.operators.relational import QUERIES
 from fifteenmc_spark.session import get_spark
 
@@ -24,28 +32,46 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="fifteenmc-bench")
 
+    # warm-up: footers, schema inference, codegen JIT paths
+    for t in TABLES:
+        read_table(spark, sf_dir, t).count()
+
     timings: dict[str, float] = {}
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session startup
     for name, q in QUERIES.items():
         t0 = time.perf_counter()
         df = q.build(spark, sf_dir)
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    out = {
+        "metric": "declared_query_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    if os.environ.get("BENCH_DUCKDB"):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        duck: dict[str, float] = {}
+        for name, q in QUERIES.items():
+            if q.oracle is None:
+                continue
+            t0 = time.perf_counter()
+            con.execute(q.oracle).fetchall()
+            duck[name] = round(time.perf_counter() - t0, 4)
+        out["duckdb_total"] = round(sum(duck.values()), 4)
+        out["duckdb_queries"] = duck
+        out["spark_vs_duckdb_ratio"] = round(
+            sum(timings[k] for k in duck) / max(out["duckdb_total"], 1e-9), 4
         )
-    )
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

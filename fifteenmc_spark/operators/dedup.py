@@ -30,6 +30,10 @@ N_MINHASH = 4  # seeds 0..3; bands of 2 → 2 bands
 JACCARD_THRESHOLD = 0.30
 
 
+def d_spark_parallelism(spark) -> int:
+    return spark.sparkContext.defaultParallelism
+
+
 def _norm_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
 
@@ -37,22 +41,40 @@ def _norm_text(col):
 _NORM_SQL = "REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')"
 
 
-def shingles_df(spark, sf_dir) -> DataFrame:
-    """doc_id + array of distinct word-3-gram shingles (scan-side, no
-    shuffle).  Docs shorter than 3 tokens contribute their whole text."""
-    d = read_table(spark, sf_dir, "documents")
-    toks = F.split(_norm_text(F.col("text")), " ")
-    n = F.size(toks)
-    sh = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array(_norm_text(F.col("text"))))
-    return d.select("doc_id", F.array_distinct(sh).alias("shingles"))
+def shingle_rows(spark, sf_dir) -> DataFrame:
+    """Distinct word-3-gram shingles, one ROW per (doc_id, shingle).
+    Docs shorter than 3 tokens contribute their whole normalized text.
+
+    Shape notes (each matters ~5-10x at sf0.1):
+    - The scan is hash-repartitioned by doc_id up front — the testdata
+      parquet is one small file → one partition otherwise, and doc_id
+      clustering lets the lead() window, the distinct, AND the downstream
+      minhash groupBy(doc_id) all reuse this ONE exchange (Catalyst's
+      EnsureRequirements sees hashpartitioning(doc_id) satisfies each).
+    - Shingles are built with posexplode + lead() windows, NOT array
+      higher-order functions: Spark evaluates HOF lambdas interpreted
+      (outside whole-stage codegen), which measured ~15 s vs ~2 s for
+      this exploded+window shape.  The window sort is per-doc within
+      shuffle partitions — map-side cheap, no skew beyond doc length."""
+    d = read_table(spark, sf_dir, "documents").repartition(
+        d_spark_parallelism(spark), "doc_id"
+    )
+    norm = _norm_text(F.col("text"))
+    toks = F.split(norm, " ")
+    base = d.select("doc_id", F.size(toks).alias("n"), F.posexplode(toks).alias("pos", "t"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        base.select(
+            "doc_id",
+            "n",
+            "pos",
+            F.concat_ws(" ", "t", F.lead("t", 1).over(w), F.lead("t", 2).over(w)).alias("s"),
+        )
+        .where((F.col("n") >= 3) & (F.col("pos") <= F.col("n") - 3))
+        .select("doc_id", "s")
+    )
+    shorts = d.select("doc_id", norm.alias("s")).where(F.size(toks) < 3)
+    return tri.unionAll(shorts).dropDuplicates(["doc_id", "s"])
 
 
 _SHINGLES_SQL = f"""
@@ -67,22 +89,45 @@ _SHINGLES_SQL = f"""
 """
 
 
-def minhash_cols(shingle_col, n: int = N_MINHASH):
-    """Minhash value j = lexicographic min over shingles of md5(j|shingle).
-    min of a uniform hash per seed → standard minhash estimator."""
-    def seeded(j: int):
-        # NB: must be a 1-arg lambda — F.transform treats 2-arg lambdas as
-        # (element, index), which would silently shadow the seed.
-        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s).cast("binary"))
-
-    return [F.array_min(F.transform(shingle_col, seeded(j))).alias(f"mh{j}") for j in range(n)]
+# Universal-hash minhash family: one md5 per shingle → 60-bit int → per-seed
+# affine map mod a Mersenne prime.  Products stay < 2^62, portable BIGINT
+# arithmetic in both engines.
+_MH_P = 2147483647
+_MH_A = (1299709, 15485863, 32452843, 49979687)
+_MH_B = (104729, 1299721, 7368787, 15487469)
 
 
-def _minhash_sql_cols(n: int = N_MINHASH) -> str:
-    return ",\n             ".join(
-        f"list_aggregate(list_transform(shingles, s -> MD5('{j}|' || s)), 'min') AS mh{j}"
-        for j in range(n)
+def _shingle_hash(s) -> "F.Column":
+    """md5 → first 15 hex chars → BIGINT → mod P.  ONE digest per shingle;
+    the per-seed values derive arithmetically (classic (a*h+b) mod p
+    universal family) instead of re-hashing per seed."""
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("bigint") % _MH_P
+
+
+def minhash_signatures(ex: DataFrame, n: int = N_MINHASH) -> DataFrame:
+    """Per-doc MinHash signature (doc_id, mh0..mh{n-1} BIGINT) from
+    shingle ROWS: codegen'd hash → groupBy with n MIN aggregates
+    (map-side partial combine — the shuffle carries n BIGINTs per doc)."""
+    h = _shingle_hash(F.col("s"))
+    return ex.groupBy("doc_id").agg(
+        *[F.min((F.lit(_MH_A[j]) * h + _MH_B[j]) % _MH_P).alias(f"mh{j}") for j in range(n)]
     )
+
+
+_MH_HASH_SQL = "CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT) % 2147483647"
+
+
+def _minhash_sig_sql(n: int = N_MINHASH) -> str:
+    cols = ",\n             ".join(
+        f"MIN(({_MH_A[j]} * h + {_MH_B[j]}) % {_MH_P}) AS mh{j}" for j in range(n)
+    )
+    return f"""
+      SELECT doc_id,
+             {cols}
+      FROM (SELECT doc_id, {_MH_HASH_SQL} AS h
+            FROM (SELECT doc_id, UNNEST(shingles) AS s FROM sh))
+      GROUP BY doc_id
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -121,20 +166,20 @@ def x1(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @_register(
     "x2_minhash_signature",
-    "Per-doc MinHash signature (4 seeded md5-min values over word-3-gram "
-    "shingles).  Computed entirely scan-side with array expressions — zero "
-    "shuffle, zero UDF.",
+    "Per-doc MinHash signature: 4 universal-hash minima over word-3-gram "
+    "shingles (one md5 per shingle, per-seed affine maps).  Exploded "
+    "codegen shape — the only shuffle carries partial MINs.",
     f"""
     WITH sh AS ({_SHINGLES_SQL})
-    SELECT doc_id,
-             {_minhash_sql_cols()}
-    FROM sh ORDER BY doc_id
+    SELECT doc_id, mh0, mh1, mh2, mh3
+    FROM ({_minhash_sig_sql()})
+    ORDER BY doc_id
     """,
     ("dedup", "minhash", "pipeline"),
 )
 def x2(spark, sf_dir):
-    sh = shingles_df(spark, sf_dir)
-    return sh.select("doc_id", *minhash_cols(F.col("shingles"))).orderBy("doc_id")
+    sig = minhash_signatures(shingle_rows(spark, sf_dir))
+    return sig.orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -147,10 +192,7 @@ def x2(spark, sf_dir):
     "by band buckets — never O(n²) over the corpus.",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    sig AS (
-      SELECT doc_id, shingles,
-             {_minhash_sql_cols()}
-      FROM sh),
+    sig AS ({_minhash_sig_sql()}),
     bands AS (
       SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
       UNION ALL
@@ -159,27 +201,26 @@ def x2(spark, sf_dir):
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
       WHERE a.doc_id < b.doc_id),
-    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             LEN(list_intersect(ja.shingles, jb.shingles)) AS n_common,
+             LEN(ja.shingles) AS na, LEN(jb.shingles) AS nb
       FROM cand c
-      JOIN ex ea ON ea.doc_id = c.doc_a
-      JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
-      GROUP BY c.doc_a, c.doc_b)
-    SELECT i.doc_a, i.doc_b,
-           ROUND(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 4) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {JACCARD_THRESHOLD}
+      JOIN sh ja ON ja.doc_id = c.doc_a
+      JOIN sh jb ON jb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= {JACCARD_THRESHOLD}
     ORDER BY doc_a, doc_b
     """,
     ("dedup", "minhash", "lsh", "jaccard", "pipeline"),
 )
 def x3(spark, sf_dir):
-    sh = shingles_df(spark, sf_dir).cache()
-    sig = sh.select("doc_id", "shingles", *minhash_cols(F.col("shingles")))
+    # shingle rows checkpointed once (small: one string row per distinct
+    # shingle) and reused by signatures, sizes, and the pair intersection
+    ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    sig = minhash_signatures(ex)
     bands = sig.select(
         "doc_id", F.lit(0).alias("band"), F.concat_ws("|", "mh0", "mh1").alias("bkey")
     ).unionAll(
@@ -193,22 +234,24 @@ def x3(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # exact Jaccard on candidates only: intersection = shingle-row join
+    # restricted to candidate pairs; sizes = per-doc counts.  All shuffles
+    # carry (doc_id, shingle) or smaller — never full documents.
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ea = ex.alias("ea")
-    eb = ex.alias("eb")
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
-        cand.join(ea, F.col("ea.doc_id") == F.col("doc_a"))
-        .join(eb, (F.col("eb.doc_id") == F.col("doc_b")) & (F.col("eb.s") == F.col("ea.s")))
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "s"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")

@@ -58,7 +58,9 @@ def synthesize_assets(spark, sf_dir: str) -> DataFrame:
     """Deterministic multimodal asset table derived from `documents`:
     payload = utf-8 bytes of the text (an opaque blob as far as the engine
     is concerned), modality assigned round-robin by doc_id."""
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     modality = F.element_at(F.array(*[F.lit(m) for m in _MODALITIES]), (F.col("doc_id") % 4 + 1).cast("int"))
     return d.select(
         F.col("doc_id").alias("asset_id"),
@@ -91,6 +93,14 @@ def extract_features(assets: DataFrame) -> DataFrame:
     (pins down the batch shape in tests)."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def cp_sum(b) -> int:
+            # vectorized code-point sum: decode once, reinterpret as uint32
+            return int(
+                np.frombuffer(bytes(b).decode("utf-8").encode("utf-32-le"), dtype=np.uint32).sum()
+            )
+
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
@@ -98,9 +108,7 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
                     "n_bytes": payloads.map(len).astype("int32"),
-                    "codepoint_sum": payloads.map(
-                        lambda b: sum(ord(c) for c in bytes(b).decode("utf-8"))
-                    ).astype("int64"),
+                    "codepoint_sum": payloads.map(cp_sum).astype("int64"),
                     "n_batch_rows": len(pdf),
                 }
             )

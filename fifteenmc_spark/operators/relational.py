@@ -349,6 +349,33 @@ def d10(spark, sf_dir):
     )
 
 
+@_register(
+    "d10_rank_dense_ntile",
+    "rank / dense_rank / ntile battery over orders per priority class — "
+    "the rest of the §2.5 window surface.",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderpriority, rnk, o_orderkey
+    """,
+    ("window", "rank"),
+)
+def d10b(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_orderpriority", "rnk", "o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # D11 running-total window (W1)
 # ---------------------------------------------------------------------------
@@ -377,6 +404,30 @@ def d11(spark, sf_dir):
     ).orderBy("o_custkey", "o_orderkey")
 
 
+@_register(
+    "d11_range_frame",
+    "RANGE frame window: count of same-user events in the preceding "
+    "15 minutes (event-time range frame over epoch seconds).",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY EPOCH(ts)
+                RANGE BETWEEN 900 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_15m
+    FROM events ORDER BY user_id, event_id
+    """,
+    ("window", "range-frame"),
+)
+def d11b(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-900, Window.currentRow)
+    )
+    return e.select("event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_15m")).orderBy(
+        "user_id", "event_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # D12 lag/lead (G5 pairing pattern)
 # ---------------------------------------------------------------------------
@@ -386,8 +437,11 @@ def d11(spark, sf_dir):
     "the same way (G5, test_path.py:312-333).",
     """
     SELECT event_id, user_id, event_type,
-           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-    FROM events ORDER BY user_id, event_id
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
     """,
     ("window", "lag"),
 )
@@ -395,7 +449,11 @@ def d12(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
-        "event_id", "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
     ).orderBy("user_id", "event_id")
 
 

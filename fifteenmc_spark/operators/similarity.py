@@ -25,6 +25,17 @@ from pyspark.sql import functions as F
 from ..io import read_table
 from .relational import _register
 
+
+def _emb(spark, sf_dir):
+    """Embeddings scan spread across all cores: the testdata parquet is a
+    single file -> one partition, and the zip_with/aggregate dot products
+    (interpreted HOFs) would run single-threaded otherwise.  At corpus
+    scale the scan is already partitioned and this repartition is a no-op
+    design-wise (one narrow shuffle of the vectors)."""
+    return read_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
 N_QUERY_VECS = 3  # vec_id < 3 are the demo query vectors
 TOP_K = 5
 
@@ -76,7 +87,7 @@ _COS_SQL = (
     ("similarity", "ann", "pipeline"),
 )
 def v1(spark, sf_dir):
-    e = read_table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -113,6 +124,25 @@ def _sig_bit_sql(j: int, emb: str) -> str:
     return f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)"
 
 
+def lsh_bucket(emb) -> Column:
+    """8-bit random-hyperplane signature as ONE compact expression:
+    per-plane dot product via zip_with + left-fold aggregate over a
+    literal coefficient array (index order matches the SQL term order).
+    The naive spelling — 8 planes × 64 element_at terms — compiled to a
+    ~4k-node codegen tree and dominated the query time; this form is a
+    constant-size tree evaluated over the array in one pass per plane."""
+    code = F.lit(0)
+    for j in range(N_PLANES):
+        coefs = F.array(*[F.lit(float(_plane_coef(j, i))) for i in range(64)])
+        dot = F.aggregate(
+            F.zip_with(emb, coefs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+        code = code + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return code.cast("int")
+
+
 @_register(
     "v2_lsh_bucket",
     "Random-hyperplane LSH: 8-bit signature per vector from deterministic "
@@ -130,21 +160,8 @@ def _sig_bit_sql(j: int, emb: str) -> str:
     ("similarity", "lsh", "pipeline"),
 )
 def v2(spark, sf_dir):
-    e = read_table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding")
-
-    def sig_bit(j: int) -> Column:
-        dot = F.lit(0.0)
-        # 64 fixed coefficients — constant-folded by Catalyst into one
-        # codegen'd expression; index order matches the SQL exactly
-        for i in range(64):
-            dot = dot + F.element_at(emb, i + 1).cast("double") * F.lit(float(_plane_coef(j, i)))
-        return F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-
-    code = F.lit(0)
-    for j in range(N_PLANES):
-        code = code + sig_bit(j)
-    sig = e.select("vec_id", code.cast("int").alias("bucket"))
+    e = _emb(spark, sf_dir)
+    sig = e.select("vec_id", lsh_bucket(F.col("embedding")).alias("bucket"))
     return (
         sig.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
@@ -178,19 +195,8 @@ NEAR_DUP_COS = 0.85
     ("similarity", "dedup", "lsh", "pipeline"),
 )
 def v3(spark, sf_dir):
-    e = read_table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding")
-
-    def sig_bit(j: int) -> Column:
-        dot = F.lit(0.0)
-        for i in range(64):
-            dot = dot + F.element_at(emb, i + 1).cast("double") * F.lit(float(_plane_coef(j, i)))
-        return F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-
-    code = F.lit(0)
-    for j in range(N_PLANES):
-        code = code + sig_bit(j)
-    sig = e.select("vec_id", "embedding", code.cast("int").alias("bucket"))
+    e = _emb(spark, sf_dir)
+    sig = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
     a, b = sig.alias("a"), sig.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
@@ -222,7 +228,7 @@ def v3(spark, sf_dir):
     ("similarity", "aggregate", "pipeline"),
 )
 def v4(spark, sf_dir):
-    e = read_table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return (
         e.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg(norm2(F.col("embedding"))), 4).alias("avg_norm"))

@@ -43,6 +43,7 @@ from ..functions import geo
 
 LIMIT_M_DEFAULT = 1000.0  # precompute_poi_reach.py:132
 MAX_ROUNDS_DEFAULT = 200
+_CKPT_EVERY = 3
 
 
 def _valid_sources(pois: DataFrame, n_nodes: int) -> DataFrame:
@@ -81,6 +82,7 @@ def shortest_paths_bounded(
     # the reference's first-in-list rule, precompute_poi_reach.py:99-104)
     state = as_state(init).groupBy("node_idx", "category").agg(F.min("v").alias("v")).localCheckpoint()
     frontier = state
+    rounds_since_ckpt = 0
 
     for _ in range(max_rounds):
         cand = (
@@ -110,14 +112,18 @@ def shortest_paths_bounded(
         )
         if improved.isEmpty():
             break
-        state = (
-            state.unionAll(improved)
-            .groupBy("node_idx", "category")
-            .agg(F.min("v").alias("v"))
-            .localCheckpoint()
-        )
+        state = state.unionAll(improved).groupBy("node_idx", "category").agg(F.min("v").alias("v"))
+        rounds_since_ckpt += 1
+        # checkpoint every few rounds, not every round: each eager
+        # localCheckpoint is a full job; a 3-deep union/agg chain over
+        # already-checkpointed inputs re-plans cheaply
+        if rounds_since_ckpt >= _CKPT_EVERY:
+            state = state.localCheckpoint()
+            rounds_since_ckpt = 0
         frontier = improved
 
+    if rounds_since_ckpt:
+        state = state.localCheckpoint()  # cut lineage before edges unpersist
     out = state.select("node_idx", "category", F.col("v.dist_m").alias("dist_m"), F.col("v.poi_id").alias("poi_id"),
                        *([F.col("v.prev").alias("prev")] if track_prev else []))
     edges.unpersist()
