@@ -70,6 +70,39 @@ def require_columns(df: DataFrame, cols: list[str], where: str = "") -> DataFram
     return df
 
 
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S3: header CSV source (ref: pd.read_csv, precompute_poi_reach.py:44,
+    test_path.py:250).  Explicit schema preferred; inference only as a
+    convenience fallback (it costs an extra scan)."""
+    r = spark.read.option("header", True)
+    return (r.schema(schema) if schema is not None else r.option("inferSchema", True)).csv(path)
+
+
+def read_json_records(spark: SparkSession, path: str) -> DataFrame:
+    """S7: multiline JSON-array source — the reference's grid-cells file
+    (extract_map_from_json.py:11-16) is one JSON list of nested records."""
+    return spark.read.option("multiLine", True).json(path)
+
+
+def read_grid_id_list(spark: SparkSession, path: str) -> DataFrame:
+    """S9: text-list source (parse_grid_file, extract_map_from_json.py:
+    18-38): '#'-comment lines skipped, remaining lines split on commas and
+    whitespace, first occurrence kept in file order.
+
+    spark.read.text + regexp/split/explode — the dedup uses min(line, pos)
+    per id, not a driver-side seen-set."""
+    lines = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("pos"), F.col("value")
+    )
+    toks = (
+        lines.where(~F.trim("value").startswith("#"))
+        .select("pos", F.posexplode(F.split(F.trim("value"), "[,\\s]+")).alias("tok_pos", "grid_id"))
+        .where(F.col("grid_id") != "")
+    )
+    first = toks.groupBy("grid_id").agg(F.min(F.struct("pos", "tok_pos")).alias("o"))
+    return first.orderBy("o").select("grid_id")
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
     """Parquet sink (ref K1/K3: snap_poi_to_nodes.py:245,
     graph_construction.py:298-307 — npz replaced by partitioned parquet)."""

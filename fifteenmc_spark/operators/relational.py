@@ -457,6 +457,33 @@ def d12(spark, sf_dir):
     ).orderBy("user_id", "event_id")
 
 
+@_register(
+    "d23_first_occurrence",
+    "Dedup preserving first occurrence (ref A7 seen-set scan, "
+    "extract_map_from_json.py:31-38): each user's earliest event by "
+    "(ts, event_id) via a min-struct aggregate — map-side combinable, "
+    "cheaper than a row_number sort-window.",
+    """
+    SELECT user_id, first_event_id, first_type FROM (
+      SELECT user_id, event_id AS first_event_id, event_type AS first_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn = 1 ORDER BY user_id
+    """,
+    ("dedup", "aggregate"),
+)
+def d23(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    best = e.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.col("b.event_id").alias("first_event_id"),
+        F.col("b.event_type").alias("first_type"),
+    ).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # D13 global top-k (O3)
 # ---------------------------------------------------------------------------

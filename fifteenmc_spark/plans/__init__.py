@@ -1,1 +1,1 @@
-from . import graph_build, grid, query, reach, snap  # noqa: F401
+from . import graph_build, grid, pipeline, poi, query, reach, snap  # noqa: F401

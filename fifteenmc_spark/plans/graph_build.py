@@ -76,6 +76,45 @@ def assign_dense_index(nodes: DataFrame, id_col: str = "osm_node_id") -> DataFra
     return ranged.sparkSession.createDataFrame(indexed, schema)
 
 
+def infer_uv_from_geometry(edges_geo: DataFrame, nodes: DataFrame) -> DataFrame:
+    """J3 (`make_uv_if_missing`, graph_construction.py:74-95): when the
+    source gives edge geometries but no endpoint ids, snap each edge's
+    first/last vertex (F13: element_at 1 / -1) to the nearest graph node
+    via the bucketed kNN join.
+
+    Input: edges_geo(edge_id, geometry ARRAY<STRUCT<lon,lat>>, ...tags);
+    output: same plus u, v (osm node ids; rows with <2 vertices dropped —
+    the reference emits -1 and filters later)."""
+    from . import snap as snap_mod
+
+    ends = edges_geo.where(F.size("geometry") >= 2).select(
+        "edge_id",
+        F.element_at("geometry", 1).alias("p0"),
+        F.element_at("geometry", -1).alias("p1"),
+    )
+    pts = ends.select(
+        (F.col("edge_id") * 2).cast("long").alias("__k"),
+        F.col("p0.lon").alias("lon"),
+        F.col("p0.lat").alias("lat"),
+    ).unionAll(
+        ends.select(
+            (F.col("edge_id") * 2 + 1).cast("long").alias("__k"),
+            F.col("p1.lon").alias("lon"),
+            F.col("p1.lat").alias("lat"),
+        )
+    )
+    snapped = snap_mod.snap_points_to_nodes(pts, nodes.select("node_idx", "lon", "lat"), point_id_col="__k")
+    ids = nodes.select(F.col("node_idx"), F.col("osm_node_id"))
+    snapped = snapped.join(ids, "node_idx").select("__k", "osm_node_id")
+    u_side = snapped.where(F.col("__k") % 2 == 0).select(
+        (F.col("__k") / 2).cast("long").alias("edge_id"), F.col("osm_node_id").alias("u")
+    )
+    v_side = snapped.where(F.col("__k") % 2 == 1).select(
+        ((F.col("__k") - 1) / 2).cast("long").alias("edge_id"), F.col("osm_node_id").alias("v")
+    )
+    return edges_geo.join(u_side, "edge_id").join(v_side, "edge_id")
+
+
 def build_graph(nodes_raw: DataFrame, edges_raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     """G1-as-DataFrames: canonical (graph_nodes, graph_edges).
 

@@ -1,0 +1,147 @@
+"""Coverage for the remaining SURVEY.md §2 surface: S3/S7/S9 sources,
+F15 POI classification, J3 endpoint inference, and the §3.1 end-to-end
+pipeline writing partitioned gold tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fifteenmc_spark.io import read_csv, read_grid_id_list, read_json_records
+from fifteenmc_spark.plans import graph_build, pipeline, poi
+
+from . import geo_fixtures as gf
+
+
+# ---------------------------------------------------------------------------
+# S3 / S7 / S9 sources
+# ---------------------------------------------------------------------------
+def test_csv_source(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = read_csv(spark, str(p), schema="a INT, b STRING")
+    assert [tuple(r) for r in df.orderBy("a").collect()] == [(1, "x"), (2, "y")]
+
+
+def test_json_records_source(spark, tmp_path):
+    p = tmp_path / "grid.json"
+    p.write_text('[{"grid_id": "r0_c0", "centroid": {"lon": 18.6, "lat": 54.3}},'
+                 ' {"grid_id": "r0_c1", "centroid": {"lon": 18.5, "lat": 54.3}}]')
+    df = read_json_records(spark, str(p))
+    assert df.count() == 2
+    assert df.where(F.col("centroid.lon") == 18.6).first()["grid_id"] == "r0_c0"
+
+
+def test_grid_id_list_source(spark, tmp_path):
+    p = tmp_path / "ids.txt"
+    p.write_text("# comment line\nr0_c0, r0_c1 r1_c0\nr0_c0\n\nr2_c2,r0_c1\n")
+    got = [r["grid_id"] for r in read_grid_id_list(spark, str(p)).collect()]
+    # first-occurrence order, comments skipped, dups dropped
+    assert got == ["r0_c0", "r0_c1", "r1_c0", "r2_c2"]
+
+
+# ---------------------------------------------------------------------------
+# F15 POI classification over OSM-like elements
+# ---------------------------------------------------------------------------
+def test_classify_pois(spark):
+    rows = [
+        # node with a matching tag
+        (1, "node", {"shop": "supermarket", "name": "S1"}, [(18.60, 54.35)]),
+        # way: centroid of vertices; two matching pairs on one element
+        (2, "way", {"amenity": "clinic", "name": "C1"}, [(18.0, 54.0), (18.2, 54.2)]),
+        # relation with tag in the rail_station group
+        (3, "relation", {"railway": "halt"}, [(10.0, 50.0)]),
+        # non-POI element
+        (4, "node", {"shop": "car_repair"}, [(18.7, 54.4)]),
+        # empty geometry → dropped
+        (5, "node", {"shop": "bakery"}, []),
+    ]
+    elements = spark.createDataFrame(
+        [(i, t, tags, [{"lon": x, "lat": y} for x, y in geom]) for i, t, tags, geom in rows],
+        "elem_id BIGINT, elem_type STRING, tags MAP<STRING,STRING>, "
+        "geometry ARRAY<STRUCT<lon DOUBLE, lat DOUBLE>>",
+    )
+    got = {r["poi_id"]: r for r in poi.classify_pois(elements).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["category"] == "supermarket" and got[1]["name"] == "S1"
+    assert got[2]["category"] == "clinic_hospital"
+    assert abs(got[2]["lon"] - 18.1) < 1e-9 and abs(got[2]["lat"] - 54.1) < 1e-9
+    assert got[3]["category"] == "rail_station" and got[3]["name"] is None
+
+
+def test_classify_category_filter(spark):
+    elements = spark.createDataFrame(
+        [(1, "node", {"shop": "supermarket"}, [{"lon": 1.0, "lat": 2.0}]),
+         (2, "node", {"amenity": "pub"}, [{"lon": 1.0, "lat": 2.0}])],
+        "elem_id BIGINT, elem_type STRING, tags MAP<STRING,STRING>, "
+        "geometry ARRAY<STRUCT<lon DOUBLE, lat DOUBLE>>",
+    )
+    got = poi.classify_pois(elements, categories=["pub"]).collect()
+    assert len(got) == 1 and got[0]["category"] == "pub"
+
+
+# ---------------------------------------------------------------------------
+# J3 endpoint inference
+# ---------------------------------------------------------------------------
+def test_infer_uv_from_geometry(spark):
+    nodes_pdf = gf.lattice_nodes(k=5)
+    nodes_raw = spark.createDataFrame(nodes_pdf)
+    gnodes = graph_build.assign_dense_index(
+        nodes_raw.selectExpr("osm_node_id", "cast(lon as float) lon", "cast(lat as float) lat")
+    )
+    # edges whose geometry endpoints sit exactly on two known nodes
+    np_sorted = nodes_pdf.sort_values("osm_node_id").reset_index(drop=True)
+    a, b, c = np_sorted.iloc[0], np_sorted.iloc[7], np_sorted.iloc[12]
+    edges_geo = spark.createDataFrame(
+        [
+            (0, [{"lon": float(a.lon), "lat": float(a.lat)}, {"lon": float(b.lon), "lat": float(b.lat)}]),
+            (1, [{"lon": float(b.lon), "lat": float(b.lat)},
+                 {"lon": 18.6005, "lat": 54.3505},
+                 {"lon": float(c.lon), "lat": float(c.lat)}]),
+            (2, [{"lon": 18.0, "lat": 54.0}]),  # degenerate: <2 vertices → dropped
+        ],
+        "edge_id BIGINT, geometry ARRAY<STRUCT<lon DOUBLE, lat DOUBLE>>",
+    )
+    got = {r["edge_id"]: r for r in graph_build.infer_uv_from_geometry(edges_geo, gnodes).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["u"] == a.osm_node_id and got[0]["v"] == b.osm_node_id
+    assert got[1]["u"] == b.osm_node_id and got[1]["v"] == c.osm_node_id
+
+
+# ---------------------------------------------------------------------------
+# §3.1 E2E pipeline → partitioned gold tables
+# ---------------------------------------------------------------------------
+def test_pipeline_end_to_end(spark, tmp_path):
+    nodes_pdf = gf.lattice_nodes()
+    edges_pdf = gf.lattice_edges_raw(nodes_pdf)
+    pois_pdf = gf.poi_fixture(nodes_pdf)
+
+    g = pipeline.build_all(
+        spark,
+        spark.createDataFrame(nodes_pdf),
+        spark.createDataFrame(edges_pdf),
+        pois_raw=spark.createDataFrame(pois_pdf),
+        limit_m=1000.0,
+    )
+    base = str(tmp_path / "gold")
+    pipeline.write_gold(g, base)
+
+    # re-read the partitioned reach table with a category filter → pruned scan
+    reach = spark.read.parquet(f"{base}/reach")
+    one_cat = reach.where(F.col("category") == "supermarket")
+    plan = one_cat._sc._jvm.PythonSQLUtils.explainString(one_cat._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters: [" in plan
+    n = one_cat.count()
+    assert n == len(nodes_pdf)  # dense: one row per node for the category
+
+    # reach distances round-trip: parquet read equals computed frame
+    want = g.reach.where(F.col("category") == "supermarket").agg(F.sum("dist_m")).first()[0]
+    got = one_cat.agg(F.sum("dist_m")).first()[0]
+    assert abs(got - want) < 1e-3
+
+    # summary shape (B8)
+    s = spark.read.parquet(f"{base}/reach_summary").toPandas()
+    assert set(s.columns) == {"category", "n_sources", "n_within", "median_dist_m", "median_time_s", "limit_m"}
+    assert (s["n_within"] <= len(nodes_pdf)).all()
