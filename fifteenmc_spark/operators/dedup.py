@@ -178,7 +178,11 @@ def x1(spark, sf_dir):
     ("dedup", "minhash", "pipeline"),
 )
 def x2(spark, sf_dir):
-    sig = minhash_signatures(shingle_rows(spark, sf_dir))
+    # checkpoint before the global sort: the range partitioner samples its
+    # child, and with no shuffle boundary below (the signature groupBy
+    # reuses the doc_id partitioning) sampling would re-execute the whole
+    # shingle pipeline — measured 2x the query
+    sig = minhash_signatures(shingle_rows(spark, sf_dir)).localCheckpoint()
     return sig.orderBy("doc_id")
 
 
@@ -289,7 +293,9 @@ _SIMHASH_BITS = 16
     ("dedup", "simhash", "pipeline"),
 )
 def x4(spark, sf_dir):
-    d = read_table(spark, sf_dir, "documents")
+    # hash-partition by doc_id: spreads the single-file scan AND feeds the
+    # vote groupBy without a second exchange
+    d = read_table(spark, sf_dir, "documents").repartition(d_spark_parallelism(spark), "doc_id")
     tok = d.select("doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("t")).select(
         "doc_id", F.md5(F.col("t").cast("binary")).alias("h")
     )

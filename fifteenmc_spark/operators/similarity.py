@@ -196,7 +196,9 @@ NEAR_DUP_COS = 0.85
 )
 def v3(spark, sf_dir):
     e = _emb(spark, sf_dir)
-    sig = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    # checkpoint: the bucket signature (interpreted HOF fold) would be
+    # recomputed by BOTH sides of the self-join and by the sort sampler
+    sig = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")).localCheckpoint()
     a, b = sig.alias("a"), sig.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))

@@ -50,6 +50,34 @@ def test_stream_equals_batch(spark, events_stream_dir, builder):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_stateful_running_totals(spark, events_stream_dir):
+    from fifteenmc_spark.streaming.stateful import running_user_totals
+
+    batch = _batch(spark, events_stream_dir)
+    stream = W.stream_events(spark, events_stream_dir, batch.schema)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("sink_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per user == the batch aggregate
+    got = (
+        spark.table("sink_stateful")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("sum_value").alias("sum_value"))
+    )
+    want = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+    )
+    g = _sorted_pdf(got)
+    w = _sorted_pdf(want)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False, rtol=1e-9)
+
+
 def test_watermark_present_in_plan(spark, events_stream_dir):
     batch = _batch(spark, events_stream_dir)
     stream = W.stream_events(spark, events_stream_dir, batch.schema)
