@@ -72,9 +72,8 @@ def build_all(
         pois_raw = poi.classify_pois(elements)
     pois_snapped = snap.snap_points_to_nodes(pois_raw, gnodes, max_snap_m=max_snap_m)
 
-    n_nodes = gnodes.count()
     reach_df = reach.compute_reach(gnodes, gedges, pois_snapped.where("node_idx IS NOT NULL"), limit_m=limit_m)
-    summary = reach.reach_summary(reach_df, pois_snapped, n_nodes, limit_m)
+    summary = reach.reach_summary(reach_df, pois_snapped, gnodes, limit_m)
     return GoldTables(tiles, gnodes, gedges, pois_snapped, reach_df, summary)
 
 

@@ -48,6 +48,21 @@ def point_reachability(
     )
 
 
+def evaluate_accuracy(metrics: DataFrame, base_tol_m: float = 20.0) -> DataFrame:
+    """A8 golden-eval accuracy (Documents/metrics.csv + Metrics M1.pdf
+    p.1): pass iff |map_m − algo_m| <= base_tol + offset_m; returns
+    (n_points, n_passed, accuracy).  The reference's published figure is
+    0.93 over 100 Gdańsk locations."""
+    passed = (
+        F.abs(F.col("map_m") - F.col("algo_m")) <= F.lit(base_tol_m) + F.col("offset_m")
+    ).cast("int")
+    return metrics.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(passed).alias("n_passed"),
+        F.round(F.avg(passed.cast("double")), 4).alias("accuracy"),
+    )
+
+
 def path_to_nearest_poi(
     nodes: DataFrame,
     edges: DataFrame,
@@ -80,10 +95,9 @@ def path_to_nearest_poi(
         return spark.createDataFrame([], out_schema)
     start_idx, _ = snapped
 
-    n_nodes = nodes.count()
     key = geo.sanitize_key(F.lit(category))
     seeds = (
-        reach_mod._valid_sources(pois, n_nodes)
+        reach_mod._valid_sources(pois, nodes)
         .where(geo.sanitize_key(F.col("category")) == key)
         .select("node_idx", F.lit(category).alias("category"), "poi_id")
     )

@@ -46,9 +46,14 @@ MAX_ROUNDS_DEFAULT = 200
 _CKPT_EVERY = 3
 
 
-def _valid_sources(pois: DataFrame, n_nodes: int) -> DataFrame:
-    """P3: sources with node_idx in [0, N) (precompute_poi_reach.py:177)."""
-    return pois.where((F.col("node_idx") >= 0) & (F.col("node_idx") < F.lit(n_nodes)))
+def _valid_sources(pois: DataFrame, nodes: DataFrame) -> DataFrame:
+    """P3: sources snapped to a node that exists in the node table
+    (precompute_poi_reach.py:177 checks node_idx in [0, N) against dense
+    indices; membership semi-join is the form that also holds for
+    subgraphs, e.g. per-tile node sets with global indices)."""
+    return pois.where(F.col("node_idx") >= 0).join(
+        nodes.select("node_idx"), "node_idx", "left_semi"
+    )
 
 
 def shortest_paths_bounded(
@@ -146,8 +151,7 @@ def compute_reach(
 
     Materialized once, partitioned by category on write — point queries
     then read one node's rows, never touching the graph."""
-    n_nodes = nodes.count()
-    seeds = _valid_sources(pois, n_nodes).select(
+    seeds = _valid_sources(pois, nodes).select(
         "node_idx", geo.sanitize_key(F.col("category")).alias("category"), "poi_id"
     )
     reached = shortest_paths_bounded(edges, seeds, limit_m=limit_m, max_rounds=max_rounds)
@@ -168,13 +172,13 @@ def compute_reach(
 
 
 def reach_summary(
-    reach: DataFrame, pois: DataFrame, n_nodes: int, limit_m: float = LIMIT_M_DEFAULT
+    reach: DataFrame, pois: DataFrame, nodes: DataFrame, limit_m: float = LIMIT_M_DEFAULT
 ) -> DataFrame:
     """A4 per-category summary (precompute_poi_reach.py:204-228):
     category, n_sources, n_within, median_dist_m, median_time_s, limit_m.
     Exact percentile (np.median in the reference), never approx."""
     src_counts = (
-        _valid_sources(pois, n_nodes)
+        _valid_sources(pois, nodes)
         .select(geo.sanitize_key(F.col("category")).alias("category"))
         .groupBy("category")
         .agg(F.count(F.lit(1)).alias("n_sources"))

@@ -214,7 +214,7 @@ def test_reach_seed_nodes_zero(reach_ctx):
 
 def test_reach_summary(fx, reach_ctx):
     s = reach.reach_summary(
-        reach_ctx["reach"], reach_ctx["pois_sdf"], len(fx["gnodes_pdf"]), LIMIT_M
+        reach_ctx["reach"], reach_ctx["pois_sdf"], fx["gnodes"], LIMIT_M
     ).toPandas()
     snapped = reach_ctx["snapped"]
     for r in s.itertuples():

@@ -111,6 +111,27 @@ def test_infer_uv_from_geometry(spark):
 
 
 # ---------------------------------------------------------------------------
+# A8 golden-eval accuracy
+# ---------------------------------------------------------------------------
+def test_accuracy_eval(spark):
+    from fifteenmc_spark.plans.query import evaluate_accuracy
+
+    metrics = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3, 4],
+                "map_m": [100.0, 200.0, 300.0, 50.0],
+                "algo_m": [110.0, 260.0, 301.0, 50.0],
+                "offset_m": [5.0, 10.0, 1.0, 1.0],
+            }
+        )
+    )
+    r = evaluate_accuracy(metrics).first()
+    # pass iff |map-algo| <= 20 + offset: 10<=25 yes, 60<=30 no, 1<=21 yes, 0 yes
+    assert r["n_points"] == 4 and r["n_passed"] == 3 and abs(r["accuracy"] - 0.75) < 1e-9
+
+
+# ---------------------------------------------------------------------------
 # §3.1 E2E pipeline → partitioned gold tables
 # ---------------------------------------------------------------------------
 def test_pipeline_end_to_end(spark, tmp_path):
