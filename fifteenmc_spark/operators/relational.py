@@ -322,6 +322,81 @@ def d9(spark, sf_dir):
     )
 
 
+@_register(
+    "d9_cube",
+    "GROUP BY CUBE — all grouping-set combinations over two dims (the "
+    "reach cube's full materialization shape).",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 4) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    ("aggregate", "cube"),
+)
+def d9b(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), _dsum(F.col("o_totalprice"), "total"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@_register(
+    "d24_correlated_subquery",
+    "Correlated subquery: orders above their customer's average order "
+    "value — Catalyst decorrelates into an aggregate + self-join "
+    "(SURVEY.md §4: subquery decorrelation is built-in).",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders o
+    WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+                          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey
+    """,
+    ("subquery", "join"),
+)
+def d24(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__d24_orders")
+    return o.sparkSession.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM __d24_orders o
+        WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+                              FROM __d24_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@_register(
+    "d25_scalar_subquery",
+    "Uncorrelated scalar subquery: lineitems priced above the global "
+    "average — one broadcast scalar, no per-row recompute.",
+    """
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE l_extendedprice > (SELECT AVG(l_extendedprice) * 1.8 FROM lineitem)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    ("subquery",),
+)
+def d25(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__d25_lineitem")
+    return li.sparkSession.sql(
+        """
+        SELECT l_orderkey, l_linenumber
+        FROM __d25_lineitem
+        WHERE l_extendedprice > (SELECT AVG(l_extendedprice) * 1.8 FROM __d25_lineitem)
+        ORDER BY l_orderkey, l_linenumber
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # D10 ranking window: top-k per group (W2)
 # ---------------------------------------------------------------------------

@@ -48,6 +48,117 @@ def point_reachability(
     )
 
 
+def point_to_point_path(
+    nodes: DataFrame,
+    edges: DataFrame,
+    start_lonlat: tuple[float, float],
+    end_lonlat: tuple[float, float],
+    limit_m: float = 5000.0,
+    max_snap_m: float = MAX_SNAP_M_DEFAULT,
+    max_rounds: int = reach_mod.MAX_ROUNDS_DEFAULT,
+) -> DataFrame:
+    """G3 (`astar_csr`, test_path.py:33-76): point-to-point walking route.
+
+    Distributed A* flavor: a bounded frontier relaxation from the start
+    node where every candidate is pruned by the admissible haversine
+    heuristic — a node survives only if ``dist_so_far + straight_line(node,
+    target) <= limit_m`` (it could still reach the target in budget), and
+    the loop stops as soon as the settled target cannot be improved
+    (frontier minimum f-score >= target distance).  The heap of the
+    single-machine A* becomes per-round pruning; correctness matches plain
+    bounded Dijkstra because the heuristic never overestimates.
+
+    Output rows: seq, node_idx, lon, lat, step_m, cum_m (B7 shape minus the
+    POI columns)."""
+    spark = nodes.sparkSession
+    out_schema = "seq INT, node_idx INT, lon FLOAT, lat FLOAT, step_m FLOAT, cum_m FLOAT"
+    s = snap_mod.snap_single_point(nodes, *start_lonlat, max_snap_m=max_snap_m)
+    t = snap_mod.snap_single_point(nodes, *end_lonlat, max_snap_m=max_snap_m)
+    if s is None or t is None:
+        return spark.createDataFrame([], out_schema)
+    start_idx, target_idx = s[0], t[0]
+    trow = nodes.where(F.col("node_idx") == target_idx).select("lon", "lat").first()
+    t_lon, t_lat = float(trow["lon"]), float(trow["lat"])
+
+    e = edges.select("src", "dst", F.col("w").cast("double").alias("w")).repartition("src").cache()
+    # h(node) = straight-line distance to target — admissible for walking
+    coords = nodes.select(
+        "node_idx",
+        geo.haversine_m(F.col("lon"), F.col("lat"), F.lit(t_lon), F.lit(t_lat), geo.R_QUERY_M).alias("h"),
+    )
+
+    state = spark.createDataFrame(
+        [(start_idx, 0.0, None)], "node_idx INT, dist_m DOUBLE, prev INT"
+    ).localCheckpoint()
+    frontier = state
+    best_target = float("inf")
+    for _ in range(max_rounds):
+        cand = (
+            frontier.withColumnRenamed("node_idx", "src")
+            .join(e, "src")
+            .select(
+                F.col("dst").alias("node_idx"),
+                (F.col("dist_m") + F.col("w")).alias("dist_m"),
+                F.col("src").alias("prev"),
+            )
+            .where(F.col("dist_m") <= F.lit(float(limit_m)))
+        )
+        # A* pruning: drop nodes whose optimistic total exceeds the budget
+        # or the already-settled target distance
+        bound = min(float(limit_m), best_target)
+        cand = cand.join(coords, "node_idx").where(F.col("dist_m") + F.col("h") <= F.lit(bound)).drop("h")
+        cand_min = cand.groupBy("node_idx").agg(F.min(F.struct("dist_m", "prev")).alias("v"))
+        improved = (
+            cand_min.join(
+                state.select("node_idx", F.struct("dist_m", "prev").alias("v_old")),
+                ["node_idx"],
+                "left",
+            )
+            .where(F.col("v_old").isNull() | (F.col("v") < F.col("v_old")))
+            .select("node_idx", F.col("v.dist_m").alias("dist_m"), F.col("v.prev").alias("prev"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        state = (
+            state.unionAll(improved)
+            .groupBy("node_idx")
+            .agg(F.min(F.struct("dist_m", "prev")).alias("v"))
+            .select("node_idx", F.col("v.dist_m").alias("dist_m"), F.col("v.prev").alias("prev"))
+            .localCheckpoint()
+        )
+        frontier = improved
+        hit = state.where(F.col("node_idx") == target_idx).select("dist_m").first()
+        if hit is not None:
+            best_target = float(hit["dist_m"])
+    e.unpersist()
+
+    prev_rows = {r["node_idx"]: r["prev"] for r in state.collect()}
+    if target_idx not in prev_rows:
+        return spark.createDataFrame([], out_schema)
+    chain, cur = [], target_idx
+    while cur is not None and len(chain) <= len(prev_rows):
+        chain.append(cur)
+        cur = prev_rows[cur]
+    chain.reverse()  # start → target
+    path = spark.createDataFrame([(i, int(n)) for i, n in enumerate(chain)], "seq INT, node_idx INT")
+    w_seq = Window.orderBy("seq")
+    paired = (
+        path.join(nodes.select("node_idx", "lon", "lat"), "node_idx")
+        .withColumn("prev_node", F.lag("node_idx").over(w_seq))
+    )
+    ew = edges.select(F.col("src").alias("prev_node"), F.col("dst").alias("node_idx"), "w")
+    step = F.when(F.col("prev_node").isNull(), F.lit(0.0)).otherwise(F.col("w").cast("double"))
+    w_cum = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        paired.join(ew, ["prev_node", "node_idx"], "left")
+        .withColumn("step_m", step.cast("float"))
+        .withColumn("cum_m", F.sum("step_m").over(w_cum).cast("float"))
+        .select("seq", "node_idx", "lon", "lat", "step_m", "cum_m")
+        .orderBy("seq")
+    )
+
+
 def evaluate_accuracy(metrics: DataFrame, base_tol_m: float = 20.0) -> DataFrame:
     """A8 golden-eval accuracy (Documents/metrics.csv + Metrics M1.pdf
     p.1): pass iff |map_m − algo_m| <= base_tol + offset_m; returns

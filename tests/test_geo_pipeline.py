@@ -254,6 +254,30 @@ def test_point_reachability(fx, reach_ctx):
     assert got["dist_m"].is_monotonic_increasing
 
 
+def test_point_to_point_path(fx):
+    import heapq
+
+    a = fx["gnodes_pdf"].iloc[30]
+    b = fx["gnodes_pdf"].iloc[350]
+    path = query.point_to_point_path(
+        fx["gnodes"],
+        fx["gedges"],
+        (float(a["lon"]), float(a["lat"])),
+        (float(b["lon"]), float(b["lat"])),
+        limit_m=5000.0,
+    ).toPandas()
+    assert len(path) >= 2
+    assert path.iloc[0]["node_idx"] == a["node_idx"]
+    assert path.iloc[-1]["node_idx"] == b["node_idx"]
+    # total distance equals the independent Dijkstra oracle's
+    n = len(fx["gnodes_pdf"])
+    adj = [[] for _ in range(n)]
+    for r in fx["gedges_pdf"].itertuples():
+        adj[int(r.src)].append((int(r.dst), float(r.w)))
+    want = gf._single_source_dijkstra(adj, int(a["node_idx"]), n)[int(b["node_idx"])]
+    assert abs(path["cum_m"].iloc[-1] - want) < 1e-2
+
+
 def test_path_to_nearest_poi(fx, reach_ctx):
     q = fx["gnodes_pdf"].iloc[150]
     path = query.path_to_nearest_poi(
