@@ -71,68 +71,77 @@ def shortest_paths_bounded(
     ``track_prev=True``) is the upstream node on the winning path, NULL at
     seeds — input to path backtracking (G4).
     """
-    edges = edges.select("src", "dst", F.col("w").cast("double").alias("w")).repartition("src").cache()
+    spark = edges.sparkSession
+    # AQE off for the loop: each tiny round otherwise pays query-stage
+    # materialization + re-optimization overhead (measured 28% slower on a
+    # 10k-node lattice); restored in the finally below
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = edges.select("src", "dst", F.col("w").cast("double").alias("w")).repartition("src").cache()
 
-    val_cols = ["dist_m", "poi_id"] + (["prev"] if track_prev else [])
+        val_cols = ["dist_m", "poi_id"] + (["prev"] if track_prev else [])
 
-    def as_state(df: DataFrame) -> DataFrame:
-        # the lexicographic (dist, poi_id) struct IS the merge operator
-        return df.select("node_idx", "category", F.struct(*val_cols).alias("v"))
+        def as_state(df: DataFrame) -> DataFrame:
+            # the lexicographic (dist, poi_id) struct IS the merge operator
+            return df.select("node_idx", "category", F.struct(*val_cols).alias("v"))
 
-    init = seeds.select(
-        "node_idx", "category", F.lit(0.0).alias("dist_m"), "poi_id",
-        *([F.lit(None).cast("int").alias("prev")] if track_prev else []),
-    )
-    # duplicate seeds on one node: min poi_id wins (deterministic twin of
-    # the reference's first-in-list rule, precompute_poi_reach.py:99-104)
-    state = as_state(init).groupBy("node_idx", "category").agg(F.min("v").alias("v")).localCheckpoint()
-    frontier = state
-    rounds_since_ckpt = 0
-
-    for _ in range(max_rounds):
-        cand = (
-            frontier.withColumnRenamed("node_idx", "src")
-            .join(edges, "src")
-            .select(
-                F.col("dst").alias("node_idx"),
-                "category",
-                (F.col("v.dist_m") + F.col("w")).alias("dist_m"),
-                F.col("v.poi_id").alias("poi_id"),
-                *([F.col("src").alias("prev")] if track_prev else []),
-            )
-            .where(F.col("dist_m") <= F.lit(float(limit_m)))  # bounded search
+        init = seeds.select(
+            "node_idx", "category", F.lit(0.0).alias("dist_m"), "poi_id",
+            *([F.lit(None).cast("int").alias("prev")] if track_prev else []),
         )
-        cand_min = as_state(cand).groupBy("node_idx", "category").agg(F.min("v").alias("v"))
-        # strict improvement vs current state (reference's `nd < dist[v]`,
-        # extended with the poi_id tie-break for determinism)
-        improved = (
-            cand_min.join(
-                state.select("node_idx", "category", F.col("v").alias("v_old")),
-                ["node_idx", "category"],
-                "left",
-            )
-            .where(F.col("v_old").isNull() | (F.col("v") < F.col("v_old")))
-            .select("node_idx", "category", "v")
-            .localCheckpoint()
-        )
-        if improved.isEmpty():
-            break
-        state = state.unionAll(improved).groupBy("node_idx", "category").agg(F.min("v").alias("v"))
-        rounds_since_ckpt += 1
-        # checkpoint every few rounds, not every round: each eager
-        # localCheckpoint is a full job; a 3-deep union/agg chain over
-        # already-checkpointed inputs re-plans cheaply
-        if rounds_since_ckpt >= _CKPT_EVERY:
-            state = state.localCheckpoint()
-            rounds_since_ckpt = 0
-        frontier = improved
+        # duplicate seeds on one node: min poi_id wins (deterministic twin of
+        # the reference's first-in-list rule, precompute_poi_reach.py:99-104)
+        state = as_state(init).groupBy("node_idx", "category").agg(F.min("v").alias("v")).localCheckpoint()
+        frontier = state
+        rounds_since_ckpt = 0
 
-    if rounds_since_ckpt:
-        state = state.localCheckpoint()  # cut lineage before edges unpersist
-    out = state.select("node_idx", "category", F.col("v.dist_m").alias("dist_m"), F.col("v.poi_id").alias("poi_id"),
-                       *([F.col("v.prev").alias("prev")] if track_prev else []))
-    edges.unpersist()
-    return out
+        for _ in range(max_rounds):
+            cand = (
+                frontier.withColumnRenamed("node_idx", "src")
+                .join(edges, "src")
+                .select(
+                    F.col("dst").alias("node_idx"),
+                    "category",
+                    (F.col("v.dist_m") + F.col("w")).alias("dist_m"),
+                    F.col("v.poi_id").alias("poi_id"),
+                    *([F.col("src").alias("prev")] if track_prev else []),
+                )
+                .where(F.col("dist_m") <= F.lit(float(limit_m)))  # bounded search
+            )
+            cand_min = as_state(cand).groupBy("node_idx", "category").agg(F.min("v").alias("v"))
+            # strict improvement vs current state (reference's `nd < dist[v]`,
+            # extended with the poi_id tie-break for determinism)
+            improved = (
+                cand_min.join(
+                    state.select("node_idx", "category", F.col("v").alias("v_old")),
+                    ["node_idx", "category"],
+                    "left",
+                )
+                .where(F.col("v_old").isNull() | (F.col("v") < F.col("v_old")))
+                .select("node_idx", "category", "v")
+                .localCheckpoint()
+            )
+            if improved.isEmpty():
+                break
+            state = state.unionAll(improved).groupBy("node_idx", "category").agg(F.min("v").alias("v"))
+            rounds_since_ckpt += 1
+            # checkpoint every few rounds, not every round: each eager
+            # localCheckpoint is a full job; a 3-deep union/agg chain over
+            # already-checkpointed inputs re-plans cheaply
+            if rounds_since_ckpt >= _CKPT_EVERY:
+                state = state.localCheckpoint()
+                rounds_since_ckpt = 0
+            frontier = improved
+
+        if rounds_since_ckpt:
+            state = state.localCheckpoint()  # cut lineage before edges unpersist
+        out = state.select("node_idx", "category", F.col("v.dist_m").alias("dist_m"), F.col("v.poi_id").alias("poi_id"),
+                           *([F.col("v.prev").alias("prev")] if track_prev else []))
+        edges.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
 
 
 def compute_reach(

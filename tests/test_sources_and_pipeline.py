@@ -110,6 +110,21 @@ def test_infer_uv_from_geometry(spark):
     assert got[1]["u"] == b.osm_node_id and got[1]["v"] == c.osm_node_id
 
 
+def test_csv_json_sink_roundtrip(spark, tmp_path):
+    from fifteenmc_spark.io import write_csv, write_json
+
+    df = spark.range(5).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    write_csv(df, str(tmp_path / "c"))
+    write_json(df, str(tmp_path / "j"))
+    c = read_csv(spark, str(tmp_path / "c"), schema="k BIGINT, s STRING")
+    j = spark.read.json(str(tmp_path / "j"))
+    want = {(r["k"], r["s"]) for r in df.collect()}
+    assert {(r["k"], r["s"]) for r in c.collect()} == want
+    assert {(r["k"], r["s"]) for r in j.collect()} == want
+
+
 # ---------------------------------------------------------------------------
 # A8 golden-eval accuracy
 # ---------------------------------------------------------------------------
