@@ -203,6 +203,20 @@ def test_reach_matches_scipy_golden(fx, reach_ctx):
                 assert abs(r.time_s - r.dist_m / 1.111) < 1e-3
 
 
+def test_reach_hop_batching_equivalent(fx, reach_ctx):
+    # hops_per_round=4 (the cluster-scale barrier-reduction knob) must
+    # produce the identical reach table as the default single-hop loop
+    batched = (
+        reach.compute_reach(
+            fx["gnodes"], fx["gedges"], reach_ctx["pois_sdf"], limit_m=LIMIT_M, hops_per_round=4
+        )
+        .orderBy("node_idx", "category")
+        .toPandas()
+    )
+    base = reach_ctx["reach"].orderBy("node_idx", "category").toPandas()
+    pd.testing.assert_frame_equal(batched, base, check_exact=False, atol=1e-6)
+
+
 def test_reach_seed_nodes_zero(reach_ctx):
     # every valid snapped POI's node has dist 0 for its category
     seeds = reach_ctx["snapped"]
