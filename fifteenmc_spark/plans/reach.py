@@ -44,7 +44,7 @@ from ..functions import geo
 LIMIT_M_DEFAULT = 1000.0  # precompute_poi_reach.py:132
 MAX_ROUNDS_DEFAULT = 200
 _CKPT_EVERY = 3
-HOPS_PER_ROUND_DEFAULT = 1
+HOPS_PER_ROUND_DEFAULT = 2
 
 
 def _valid_sources(pois: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -81,20 +81,31 @@ def shortest_paths_bounded(
     every hop stays bounded by ``limit_m``, each hop is min-merged, and
     the round-end strict-improvement-vs-state check subsumes any
     non-shortest intermediates (golden Dijkstra tests run both k=1 and
-    k=4).  Default is 1 because on local[32] the k-1 extra shuffles per
-    round cost more than the barriers they remove (measured: depth-7
-    tree k=4 ~35% slower, 30-hop lattice k=4 ~5% faster); raise it on a
-    real cluster where per-round scheduling + straggler barriers
-    dominate shuffle cost, or on high-diameter graphs.
+    k=4).  Default is 2 — measured on local[32] it is ~20% faster than
+    k=1 on a 30-hop lattice and neutral on a depth-7 tree, while k>=4
+    loses on shallow graphs (wasted hops after the frontier empties
+    mid-round).  Raise it on a real cluster where per-round scheduling +
+    straggler barriers dominate shuffle cost, or on high-diameter graphs.
     """
     spark = edges.sparkSession
     # AQE off for the loop: each tiny round otherwise pays query-stage
     # materialization + re-optimization overhead (measured 28% slower on a
     # 10k-node lattice); restored in the finally below
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        edges = edges.select("src", "dst", F.col("w").cast("double").alias("w")).repartition("src").cache()
+        edges = edges.select("src", "dst", F.col("w").cast("double").alias("w"))
+        # with AQE off, every round would otherwise shuffle into the full
+        # session partition count even for a tiny tile graph (32 scheduled
+        # tasks for a few hundred frontier rows dominates round latency).
+        # Size the loop's shuffles to the graph instead — exactly what AQE
+        # coalescing would have picked — at one extra narrow scan for the
+        # count (~50k edges per shuffle partition keeps rounds in-memory).
+        n_edges = edges.count()
+        loop_parts = max(1, min(int(parts_was), n_edges // 50_000 + 1))
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        edges = edges.repartition(loop_parts, "src").cache()
 
         val_cols = ["dist_m", "poi_id"] + (["prev"] if track_prev else [])
 
@@ -180,6 +191,7 @@ def shortest_paths_bounded(
         return out
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", parts_was)
 
 
 def compute_reach(

@@ -203,12 +203,13 @@ def test_reach_matches_scipy_golden(fx, reach_ctx):
                 assert abs(r.time_s - r.dist_m / 1.111) < 1e-3
 
 
-def test_reach_hop_batching_equivalent(fx, reach_ctx):
-    # hops_per_round=4 (the cluster-scale barrier-reduction knob) must
-    # produce the identical reach table as the default single-hop loop
+@pytest.mark.parametrize("hops", [1, 4])
+def test_reach_hop_batching_equivalent(fx, reach_ctx, hops):
+    # the barrier-reduction knob must not change results: k=1 and k=4
+    # produce the identical reach table as the default (k=2) loop
     batched = (
         reach.compute_reach(
-            fx["gnodes"], fx["gedges"], reach_ctx["pois_sdf"], limit_m=LIMIT_M, hops_per_round=4
+            fx["gnodes"], fx["gedges"], reach_ctx["pois_sdf"], limit_m=LIMIT_M, hops_per_round=hops
         )
         .orderBy("node_idx", "category")
         .toPandas()
