@@ -125,6 +125,27 @@ def test_csv_json_sink_roundtrip(spark, tmp_path):
     assert {(r["k"], r["s"]) for r in j.collect()} == want
 
 
+def test_jdbc_sink_roundtrip(spark, tmp_path):
+    """K6 DB sink (README.md:2 'persisting results in a database'):
+    roundtrip through embedded Derby — the JDBC driver Spark already
+    ships for its Hive metastore — so the sink is exercised without an
+    external DB server."""
+    from fifteenmc_spark.io import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/k6db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(7).select(
+        F.col("id").alias("node_idx"),
+        (F.col("id") * 10.0).alias("dist_m"),
+        F.concat(F.lit("cat"), F.col("id") % 2).alias("category"),
+    )
+    write_jdbc(df, url, "reach_out", mode="overwrite", properties=props)
+    back = spark.read.jdbc(url, "reach_out", properties=props)
+    want = {(r["node_idx"], r["dist_m"], r["category"]) for r in df.collect()}
+    got = {(r["node_idx"], r["dist_m"], r["category"]) for r in back.collect()}
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # A8 golden-eval accuracy
 # ---------------------------------------------------------------------------
