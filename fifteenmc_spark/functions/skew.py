@@ -23,9 +23,19 @@ N_SALTS_DEFAULT = 16
 
 
 def with_salt(df: DataFrame, n_salts: int = N_SALTS_DEFAULT, col_name: str = "__salt") -> DataFrame:
-    """Deterministic-per-row salt: spreads rows without RNG (hash of all
-    columns mod n) so retries/recomputes land identically."""
-    return df.withColumn(col_name, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int"))
+    """Per-row round-robin salt within each input partition.
+
+    A content hash is NOT a valid salt: a hot key's rows are usually
+    byte-identical, so hashing all columns sends them to ONE reducer —
+    exactly the skew being mitigated.  monotonically_increasing_id()
+    increments by 1 within a partition, so pmod(id, n) cycles 0..n-1 —
+    an even spread no matter how duplicated the rows are.  Deterministic
+    for a fixed input partition layout (a plain task retry reproduces it);
+    a full stage re-plan may re-deal salts, which only re-balances the
+    partial-aggregate split, never the final per-key result."""
+    return df.withColumn(
+        col_name, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
 
 
 def salted_aggregate(

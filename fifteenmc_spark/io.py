@@ -42,7 +42,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # Integer floor-division ns→µs: (c - pmod(c,1000)) div 1000 stays
+            # in long arithmetic end-to-end.  (c/1000).cast("long") would round
+            # through a double, which for ns values that are not multiples of
+            # ~512 ns can land 1 µs off and flip second-boundary buckets.
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"({c} - pmod({c}, 1000)) div 1000"))
+            )
     return df
 
 

@@ -485,7 +485,8 @@ def d11(spark, sf_dir):
     "15 minutes (event-time range frame over epoch seconds).",
     """
     SELECT event_id, user_id,
-           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY EPOCH(ts)
+           CAST(COUNT(*) OVER (PARTITION BY user_id
+                ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
                 RANGE BETWEEN 900 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_15m
     FROM events ORDER BY user_id, event_id
     """,
@@ -493,6 +494,8 @@ def d11(spark, sf_dir):
 )
 def d11b(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
+    # unix_timestamp truncates to whole seconds; the oracle orders by
+    # FLOOR(EPOCH(ts)) so frame membership agrees even for sub-second ts.
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_timestamp("ts"))

@@ -118,8 +118,19 @@ def point_to_point_path(
             .select("node_idx", F.col("v.dist_m").alias("dist_m"), F.col("v.prev").alias("prev"))
             .localCheckpoint()
         )
-        if improved.isEmpty():
+        # ONE driver job per round: emptiness check + target lookup fused
+        # into an aggregate over the (checkpointed) improved frame.  The
+        # target's settled distance only changes in a round where it
+        # improves, so the running min over improved rounds IS state's
+        # current target distance — no extra scan of state.
+        probe = improved.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.when(F.col("node_idx") == target_idx, F.col("dist_m"))).alias("t_dist"),
+        ).first()
+        if probe["n"] == 0:
             break
+        if probe["t_dist"] is not None:
+            best_target = min(best_target, float(probe["t_dist"]))
         state = (
             state.unionAll(improved)
             .groupBy("node_idx")
@@ -128,9 +139,6 @@ def point_to_point_path(
             .localCheckpoint()
         )
         frontier = improved
-        hit = state.where(F.col("node_idx") == target_idx).select("dist_m").first()
-        if hit is not None:
-            best_target = float(hit["dist_m"])
     e.unpersist()
 
     prev_rows = {r["node_idx"]: r["prev"] for r in state.collect()}

@@ -90,7 +90,15 @@ def shortest_paths_bounded(
     spark = edges.sparkSession
     # AQE off for the loop: each tiny round otherwise pays query-stage
     # materialization + re-optimization overhead (measured 28% slower on a
-    # 10k-node lattice); restored in the finally below
+    # 10k-node lattice); restored in the finally below.
+    #
+    # NOT thread-safe: these are session-global confs, so a concurrent query
+    # on the SAME SparkSession runs with AQE off and the loop's shuffle
+    # partition count while the loop is live (results stay correct; plans
+    # may be worse).  DataFrames cannot cross sessions, so the loop cannot
+    # scope itself — concurrent callers should build their inputs on a
+    # dedicated `spark.newSession()` (shares the SparkContext and cache,
+    # isolates conf) and run the loop there.
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
     parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
