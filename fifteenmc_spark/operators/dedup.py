@@ -310,3 +310,86 @@ def x4(spark, sf_dir):
     for j in range(_SIMHASH_BITS):
         code = code + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return votes.select("doc_id", code.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x5: exact n-gram Jaccard near-dup pairs via prefix filtering (no LSH)
+# ---------------------------------------------------------------------------
+X5_THRESHOLD = 0.5
+
+
+@_register(
+    "x5_ngram_jaccard",
+    "EXACT n-gram Jaccard near-dup pairs (threshold 0.5) — no LSH, no "
+    "missed pairs.  Scale comes from prefix filtering (PPJoin): order each "
+    "doc's shingles globally by (document-frequency, shingle) and index "
+    "only the first n - ceil(t*n) + 1 of them; any pair with Jaccard >= t "
+    "provably collides inside both prefixes, so the candidate join touches "
+    "a small rare-shingle slice of the inverted index instead of all of "
+    "it.  Candidates then pass the size filter (min/max >= t) and exact "
+    "intersection count.  The oracle runs the unfiltered inverted-index "
+    "form — identical output proves the filter is lossless.",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {X5_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    ("dedup", "jaccard", "prefix-filter", "pipeline"),
+)
+def x5(spark, sf_dir):
+    t = X5_THRESHOLD
+    ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # canonical global shingle order: rare-first (df, s); prefix length
+    # n - ceil(t*n) + 1 guarantees prefix(A) ∩ prefix(B) ≠ ∅ when J >= t
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        ex.join(dfreq, "s")
+        .select("doc_id", "s", F.row_number().over(w).alias("r"))
+        .join(sizes, "doc_id")
+        .where(F.col("r") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("doc_id", "s", "n")
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "s", F.col("n").alias("nb"))
+    cand = (
+        a.join(b, "s")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            # size filter: J >= t forces min(na,nb)/max(na,nb) >= t
+            & (F.col("nb") >= F.lit(t) * F.col("na"))
+            & (F.col("na") >= F.lit(t) * F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= t)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

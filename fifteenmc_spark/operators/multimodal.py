@@ -164,3 +164,77 @@ def m1(spark, sf_dir):
 def m2(spark, sf_dir):
     feats = extract_features(synthesize_assets(spark, sf_dir))
     return feats.select("asset_id", "n_bytes", "codepoint_sum").orderBy("asset_id")
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_len", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+FRAME_STRIDE = 64  # sample one frame every 64 chars of payload
+FRAME_LEN = 32  # keep the first 32 chars of each sampled frame
+
+
+def sample_frames(assets: DataFrame) -> DataFrame:
+    """Frame sampling over video payloads: a 1→N mapInPandas that emits one
+    row per sampled frame (every FRAME_STRIDE-th offset, FRAME_LEN chars
+    kept — the stand-in for decode→frame-extract→thumbnail, which needs
+    codec libs this container lacks).  The Spark-side shape is the real
+    thing: Arrow batches in, a different (longer) frame table out, payloads
+    never shuffled."""
+    import hashlib
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, md5s = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                for i, off in enumerate(range(0, len(text), FRAME_STRIDE)):
+                    fr = text[off : off + FRAME_LEN]
+                    ids.append(aid)
+                    idxs.append(i)
+                    lens.append(len(fr))
+                    md5s.append(hashlib.md5(fr.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return assets.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+@_register(
+    "m3_frame_sample",
+    "Multimodal frame sampling: video assets expand 1→N into a frame table "
+    "(every 64th offset, 32-char frame, md5 per frame) via Arrow-batched "
+    "mapInPandas.  Oracle recomputes the sampling relationally with "
+    "generate_series + SUBSTR.",
+    f"""
+    WITH v AS (
+      SELECT doc_id AS asset_id, text FROM documents
+      WHERE doc_id % 4 = 2 AND LEN(text) >= 1),
+    f AS (
+      SELECT asset_id, text,
+             UNNEST(generate_series(0, (LEN(text) - 1) // {FRAME_STRIDE})) AS fi
+      FROM v)
+    SELECT asset_id,
+           CAST(fi AS INT) AS frame_idx,
+           CAST(LEN(SUBSTR(text, fi * {FRAME_STRIDE} + 1, {FRAME_LEN})) AS INT) AS frame_len,
+           MD5(SUBSTR(text, fi * {FRAME_STRIDE} + 1, {FRAME_LEN})) AS frame_md5
+    FROM f ORDER BY asset_id, frame_idx
+    """,
+    ("multimodal", "pandas-udf", "frame-sample", "pipeline"),
+)
+def m3(spark, sf_dir):
+    video = synthesize_assets(spark, sf_dir).where(
+        (F.col("modality") == "video") & (F.length("payload") >= 1)
+    )
+    return sample_frames(video).orderBy("asset_id", "frame_idx")

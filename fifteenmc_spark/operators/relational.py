@@ -898,3 +898,82 @@ def d22(spark, sf_dir):
         .agg(F.round(F.min(F.col("d") + F.col("w")), 4).alias("dist_m"))
         .orderBy("node_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D26 as-of join (time-series point-in-time lookup)
+# ---------------------------------------------------------------------------
+@_register(
+    "d26_asof_join",
+    "As-of join: each event picks the most recent order of the same "
+    "customer at or before the event time (ties: max orderkey).  Spark has "
+    "no ASOF JOIN operator; the scalable form is union-tag both sides, one "
+    "shuffle on (key), sort within partitions by (time, side), then "
+    "last-non-null over an unbounded-preceding window — O(n log n) per key "
+    "group, never the range-join pair explosion.",
+    """
+    SELECT e.event_id, e.user_id,
+           x.o_orderkey AS asof_orderkey,
+           ROUND(x.o_totalprice, 4) AS asof_totalprice
+    FROM events e LEFT JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      ORDER BY o.o_orderdate DESC, o_orderkey DESC LIMIT 1
+    ) x ON TRUE
+    ORDER BY event_id
+    """,
+    ("join", "asof", "time-series"),
+)
+def d26(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t"), "event_id"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    # side 0 = orders, side 1 = events: at equal timestamps the order sorts
+    # first, so "<=" semantics fall out of the sort; ord is NULL on event
+    # rows so last(ignorenulls) skips them.
+    tagged = o.select(
+        "k",
+        "t",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.struct("o_orderkey", "o_totalprice").alias("ord"),
+        F.col("o_orderkey").alias("okey"),
+    ).unionAll(
+        e.select(
+            "k",
+            "t",
+            F.lit(1).alias("side"),
+            "event_id",
+            F.lit(None).cast("struct<o_orderkey:bigint,o_totalprice:double>").alias("ord"),
+            F.lit(None).cast("bigint").alias("okey"),
+        )
+    )
+    # okey ascending makes last() the max-orderkey order among same-instant
+    # orders — the deterministic tie-break the oracle's LIMIT 1 spells out
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", "okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.select(
+            "side",
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.last("ord", ignorenulls=True).over(w).alias("a"),
+        )
+        .where(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("a.o_orderkey").alias("asof_orderkey"),
+            F.round(F.col("a.o_totalprice"), 4).alias("asof_totalprice"),
+        )
+        .orderBy("event_id")
+    )

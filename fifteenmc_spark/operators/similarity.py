@@ -236,3 +236,93 @@ def v4(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg(norm2(F.col("embedding"))), 4).alias("avg_norm"))
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# v5: IVF (inverted-file) approximate top-k — the cell-probe scale path
+# ---------------------------------------------------------------------------
+N_CELLS = 8
+# deterministic coarse-quantizer seeds: vectors present at every sf (>=500)
+IVF_SEED_IDS = (7, 61, 113, 167, 229, 283, 337, 401)
+N_PROBE = 2
+
+
+@_register(
+    "v5_ivf_topk",
+    "IVF approximate top-5: the corpus is coarse-quantized into 8 cells "
+    "(nearest of 8 deterministic seed centroids by cosine, ties to the "
+    "lower cell id); each query probes its 2 nearest cells and ranks "
+    "exact cosine inside them only.  At 100 TB the cell id is the "
+    "partition key — a query touches nprobe/ncells of the corpus instead "
+    "of scanning it (v1 is the exact baseline; recall is tunable via "
+    "nprobe).  Centroids broadcast; the cell assignment is a map-side "
+    "max-struct aggregate, no window shuffle of the vectors.",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+               WHERE vec_id IN {IVF_SEED_IDS}),
+    ranked AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COS_SQL.format(a="e.embedding", b="c.ce")} DESC, c.cid) AS rn
+      FROM embeddings e, c),
+    cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cid AS cell FROM ranked
+               WHERE vec_id < {N_QUERY_VECS} AND rn <= {N_PROBE}),
+    qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < {N_QUERY_VECS}),
+    cand AS (
+      SELECT p.qid, x.vec_id,
+             {_COS_SQL.format(a="qv.qe", b="e.embedding")} AS sim
+      FROM probes p
+      JOIN cells x ON x.cell = p.cell AND x.vec_id <> p.qid
+      JOIN embeddings e ON e.vec_id = x.vec_id
+      JOIN qv ON qv.qid = p.qid),
+    rr AS (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+      FROM cand)
+    SELECT qid, vec_id, rnk, ROUND(sim, 4) AS sim
+    FROM rr WHERE rnk <= {TOP_K} ORDER BY qid, rnk
+    """,
+    ("similarity", "ann", "ivf", "pipeline"),
+)
+def v5(spark, sf_dir):
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cents = e.where(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    # score every vector against the 8 broadcast centroids; argmax by
+    # (sim desc, cid asc) via a max-struct aggregate — map-side combinable,
+    # the shuffle carries (vec_id, one struct), never the embeddings
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cosine(F.col("embedding"), F.col("ce")).alias("sim")
+    )
+    pick = F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("neg"), F.col("cid").alias("cid")))
+    cells = scored.groupBy("vec_id").agg(pick.alias("m")).select(
+        "vec_id", F.col("m.cid").alias("cell")
+    )
+    wprobe = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    probes = (
+        scored.where(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", "cid", F.row_number().over(wprobe).alias("rn"))
+        .where(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"))
+    )
+    qv = e.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(e, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "vec_id", cosine(F.col("qe"), F.col("embedding")).alias("sim"))
+    )
+    wrank = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cand.select("qid", "vec_id", "sim", F.row_number().over(wrank).alias("rnk"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id", "rnk", F.round("sim", 4).alias("sim"))
+        .orderBy("qid", "rnk")
+    )
