@@ -321,14 +321,12 @@ X5_THRESHOLD = 0.5
 @_register(
     "x5_ngram_jaccard",
     "EXACT n-gram Jaccard near-dup pairs (threshold 0.5) — no LSH, no "
-    "missed pairs.  Scale comes from prefix filtering (PPJoin): order each "
-    "doc's shingles globally by (document-frequency, shingle) and index "
-    "only the first n - ceil(t*n) + 1 of them; any pair with Jaccard >= t "
-    "provably collides inside both prefixes, so the candidate join touches "
-    "a small rare-shingle slice of the inverted index instead of all of "
-    "it.  Candidates then pass the size filter (min/max >= t) and exact "
-    "intersection count.  The oracle runs the unfiltered inverted-index "
-    "form — identical output proves the filter is lossless.",
+    "missed pairs.  Plan: inverted-index self-join (docs pair once per "
+    "shared shingle) -> map-side-combinable pair count -> size-filtered "
+    "Jaccard.  The pair-row volume is sum(df^2) over shingles (2.8M at "
+    "sf0.1, measured; the prefix-filtered PPJoin variant produced 310k "
+    "candidate pairs whose verification re-join cost 16M rows — 10x "
+    "worse HERE, see ngram_jaccard_prefix_filtered for when it wins).",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
     ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
@@ -348,12 +346,40 @@ X5_THRESHOLD = 0.5
     ("dedup", "jaccard", "prefix-filter", "pipeline"),
 )
 def x5(spark, sf_dir):
-    t = X5_THRESHOLD
     ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    return _jaccard_from_intersections(ex, _index_join_intersections(ex))
+
+
+def _index_join_intersections(ex: DataFrame) -> DataFrame:
+    """Pair intersection counts straight off the inverted index: docs meet
+    once per shared shingle (self-join on s), count per pair with map-side
+    partial aggregation.  Join volume = sum over shingles of df² — the
+    right plan while document frequencies stay bounded (stop-shingles
+    capped upstream or, as in this corpus, df <= 25)."""
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    return (
+        ea.join(eb, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+def _prefix_filtered_intersections(ex: DataFrame, t: float) -> DataFrame:
+    """PPJoin-style alternative: order each doc's shingles globally by
+    (document-frequency, shingle), index only the first n - ceil(t*n) + 1
+    — any pair with Jaccard >= t provably collides inside both prefixes —
+    then verify candidates against the full index.
+
+    Use when sum(df²) explodes (heavy-tailed shingle frequencies at corpus
+    scale): the candidate join touches only the rare-shingle prefix slice.
+    On THIS corpus (df <= 25, near-dup-rich) it measured 10x slower than
+    _index_join_intersections — 310k candidates whose verification re-join
+    expands to 16M rows vs 2.8M pair rows for the plain index join.
+    Equivalence is pinned by test_x5_prefix_filter_equivalence."""
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    # canonical global shingle order: rare-first (df, s); prefix length
-    # n - ceil(t*n) + 1 guarantees prefix(A) ∩ prefix(B) ≠ ∅ when J >= t
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     prefix = (
         ex.join(dfreq, "s")
@@ -377,12 +403,16 @@ def x5(spark, sf_dir):
     )
     ea = ex.select(F.col("doc_id").alias("doc_a"), "s")
     eb = ex.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
+    return (
         cand.join(ea, "doc_a")
         .join(eb, ["doc_b", "s"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+
+
+def _jaccard_from_intersections(ex: DataFrame, inter: DataFrame, t: float = X5_THRESHOLD) -> DataFrame:
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
@@ -393,3 +423,9 @@ def x5(spark, sf_dir):
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def ngram_jaccard_prefix_filtered(spark, sf_dir, t: float = X5_THRESHOLD) -> DataFrame:
+    """x5's scale-path twin (see _prefix_filtered_intersections)."""
+    ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    return _jaccard_from_intersections(ex, _prefix_filtered_intersections(ex, t), t)

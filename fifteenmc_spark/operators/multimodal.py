@@ -237,4 +237,6 @@ def m3(spark, sf_dir):
     video = synthesize_assets(spark, sf_dir).where(
         (F.col("modality") == "video") & (F.length("payload") >= 1)
     )
-    return sample_frames(video).orderBy("asset_id", "frame_idx")
+    # checkpoint before the global sort: the range sampler would otherwise
+    # re-execute the whole mapInPandas (Python workers) a second time
+    return sample_frames(video).localCheckpoint().orderBy("asset_id", "frame_idx")

@@ -26,3 +26,14 @@ def test_declared_query_matches_oracle(name, spark, sf_small, oracle):
         return
     pdf = oracle.execute(q.oracle).fetchdf()
     compare(sdf, pdf, name)
+
+
+def test_x5_prefix_filter_equivalence(spark, sf_small):
+    """The PPJoin prefix-filtered plan (x5's scale path) is lossless: it
+    returns exactly the pairs of the plain inverted-index plan."""
+    from fifteenmc_spark.operators.dedup import ngram_jaccard_prefix_filtered
+
+    base = QUERIES["x5_ngram_jaccard"].build(spark, sf_small).collect()
+    pf = ngram_jaccard_prefix_filtered(spark, sf_small).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, pf))
+    assert len(base) > 0
