@@ -201,9 +201,13 @@ def g3(spark, sf_dir):
         [(0, "c", 100), (5, "c", 105)], "node_idx INT, category STRING, poi_id BIGINT"
     )
     sp = reach_mod.shortest_paths_bounded(edges, seeds, limit_m=_LIMIT, max_rounds=16)
-    return sp.select(
-        "node_idx", F.round(F.col("dist_m"), 4).alias("dist_m"), "poi_id"
-    ).orderBy("node_idx")
+    # checkpoint before the sort: the range sampler would re-run the
+    # one-task Dijkstra (a Python worker round-trip) a second time
+    return (
+        sp.select("node_idx", F.round(F.col("dist_m"), 4).alias("dist_m"), "poi_id")
+        .localCheckpoint()
+        .orderBy("node_idx")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,10 @@ LIMIT_M_DEFAULT = 1000.0  # precompute_poi_reach.py:132
 MAX_ROUNDS_DEFAULT = 200
 _CKPT_EVERY = 3
 HOPS_PER_ROUND_DEFAULT = 2
+# graphs at or below this edge count solve in ONE task (strategy="auto"):
+# ~150k edges is a few MB of adjacency and milliseconds of heap Dijkstra —
+# far below the per-round scheduling cost of even one frontier barrier
+LOCAL_EDGE_THRESHOLD = 150_000
 
 
 def _valid_sources(pois: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -57,6 +61,98 @@ def _valid_sources(pois: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
+def shortest_paths_bounded_local(
+    edges: DataFrame,
+    seeds: DataFrame,
+    limit_m: float = LIMIT_M_DEFAULT,
+    track_prev: bool = False,
+) -> DataFrame:
+    """G2 kernel, single-task strategy: classic binary-heap Dijkstra (the
+    reference's own algorithm, precompute_poi_reach.py:86-125) inside ONE
+    cogrouped applyInPandas task.
+
+    This is the right plan whenever the (sub)graph fits in a task — which
+    at 100 TB is the COMMON case: the buffer>limit tile design
+    (grid_creation.py:235-236) makes every tile's reach independent, so
+    the cluster runs thousands of these tasks in parallel, one per tile,
+    with zero inter-tile shuffles (see tests/test_tile_parallel.py).  The
+    frontier loop (shortest_paths_bounded) exists for the uncommon case —
+    one connected region bigger than a task.
+
+    Semantics are identical to the frontier loop: bounded by ``limit_m``,
+    winner per (node, category) = lexicographic min (dist, poi_id[, prev])
+    with NULL prev ordering first (seeds), matching Spark's struct-min."""
+    out_schema = "node_idx INT, category STRING, dist_m DOUBLE, poi_id BIGINT" + (
+        ", prev INT" if track_prev else ""
+    )
+    e = edges.select(
+        F.lit(0).alias("g"),
+        F.col("src").cast("int").alias("src"),
+        F.col("dst").cast("int").alias("dst"),
+        F.col("w").cast("double").alias("w"),
+    )
+    s = seeds.select(
+        F.lit(0).alias("g"),
+        F.col("node_idx").cast("int").alias("node_idx"),
+        "category",
+        F.col("poi_id").cast("bigint").alias("poi_id"),
+    )
+    lim = float(limit_m)
+
+    def solve(e_pdf, s_pdf):
+        import heapq
+        from collections import defaultdict
+
+        import pandas as pd
+
+        adj = defaultdict(list)
+        for src, dst, w in zip(e_pdf["src"], e_pdf["dst"], e_pdf["w"]):
+            adj[int(src)].append((int(dst), float(w)))
+        # state[(node, cat)] = (dist, poi, prev); prev -1 encodes NULL so
+        # seeds order first on ties, exactly like struct-min nulls-first
+        state: dict = {}
+        heap: list = []
+        for node, cat, poi in zip(s_pdf["node_idx"], s_pdf["category"], s_pdf["poi_id"]):
+            k = (int(node), cat)
+            cand = (0.0, int(poi), -1)
+            if k not in state or cand < state[k]:
+                state[k] = cand
+                heapq.heappush(heap, (0.0, int(poi), -1, int(node), cat))
+        while heap:
+            d, p, pv, node, cat = heapq.heappop(heap)
+            if state.get((node, cat)) != (d, p, pv):
+                continue  # stale entry (lazy deletion, like the reference)
+            for dst, w in adj.get(node, ()):
+                nd = d + w
+                if nd > lim:
+                    continue
+                k = (dst, cat)
+                cand = (nd, p, node)
+                if k not in state or cand < state[k]:
+                    state[k] = cand
+                    heapq.heappush(heap, (nd, p, node, dst, cat))
+        rows = {
+            "node_idx": [k[0] for k in state],
+            "category": [k[1] for k in state],
+            "dist_m": [v[0] for v in state.values()],
+            "poi_id": [v[1] for v in state.values()],
+        }
+        if track_prev:
+            rows["prev"] = [None if v[2] < 0 else v[2] for v in state.values()]
+        out = pd.DataFrame(rows)
+        out["node_idx"] = out["node_idx"].astype("int32")
+        out["poi_id"] = out["poi_id"].astype("int64")
+        if track_prev:
+            out["prev"] = out["prev"].astype("Int32")
+        return out
+
+    return (
+        e.groupBy("g")
+        .cogroup(s.groupBy("g"))
+        .applyInPandas(lambda el, sl: solve(el, sl), schema=out_schema)
+    )
+
+
 def shortest_paths_bounded(
     edges: DataFrame,
     seeds: DataFrame,
@@ -64,6 +160,7 @@ def shortest_paths_bounded(
     max_rounds: int = MAX_ROUNDS_DEFAULT,
     track_prev: bool = False,
     hops_per_round: int = HOPS_PER_ROUND_DEFAULT,
+    strategy: str = "auto",
 ) -> DataFrame:
     """G2 kernel: multi-source bounded shortest paths over
     ``edges(src, dst, w)`` from ``seeds(node_idx, category, poi_id)``.
@@ -86,7 +183,22 @@ def shortest_paths_bounded(
     loses on shallow graphs (wasted hops after the frontier empties
     mid-round).  Raise it on a real cluster where per-round scheduling +
     straggler barriers dominate shuffle cost, or on high-diameter graphs.
+
+    ``strategy``: "auto" (default) solves graphs at or below
+    LOCAL_EDGE_THRESHOLD edges with one-task heap Dijkstra
+    (shortest_paths_bounded_local — at tile scale the dominant, shuffle-
+    free plan) and larger graphs with the frontier loop; "local" /
+    "frontier" force a path (equivalence pinned by
+    test_reach_local_strategy_equivalent).
     """
+    if strategy not in ("auto", "frontier", "local"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "local":
+        return shortest_paths_bounded_local(edges, seeds, limit_m, track_prev)
+    edges = edges.select("src", "dst", F.col("w").cast("double").alias("w"))
+    n_edges = edges.count()
+    if strategy == "auto" and n_edges <= LOCAL_EDGE_THRESHOLD:
+        return shortest_paths_bounded_local(edges, seeds, limit_m, track_prev)
     spark = edges.sparkSession
     # AQE off for the loop: each tiny round otherwise pays query-stage
     # materialization + re-optimization overhead (measured 28% slower on a
@@ -103,14 +215,12 @@ def shortest_paths_bounded(
     parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        edges = edges.select("src", "dst", F.col("w").cast("double").alias("w"))
         # with AQE off, every round would otherwise shuffle into the full
         # session partition count even for a tiny tile graph (32 scheduled
         # tasks for a few hundred frontier rows dominates round latency).
         # Size the loop's shuffles to the graph instead — exactly what AQE
-        # coalescing would have picked — at one extra narrow scan for the
-        # count (~50k edges per shuffle partition keeps rounds in-memory).
-        n_edges = edges.count()
+        # coalescing would have picked (~50k edges per shuffle partition
+        # keeps rounds in-memory); n_edges was counted at dispatch.
         loop_parts = max(1, min(int(parts_was), n_edges // 50_000 + 1))
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
         edges = edges.repartition(loop_parts, "src").cache()
@@ -210,6 +320,7 @@ def compute_reach(
     speed_mps: float = geo.WALK_SPEED_MPS,
     max_rounds: int = MAX_ROUNDS_DEFAULT,
     hops_per_round: int = HOPS_PER_ROUND_DEFAULT,
+    strategy: str = "auto",
 ) -> DataFrame:
     """The `reach` gold table (SURVEY.md §1.1, B6): one row per
     (node_idx, category) for every node and every POI category —
@@ -223,7 +334,12 @@ def compute_reach(
         "node_idx", geo.sanitize_key(F.col("category")).alias("category"), "poi_id"
     )
     reached = shortest_paths_bounded(
-        edges, seeds, limit_m=limit_m, max_rounds=max_rounds, hops_per_round=hops_per_round
+        edges,
+        seeds,
+        limit_m=limit_m,
+        max_rounds=max_rounds,
+        hops_per_round=hops_per_round,
+        strategy=strategy,
     )
 
     # dense (node × category) frame: reference emits full length-N arrays

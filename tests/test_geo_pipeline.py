@@ -206,16 +206,45 @@ def test_reach_matches_scipy_golden(fx, reach_ctx):
 @pytest.mark.parametrize("hops", [1, 4])
 def test_reach_hop_batching_equivalent(fx, reach_ctx, hops):
     # the barrier-reduction knob must not change results: k=1 and k=4
-    # produce the identical reach table as the default (k=2) loop
+    # produce the identical reach table as the auto-strategy baseline
+    # (strategy="frontier" forced — auto would pick the local solver on
+    # this small fixture and never exercise the loop)
     batched = (
         reach.compute_reach(
-            fx["gnodes"], fx["gedges"], reach_ctx["pois_sdf"], limit_m=LIMIT_M, hops_per_round=hops
+            fx["gnodes"],
+            fx["gedges"],
+            reach_ctx["pois_sdf"],
+            limit_m=LIMIT_M,
+            hops_per_round=hops,
+            strategy="frontier",
         )
         .orderBy("node_idx", "category")
         .toPandas()
     )
     base = reach_ctx["reach"].orderBy("node_idx", "category").toPandas()
     pd.testing.assert_frame_equal(batched, base, check_exact=False, atol=1e-6)
+
+
+def test_reach_local_strategy_equivalent(fx, reach_ctx):
+    # one-task heap Dijkstra and the distributed frontier loop are the
+    # same operator: identical (node, category, dist, poi) tables
+    frontier = (
+        reach.compute_reach(
+            fx["gnodes"], fx["gedges"], reach_ctx["pois_sdf"], limit_m=LIMIT_M,
+            strategy="frontier",
+        )
+        .orderBy("node_idx", "category")
+        .toPandas()
+    )
+    local = (
+        reach.compute_reach(
+            fx["gnodes"], fx["gedges"], reach_ctx["pois_sdf"], limit_m=LIMIT_M,
+            strategy="local",
+        )
+        .orderBy("node_idx", "category")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(local, frontier, check_exact=False, atol=1e-6)
 
 
 def test_reach_seed_nodes_zero(reach_ctx):
