@@ -36,6 +36,17 @@ def main() -> None:
     # warm-up: footers, schema inference, codegen JIT paths
     for t in TABLES:
         read_table(spark, sf_dir, t).count()
+    # ... and the Python worker fleet: the first pandas-UDF query otherwise
+    # pays the one-time 32-worker spawn (measured ~4-5s under load, charged
+    # to whichever mapInPandas query runs first)
+    par = spark.sparkContext.defaultParallelism
+
+    def _identity(batches):
+        yield from batches
+
+    spark.range(par * 4).repartition(par).mapInPandas(_identity, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
