@@ -83,3 +83,55 @@ def test_watermark_present_in_plan(spark, events_stream_dir):
     stream = W.stream_events(spark, events_stream_dir, batch.schema)
     plan = W.tumbling_counts(stream)._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+@pytest.fixture(scope="module")
+def dup_events_dir(spark, sf_small, tmp_path_factory):
+    # an at-least-once source: every event delivered twice (two identical
+    # files in the stream directory)
+    out = str(tmp_path_factory.mktemp("events_dup"))
+    e = read_table(spark, sf_small, "events")
+    e.write.mode("overwrite").parquet(out)
+    e.write.mode("append").parquet(out)
+    return out
+
+
+def test_streaming_canonical_docs_equals_batch(spark, sf_small, tmp_path_factory):
+    from fifteenmc_spark.streaming.dedup import canonical_docs
+
+    out = str(tmp_path_factory.mktemp("docs_stream"))
+    read_table(spark, sf_small, "documents").write.mode("overwrite").parquet(out)
+    batch = spark.read.parquet(out)
+    want = _sorted_pdf(canonical_docs(batch))
+    assert len(want) > 0
+
+    stream = spark.readStream.schema(batch.schema).parquet(out)
+    W.run_to_memory(canonical_docs(stream), "sink_canonical_docs")
+    got = _sorted_pdf(spark.table("sink_canonical_docs"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_dedup_events_drops_redeliveries(spark, dup_events_dir):
+    from fifteenmc_spark.streaming.dedup import dedup_events
+
+    batch = spark.read.parquet(dup_events_dir)
+    n_total = batch.count()
+    want = dedup_events(batch)  # batch twin: plain dropDuplicates
+    n_unique = want.count()
+    assert n_total == 2 * n_unique  # every event delivered twice
+
+    stream = W.stream_events(spark, dup_events_dir, batch.schema)
+    q = (
+        dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("sink_dedup_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sink_dedup_events")
+    assert got.count() == n_unique
+    assert {r["event_id"] for r in got.select("event_id").collect()} == {
+        r["event_id"] for r in want.select("event_id").collect()
+    }
