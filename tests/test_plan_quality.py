@@ -96,3 +96,30 @@ def test_scan_side_projection(spark, sf_small, name):
     plan = plan_of(QUERIES[name].build(spark, sf_small))
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 1, f"{name}: expected <=1 shuffle, plan has {n_exchanges}"
+
+
+def test_asof_join_single_shuffle_no_range_join(spark, sf_small):
+    # d26 must be the union-tag window form: ONE hash exchange on the key,
+    # never a broadcast-nested-loop / cartesian range join that explodes
+    # pairwise at scale
+    plan = plan_of(QUERIES["d26_asof_join"].build(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    hash_exchanges = [ln for ln in plan.splitlines() if "hashpartitioning(k" in ln]
+    assert len(hash_exchanges) == 1, hash_exchanges  # + one range for ORDER BY only
+
+
+def test_ivf_broadcasts_centroids_and_probes(spark, sf_small):
+    # v5: the 8-row centroid table and the probe list broadcast; the
+    # corpus never sits on the build side of a shuffle join
+    plan = plan_of(QUERIES["v5_ivf_topk"].build(spark, sf_small))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x5_intersection_aggregates_partially(spark, sf_small):
+    # the pair-count groupBy must have a map-side partial stage — the
+    # shuffle carries (doc_a, doc_b, partial count), never shingle rows
+    plan = plan_of(QUERIES["x5_ngram_jaccard"].build(spark, sf_small))
+    assert plan.count("HashAggregate") >= 2
