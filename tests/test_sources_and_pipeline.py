@@ -202,3 +202,44 @@ def test_pipeline_end_to_end(spark, tmp_path):
     s = spark.read.parquet(f"{base}/reach_summary").toPandas()
     assert set(s.columns) == {"category", "n_sources", "n_within", "median_dist_m", "median_time_s", "limit_m"}
     assert (s["n_within"] <= len(nodes_pdf)).all()
+
+
+def test_text_sink_roundtrip(spark, tmp_path):
+    # K5: one string column per line
+    df = spark.range(4).select(F.concat(F.lit("line-"), F.col("id")).alias("value"))
+    df.coalesce(1).write.mode("overwrite").text(str(tmp_path / "t"))
+    back = spark.read.text(str(tmp_path / "t"))
+    assert {r["value"] for r in back.collect()} == {f"line-{i}" for i in range(4)}
+
+
+def test_geojson_source(spark, tmp_path):
+    # S8: a FeatureCollection through the multiline JSON source; features
+    # explode to rows, coordinates stay typed arrays
+    import json as _json
+
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": f"p{i}"},
+                "geometry": {"type": "Point", "coordinates": [18.6 + i, 54.35]},
+            }
+            for i in range(3)
+        ],
+    }
+    p = tmp_path / "fc.geojson"
+    p.write_text(_json.dumps(gj))
+    from fifteenmc_spark.io import read_json_records
+
+    feats = (
+        read_json_records(spark, str(p))
+        .select(F.explode("features").alias("f"))
+        .select(
+            F.col("f.properties.name").alias("name"),
+            F.col("f.geometry.coordinates")[0].alias("lon"),
+            F.col("f.geometry.coordinates")[1].alias("lat"),
+        )
+    )
+    rows = {(r["name"], r["lon"], r["lat"]) for r in feats.collect()}
+    assert rows == {(f"p{i}", 18.6 + i, 54.35) for i in range(3)}
