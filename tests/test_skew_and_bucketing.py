@@ -74,3 +74,19 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         assert j.count() == 4000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salt_spreads_identical_rows(spark):
+    # the hot-key worst case: byte-identical rows.  A content-hash salt
+    # sends them all to ONE salt value (the round-1 bug); the per-row salt
+    # must spread them across (nearly) all salt values.
+    n_salts = 16
+    dup = spark.range(10_000).select(F.lit("hot").alias("k"), F.lit(1.0).alias("v"))
+    counts = (
+        skew.with_salt(dup, n_salts=n_salts)
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    assert len(counts) == n_salts
+    assert max(r["count"] for r in counts) < 10_000 * 2 / n_salts
