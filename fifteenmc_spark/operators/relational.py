@@ -925,6 +925,71 @@ def d22(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # D26 as-of join (time-series point-in-time lookup)
 # ---------------------------------------------------------------------------
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | tuple[str, str],
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Generic backward as-of join (Spark has no ASOF operator): every
+    left row gains the ``payload_cols`` of the right row with the greatest
+    ``right_time`` <= ``left_time`` within the same key (ties on time:
+    greatest ``tiebreak``, defaulting to the first payload column); NULLs
+    when no right row precedes.
+
+    Plan: union-tag both sides, ONE hash shuffle on the key, sort within
+    partitions by (time, side, tiebreak), then last-non-null over an
+    unbounded-preceding frame — O(n log n) per key group and linear state,
+    never the pairwise blow-up of a range join.  Equal timestamps resolve
+    right-before-left, i.e. "<=" semantics.
+
+    Left and payload column names must not collide.  Verified against
+    pandas merge_asof on randomized cases (test_asof_join_matches_pandas)
+    and against a DuckDB LATERAL oracle (d26)."""
+    lkey, rkey = (on, on) if isinstance(on, str) else on
+    tb = tiebreak or payload_cols[0]
+    left_cols = [c for c in left.columns if c != lkey]
+    pay_t = dict(right.dtypes)
+    left_t = dict(left.dtypes)
+
+    r = right.select(
+        F.col(rkey).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(tb).alias("__tb"),
+        F.struct(*payload_cols).alias("__pay"),
+        *[F.lit(None).cast(left_t[c]).alias(c) for c in left_cols],
+    )
+    pay_struct_t = f"struct<{','.join(f'{c}:{pay_t[c]}' for c in payload_cols)}>"
+    l = left.select(
+        F.col(lkey).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(pay_t[tb]).alias("__tb"),
+        F.lit(None).cast(pay_struct_t).alias("__pay"),
+        *left_cols,
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        r.unionAll(l)
+        .select(
+            "__side",
+            F.col("__k").alias(lkey),
+            *left_cols,
+            F.last("__pay", ignorenulls=True).over(w).alias("__a"),
+        )
+        .where(F.col("__side") == 1)
+        .select(lkey, *left_cols, *[F.col(f"__a.{c}").alias(c) for c in payload_cols])
+    )
+
+
 @_register(
     "d26_asof_join",
     "As-of join: each event picks the most recent order of the same "
@@ -947,55 +1012,22 @@ def d22(spark, sf_dir):
     ("join", "asof", "time-series"),
 )
 def d26(spark, sf_dir):
-    e = _t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("k"), F.col("ts").alias("t"), "event_id"
-    )
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("t"),
-        "o_orderkey",
-        "o_totalprice",
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
     )
-    # side 0 = orders, side 1 = events: at equal timestamps the order sorts
-    # first, so "<=" semantics fall out of the sort; ord is NULL on event
-    # rows so last(ignorenulls) skips them.
-    tagged = o.select(
-        "k",
-        "t",
-        F.lit(0).alias("side"),
-        F.lit(None).cast("bigint").alias("event_id"),
-        F.struct("o_orderkey", "o_totalprice").alias("ord"),
-        F.col("o_orderkey").alias("okey"),
-    ).unionAll(
-        e.select(
-            "k",
-            "t",
-            F.lit(1).alias("side"),
-            "event_id",
-            F.lit(None).cast("struct<o_orderkey:bigint,o_totalprice:double>").alias("ord"),
-            F.lit(None).cast("bigint").alias("okey"),
-        )
+    j = asof_join(
+        e,
+        o,
+        on=("user_id", "o_custkey"),
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
     )
-    # okey ascending makes last() the max-orderkey order among same-instant
-    # orders — the deterministic tie-break the oracle's LIMIT 1 spells out
-    w = (
-        Window.partitionBy("k")
-        .orderBy("t", "side", "okey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        tagged.select(
-            "side",
-            "event_id",
-            F.col("k").alias("user_id"),
-            F.last("ord", ignorenulls=True).over(w).alias("a"),
-        )
-        .where(F.col("side") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            F.col("a.o_orderkey").alias("asof_orderkey"),
-            F.round(F.col("a.o_totalprice"), 4).alias("asof_totalprice"),
-        )
-        .orderBy("event_id")
-    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.round("o_totalprice", 4).alias("asof_totalprice"),
+    ).orderBy("event_id")

@@ -106,7 +106,7 @@ def test_asof_join_single_shuffle_no_range_join(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
-    hash_exchanges = [ln for ln in plan.splitlines() if "hashpartitioning(k" in ln]
+    hash_exchanges = [ln for ln in plan.splitlines() if "hashpartitioning(__k" in ln]
     assert len(hash_exchanges) == 1, hash_exchanges  # + one range for ORDER BY only
 
 

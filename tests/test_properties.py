@@ -104,3 +104,62 @@ def test_edge_weight_clamp(spark):
     import numpy as np
 
     assert np.allclose(out["w"], 0.01, rtol=1e-6)  # float32 storage of 0.01
+
+
+# ---------------------------------------------------------------------------
+# asof_join vs pandas merge_asof (independent reference implementation)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def asof_cases():
+    cases = []
+    key_st = st.integers(min_value=0, max_value=3)
+    t_st = st.integers(min_value=0, max_value=20)
+
+    @settings(max_examples=40, deadline=None, derandomize=True)
+    @given(
+        st.lists(st.tuples(key_st, t_st), min_size=1, max_size=15),
+        st.lists(st.tuples(key_st, t_st, st.integers(0, 99)), min_size=0, max_size=15),
+    )
+    def collect(lefts, rights):
+        cases.append((lefts, rights))
+
+    collect()
+    return cases
+
+
+def test_asof_join_matches_pandas(spark, asof_cases):
+    """The union-tag window as-of equals pandas merge_asof (backward,
+    allow_exact_matches) on randomized keyed event/version tables,
+    including the greatest-tiebreak rule on equal timestamps."""
+    from fifteenmc_spark.operators.relational import asof_join
+
+    lrows, rrows = [], []
+    for ci, (lefts, rights) in enumerate(asof_cases):
+        for li, (k, t) in enumerate(lefts):
+            lrows.append((ci * 1000 + li, ci * 10 + k, t))
+        for ri, (k, t, v) in enumerate(rights):
+            rrows.append((ci * 10 + k, t, ri, v))  # tiebreak = ri (unique)
+    left = spark.createDataFrame(lrows, "lid BIGINT, k BIGINT, t BIGINT")
+    right = spark.createDataFrame(rrows, "k BIGINT, rt BIGINT, tb BIGINT, v BIGINT")
+    got = {
+        r["lid"]: (r["tb"], r["v"])
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            payload_cols=["tb", "v"], tiebreak="tb",
+        ).collect()
+    }
+
+    lpdf = pd.DataFrame(lrows, columns=["lid", "k", "t"]).sort_values("t")
+    rpdf = pd.DataFrame(rrows, columns=["k", "rt", "tb", "v"]).sort_values(["rt", "tb"])
+    if len(rpdf):
+        merged = pd.merge_asof(
+            lpdf, rpdf, left_on="t", right_on="rt", by="k",
+            direction="backward", allow_exact_matches=True,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.tb) else int(r.tb), None if pd.isna(r.v) else int(r.v))
+            for r in merged.itertuples()
+        }
+    else:
+        want = {int(r.lid): (None, None) for r in lpdf.itertuples()}
+    assert got == want
