@@ -1031,3 +1031,93 @@ def d26(spark, sf_dir):
         F.col("o_orderkey").alias("asof_orderkey"),
         F.round("o_totalprice", 4).alias("asof_totalprice"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# D27 range join (bounded time-interval join)
+# ---------------------------------------------------------------------------
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | tuple[str, str],
+    left_time: str,
+    right_start: str,
+    right_end: str,
+    max_interval_us: int,
+) -> DataFrame:
+    """Bounded range join (start <= t < end per key) without the pairwise
+    blow-up: Spark plans a raw inequality join as BroadcastNestedLoopJoin —
+    quadratic per key and non-shuffleable.  Here time is bucketed at the
+    max interval width: each right interval explodes to the (<= 2, when
+    its length <= the width) buckets it overlaps, each left row lives in
+    exactly ONE bucket, and the join becomes an equi-join on (key, bucket)
+    + exact predicate.  No dedup needed — a (left, interval) pair can meet
+    in only the left row's bucket.  Fan-out is bounded by rows-per-bucket,
+    the shuffle key is (key, bucket), and AQE can split hot buckets.
+
+    Intervals longer than ``max_interval_us`` still join correctly (they
+    explode to more buckets); size the width at the dominant interval
+    length."""
+    lkey, rkey = (on, on) if isinstance(on, str) else on
+    w = int(max_interval_us)
+    lb = left.withColumn("__b", F.expr(f"unix_micros({left_time}) div {w}"))
+    rb = right.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros({right_start}) div {w}"),
+                F.expr(f"(unix_micros({right_end}) - 1) div {w}"),
+            )
+        ),
+    )
+    cond = (
+        (lb["__b"] == rb["__b"])
+        & (lb[lkey] == rb[rkey])
+        & (lb[left_time] >= rb[right_start])
+        & (lb[left_time] < rb[right_end])
+    )
+    return lb.join(rb, cond).drop("__b")
+
+
+@_register(
+    "d27_range_join",
+    "Bounded range self-join over the event stream: pairs of same-user "
+    "events within 15 minutes (earlier id first), with the whole-second "
+    "gap.  Bucketed equi-join form — never a nested-loop inequality join.",
+    """
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_s
+    FROM events a JOIN events b ON a.user_id = b.user_id
+      AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 15 MINUTE
+      AND a.event_id < b.event_id
+    ORDER BY a_id, b_id
+    """,
+    ("join", "range", "time-series"),
+)
+def d27(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    probe = e.select(F.col("event_id").alias("b_id"), "user_id", F.col("ts").alias("b_ts"))
+    intervals = e.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_uid"),
+        F.col("ts").alias("a_ts"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTE")).alias("a_end"),
+    )
+    j = interval_join(
+        probe,
+        intervals,
+        on=("user_id", "a_uid"),
+        left_time="b_ts",
+        right_start="a_ts",
+        right_end="a_end",
+        max_interval_us=15 * 60 * 1_000_000,
+    )
+    return (
+        j.where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.expr("(unix_micros(b_ts) - unix_micros(a_ts)) div 1000000").alias("gap_s"),
+        )
+        .orderBy("a_id", "b_id")
+    )

@@ -123,3 +123,11 @@ def test_x5_intersection_aggregates_partially(spark, sf_small):
     # shuffle carries (doc_a, doc_b, partial count), never shingle rows
     plan = plan_of(QUERIES["x5_ngram_jaccard"].build(spark, sf_small))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_range_join_is_bucketed_equi_join(spark, sf_small):
+    # d27 must join on (key, bucket) — a raw inequality join would plan as
+    # BroadcastNestedLoopJoin (quadratic per key, unshuffleable)
+    plan = plan_of(QUERIES["d27_range_join"].build(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
