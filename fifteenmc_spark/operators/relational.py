@@ -1121,3 +1121,88 @@ def d27(spark, sf_dir):
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D28 sessionization (gap-based, batch form)
+# ---------------------------------------------------------------------------
+@_register(
+    "d28_sessionize",
+    "Gap-based sessionization of the event stream (batch twin of the "
+    "streaming session_window): a session breaks after 20 idle minutes; "
+    "lag + boundary flag + running sum assigns session ids, then one "
+    "aggregate per session.  Two window passes over ONE (user, ts) sort.",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1200 * 1000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged)
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 4) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id
+    """,
+    ("window", "sessionize", "time-series"),
+)
+def d28(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1200 * 1_000_000
+    prev = F.lag(F.unix_micros("ts")).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(prev.isNull() | (F.unix_micros("ts") - prev > gap_us), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # note: wrun reuses the same (user, ts) partitioning+sort — the second
+    # window pass is in-partition, no extra exchange
+    sess = flagged.select(
+        "user_id", "value", F.sum("new_sess").over(wrun).alias("sess_id")
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(25,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("user_id", "sess_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D29 semi-structured extraction (JSON column)
+# ---------------------------------------------------------------------------
+@_register(
+    "d29_json_extract",
+    "Semi-structured column: pull a typed field out of the JSON props "
+    "string scan-side, aggregate per event type.  At scale the extraction "
+    "runs inside codegen before the only shuffle (the groupBy).",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    ("json", "semi-structured"),
+)
+def d29(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
