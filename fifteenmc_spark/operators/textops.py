@@ -213,3 +213,80 @@ def t5(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# p1: the composed corpus-prep pipeline (dedup → quality → lang → stats)
+# ---------------------------------------------------------------------------
+@_register(
+    "p1_corpus_prep",
+    "The end-to-end training-corpus prep pipeline as ONE declared query: "
+    "exact dedup (canonical doc per content fingerprint), quality filter "
+    "(score >= 0.5), language filter, then per-(source, lang) corpus "
+    "stats.  Composition of x1 + t2 + t1 — one documents scan, one "
+    "fingerprint window, one final aggregation; text never shuffles "
+    "except into the dedup window.",
+    """
+    WITH fp AS (
+      SELECT doc_id, lang, source, text,
+             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents),
+    canon AS (
+      SELECT doc_id, lang, source, text
+      FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM fp)
+      WHERE doc_id = canonical_id),
+    m AS (
+      SELECT doc_id, lang, source,
+             CAST(LENGTH(text) AS DOUBLE) AS n,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS n_clean,
+             CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS DOUBLE) AS n_nospace,
+             CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS n_tok,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens
+      FROM canon),
+    q AS (
+      SELECT lang, source, n_tokens,
+             (
+               LEAST(n / 200.0, 1.0)
+               + (1.0 - LEAST((CASE WHEN n > 0 THEN (n - n_clean) / n ELSE 0.0 END) * 4.0, 1.0))
+               + (CASE WHEN n_tok > 0 AND n_nospace / n_tok >= 2.0 AND n_nospace / n_tok <= 12.0
+                       THEN 1.0 ELSE 0.5 END)
+             ) / 3.0 AS quality
+      FROM m)
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(quality), 4) AS avg_quality
+    FROM q
+    WHERE quality >= 0.5 AND lang IN ('en', 'es', 'fr', 'de')
+    GROUP BY source, lang ORDER BY source, lang
+    """,
+    ("text", "dedup", "pipeline", "composed"),
+)
+def p1(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ").cast("binary"))
+    w = Window.partitionBy("fp")
+    canon = (
+        d.select("doc_id", "lang", "source", "text", fp.alias("fp"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("canonical_id"))
+    )
+    scored = canon.select(
+        "source",
+        "lang",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    return (
+        scored.where((F.col("quality") >= 0.5) & F.col("lang").isin("en", "es", "fr", "de"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("source", "lang")
+    )
