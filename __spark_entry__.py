@@ -29,12 +29,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["d6_groupby_agg"].build(spark, "/root/testdata/sf0.001")
 
 
+# The driver checks a bounded window of queries per round (50 in r02).
+# Queries with no driver CORRECTNESS row yet come first so every declared
+# query accumulates at least one driver-checked green row across rounds:
+# t5/v5/p1 had zero rows after r02; x6/x7 and friends are new in r03;
+# t1-t4/v3/v4 were green in r01 but rotated out of r02's window.
+_CHECK_FIRST = (
+    "t5_corpus_stats",
+    "v5_ivf_topk",
+    "p1_corpus_prep",
+    "x6_simhash_hamming",
+    "v2_lsh_bucket_16",
+    "x5_ngram_jaccard_capped",
+    "t1_token_count",
+    "t2_quality_score",
+    "t3_lang_id",
+    "t4_fingerprint",
+    "v3_embedding_near_dup",
+    "v4_embedding_stats",
+)
+
+
+def _ordered() -> dict:
+    out = {n: QUERIES[n] for n in _CHECK_FIRST if n in QUERIES}
+    out.update(QUERIES)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.build for name, q in QUERIES.items()}
+    return {name: q.build for name, q in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted entries get a
     weaker rows-only check)."""
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {name: q.oracle for name, q in _ordered().items() if q.oracle is not None}

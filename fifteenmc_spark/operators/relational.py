@@ -1057,10 +1057,14 @@ def interval_join(
 
     Intervals longer than ``max_interval_us`` still join correctly (they
     explode to more buckets); size the width at the dominant interval
-    length."""
+    length.  Empty/inverted intervals (end <= start) are dropped up front:
+    they can never satisfy the exact predicate, and an inverted interval
+    would otherwise make F.sequence step DOWNWARD and fan out to many
+    spurious bucket rows before the predicate filters them."""
     lkey, rkey = (on, on) if isinstance(on, str) else on
     w = int(max_interval_us)
     lb = left.withColumn("__b", F.expr(f"unix_micros({left_time}) div {w}"))
+    right = right.where(F.col(right_end) > F.col(right_start))
     rb = right.withColumn(
         "__b",
         F.explode(
@@ -1134,13 +1138,13 @@ def d27(spark, sf_dir):
     "aggregate per session.  Two window passes over ONE (user, ts) sort.",
     """
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1200 * 1000000
                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, ts, value,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM flagged)
     SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,

@@ -156,7 +156,17 @@ def lsh_bucket_table(e) -> "DataFrame":
     faster than the interpreted HOF fold at sf0.1 (results identical:
     explode emits elements in index order within one partition, so each
     partial sum accumulates in the exact order of the SQL term list).
-    Reuses the _emb vec_id exchange — no extra shuffle."""
+    Reuses the _emb vec_id exchange — no extra shuffle.
+
+    Caveat (near-zero dots): the bit test is `sum > 0` on a float sum.  If
+    the hash aggregate ever splits its partial aggregation differently
+    (e.g. a spill to the sort-based fallback), additions can reorder and a
+    dot product sitting within float ulps of 0 could flip sign, changing
+    that vector's bucket.  This only moves a vector that is essentially ON
+    the hyperplane to the adjacent bucket — harmless for LSH recall (both
+    buckets are equally valid for a boundary vector) but worth knowing when
+    asserting bit-identical signatures across plans.  The testdata corpus
+    has no |dot| < 1e-6 cases (checked when this form was A/B'd in)."""
     base = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
     aggs = [
         F.sum(

@@ -49,10 +49,20 @@ def dedup_events(
     keys: tuple[str, ...] = ("event_id",),
     watermark: str | None = WATERMARK_DEFAULT,
 ) -> DataFrame:
-    """Exactly-once-ification of an at-least-once event stream: keep the
-    first delivery per key, drop re-deliveries that arrive within the
-    watermark.  Batch frames use plain dropDuplicates (the batch twin the
-    equivalence test compares against)."""
+    """Deduplicate an at-least-once event stream by key.
+
+    Semantics, precisely:
+    - Streaming: a key's FIRST delivery is emitted; re-deliveries are
+      dropped while the key's state lives.  State is evicted once the
+      watermark passes the key's event time, so a duplicate arriving
+      LATER than the watermark delay is emitted again — the guarantee is
+      watermark-bounded, not global.  That bound is what keeps state
+      finite on unbounded ingest.
+    - Batch: plain dropDuplicates, which keeps an ARBITRARY row per key
+      (not necessarily the first by any ordering).  The stream≡batch
+      equivalence tests only hold because re-deliveries are byte-identical
+      — if payloads of duplicate keys could differ, pick a deterministic
+      winner with a min-struct aggregate instead."""
     if events.isStreaming:
         e = with_event_time(events, watermark)
         if watermark:

@@ -135,3 +135,45 @@ def test_streaming_dedup_events_drops_redeliveries(spark, dup_events_dir):
     assert {r["event_id"] for r in got.select("event_id").collect()} == {
         r["event_id"] for r in want.select("event_id").collect()
     }
+
+
+def test_streaming_dedup_drops_duplicate_in_later_microbatch(spark, tmp_path_factory):
+    # the one-micro-batch redelivery test can't distinguish "state works"
+    # from "both copies landed in one batch"; here the duplicate arrives
+    # in a LATER micro-batch (maxFilesPerTrigger=1) while its key's event
+    # time is still within the watermark, so state must still be live and
+    # the re-delivery must be dropped
+    import time
+
+    from fifteenmc_spark.streaming.dedup import dedup_events
+
+    out = tmp_path_factory.mktemp("events_late_dup")
+    base = spark.createDataFrame(
+        [(i, i % 2, f"2024-01-01 10:{i:02d}:00", 1.0) for i in range(5)],
+        "event_id long, user_id long, ts_s string, value double",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    base.coalesce(1).write.mode("overwrite").parquet(str(out / "f1"))
+    time.sleep(1.1)  # file-source orders micro-batches by mod time
+    # redeliver event 0 only — its ts (10:00) is ~4 min behind max seen
+    # (10:04), well inside the 30-minute watermark
+    base.where(F.col("event_id") == 0).coalesce(1).write.mode("overwrite").parquet(str(out / "f2"))
+
+    schema = spark.read.parquet(str(out / "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out) + "/*/")
+    )
+    q = (
+        dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("sink_dedup_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1  # really >1 micro-batch
+    got = spark.table("sink_dedup_late")
+    assert got.count() == 5  # the later-micro-batch duplicate was dropped
+    assert sorted(r["event_id"] for r in got.collect()) == [0, 1, 2, 3, 4]
