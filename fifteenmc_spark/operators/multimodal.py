@@ -128,7 +128,10 @@ def extract_features(assets: DataFrame) -> DataFrame:
              text AS payload_text
       FROM documents)
     SELECT modality, COUNT(*) AS n_assets,
-           CAST(SUM(STRLEN(payload_text)) AS BIGINT) AS total_bytes,
+           -- OCTET_LENGTH(ENCODE(..)) = unambiguous BYTE count, matching
+           -- Spark F.length() on the BINARY payload (DuckDB STRLEN is also
+           -- bytes, but the spelling here makes the unit explicit)
+           CAST(SUM(OCTET_LENGTH(ENCODE(payload_text))) AS BIGINT) AS total_bytes,
            MIN(MD5(payload_text)) AS min_payload_md5
     FROM assets GROUP BY modality ORDER BY modality
     """,

@@ -41,7 +41,8 @@ def _docs(spark, sf_dir):
     "shuffle (aggregation is map-side partial).",
     """
     SELECT doc_id,
-           CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS INT) AS n_tokens,
+           CAST(CASE WHEN TRIM(text) = '' THEN 0
+                ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS INT) AS n_tokens,
            CAST(LENGTH(text) AS INT) AS n_chars_calc
     FROM documents ORDER BY doc_id
     """,
@@ -194,7 +195,8 @@ def t4(spark, sf_dir):
     """
     SELECT source, lang, COUNT(*) AS docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           ROUND(CAST(SUM(CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS BIGINT)) AS DOUBLE)
+           ROUND(CAST(SUM(CAST(CASE WHEN TRIM(text) = '' THEN 0
+                          ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS BIGINT)) AS DOUBLE)
                  / COUNT(*), 4) AS avg_tokens
     FROM documents GROUP BY source, lang ORDER BY source, lang
     """,
@@ -223,9 +225,12 @@ def t5(spark, sf_dir):
     "The end-to-end training-corpus prep pipeline as ONE declared query: "
     "exact dedup (canonical doc per content fingerprint), quality filter "
     "(score >= 0.5), language filter, then per-(source, lang) corpus "
-    "stats.  Composition of x1 + t2 + t1 — one documents scan, one "
-    "fingerprint window, one final aggregation; text never shuffles "
-    "except into the dedup window.",
+    "stats.  Composition of x1 + t2 + t1 — one documents scan; the "
+    "fingerprint, token count and quality score are all computed "
+    "SCAN-SIDE, so the dedup window and every later stage shuffle only "
+    "(fp, doc_id, lang, source, n_tokens, quality) — text NEVER enters "
+    "an Exchange (plan-tested).  At 100 TB that is the difference "
+    "between shuffling ~50 bytes/doc and shuffling the corpus.",
     """
     WITH fp AS (
       SELECT doc_id, lang, source, text,
@@ -266,22 +271,30 @@ def t5(spark, sf_dir):
 def p1(spark, sf_dir):
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir)
+    # No repartition here (unlike t2/t3): the scan-side projection below
+    # reduces each doc to ~50 bytes of hashes+metrics, and keeping the scan
+    # un-shuffled means NO exchange in the whole plan carries `text`
+    # (test_p1_no_text_in_any_exchange pins this).  Quality/token scoring
+    # happens BEFORE dedup; that is equivalent to the oracle's
+    # score-after-dedup because the canonical filter keeps whole rows —
+    # each surviving row's score is computed from its own raw text.
+    d = read_table(spark, sf_dir, "documents")
     fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ").cast("binary"))
-    w = Window.partitionBy("fp")
-    canon = (
-        d.select("doc_id", "lang", "source", "text", fp.alias("fp"))
-        .withColumn("canonical_id", F.min("doc_id").over(w))
-        .where(F.col("doc_id") == F.col("canonical_id"))
-    )
-    scored = canon.select(
-        "source",
+    scored = d.select(
+        "doc_id",
         "lang",
+        "source",
+        fp.alias("fp"),
         T.token_count(F.col("text")).cast("long").alias("n_tokens"),
         T.quality_score(F.col("text")).alias("quality"),
     )
+    w = Window.partitionBy("fp")
+    canon = (
+        scored.withColumn("canonical_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("canonical_id"))
+    )
     return (
-        scored.where((F.col("quality") >= 0.5) & F.col("lang").isin("en", "es", "fr", "de"))
+        canon.where((F.col("quality") >= 0.5) & F.col("lang").isin("en", "es", "fr", "de"))
         .groupBy("source", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

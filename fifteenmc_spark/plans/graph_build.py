@@ -12,8 +12,10 @@ Scale notes
 -----------
 - Dense node indexing is the only global-order operation.  A naive
   `row_number() OVER (ORDER BY osm_node_id)` funnels every row through ONE
-  partition; instead `assign_dense_index` uses sort + zipWithIndex (range
-  repartition → per-partition offsets), which is fully parallel.
+  partition; instead `assign_dense_index` uses range repartition +
+  per-partition offset arithmetic (spark_partition_id /
+  monotonically_increasing_id + a broadcast offset map) — fully parallel
+  and fully JVM-side, no Python round-trip.
 - The weight join broadcasts nothing blindly: node coordinates are joined
   u-side and v-side by key; at 100 TB both are shuffle hash joins on the
   node id, co-partitioned by Catalyst.
@@ -26,7 +28,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions import geo
 
@@ -64,16 +65,47 @@ def assign_dense_index(nodes: DataFrame, id_col: str = "osm_node_id") -> DataFra
     """W3: dense 0..N-1 index in ascending id order
     (graph_construction.py:241-243 uses sort + arange).
 
-    Implemented with sort + zipWithIndex instead of a global-order window:
-    repartitionByRange gives range-ordered partitions, zipWithIndex adds
-    per-partition offsets computed from one lightweight count job — no
-    single-partition bottleneck at any N."""
-    ranged = nodes.repartitionByRange(F.col(id_col)).sortWithinPartitions(id_col)
-    schema = T.StructType(
-        [T.StructField("node_idx", T.IntegerType(), False)] + list(ranged.schema.fields)
+    Fully JVM-side partition-offset arithmetic — no global-order window
+    (one-partition funnel) and no Python round-trip (the previous
+    rdd.zipWithIndex serialized every node to Python objects and back):
+
+    1. repartitionByRange + sortWithinPartitions: partition i holds a
+       contiguous ascending id range, rows sorted within it.
+    2. spark_partition_id + monotonically_increasing_id projected in the
+       same (narrow) stage: mono id = partition_id·2^33 + row_number
+       (documented bit layout), so the in-partition 0-based row number is
+       mid − pid·2^33 — computed without any exchange.
+    3. One tiny count-per-partition agg → cumulative offsets (window over
+       ≤ n_partitions rows) → broadcast-joined back:
+       node_idx = offset[pid] + in-partition row number.
+
+    localCheckpoint pins the (sampled, hence nondeterministic) range
+    boundaries and in-partition order so the offsets job and the main job
+    see identical partitions."""
+    from pyspark.sql import Window
+
+    ranged = (
+        nodes.repartitionByRange(F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .select(
+            F.spark_partition_id().alias("__pid"),
+            F.monotonically_increasing_id().alias("__mid"),
+            "*",
+        )
+        .localCheckpoint()
     )
-    indexed = ranged.rdd.zipWithIndex().map(lambda t: (int(t[1]), *t[0]))
-    return ranged.sparkSession.createDataFrame(indexed, schema)
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    row_in_part = F.col("__mid") - F.col("__pid").cast("long") * F.lit(1 << 33)
+    out_cols = [F.col("node_idx")] + [F.col(f.name) for f in nodes.schema.fields]
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn("node_idx", (F.col("__off") + row_in_part).cast("int"))
+        .select(*out_cols)
+    )
 
 
 def infer_uv_from_geometry(edges_geo: DataFrame, nodes: DataFrame) -> DataFrame:

@@ -107,6 +107,19 @@ def test_dense_index_matches_sorted_ids(fx):
     assert list(got["osm_node_id"]) == list(want["osm_node_id"])
 
 
+def test_dense_index_is_jvm_side(fx, spark):
+    # the index must come from JVM partition-offset arithmetic (broadcast
+    # offset join above the checkpointed range scan), not a Python
+    # rdd.zipWithIndex round-trip — whose plan is a bare Scan ExistingRDD
+    # with all the real work hidden in an opaque Python stage
+    from fifteenmc_spark.plans import graph_build
+
+    df = graph_build.assign_dense_index(fx["nodes_raw"])
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan  # offset map joined JVM-side
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_canonical_edges_match_golden(fx):
     got = fx["gedges"].orderBy("src", "dst").toPandas()
     want = fx["gedges_pdf"].sort_values(["src", "dst"]).reset_index(drop=True)

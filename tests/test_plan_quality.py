@@ -68,6 +68,17 @@ def test_dedup_shuffle_carries_hash_not_text(spark, sf_small):
     assert "text#" not in "".join(exchange_sections)
 
 
+def test_p1_no_text_in_any_exchange(spark, sf_small):
+    # the composed corpus-prep pipeline computes fp/tokens/quality
+    # scan-side, so NO exchange anywhere in the plan (dedup window, final
+    # agg, sort) may carry the raw text column — at 100 TB this is the
+    # difference between shuffling ~50 bytes/doc and shuffling the corpus
+    plan = plan_of(QUERIES["p1_corpus_prep"].build(spark, sf_small))
+    exchange_sections = [s for s in plan.split("\n\n") if "Exchange" in s]
+    assert exchange_sections, "expected a shuffle in the plan"
+    assert "text#" not in "".join(exchange_sections)
+
+
 def test_partitioned_gold_table_prunes(spark, sf_small, tmp_path):
     # write a small category-partitioned table, read with a category filter:
     # the scan must prune to one partition directory
