@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..io import read_table
-from .relational import _register
+from .relational import QUERIES, _register
 
 N_MINHASH = 4  # seeds 0..3; bands of 2 → 2 bands
 JACCARD_THRESHOLD = 0.30
@@ -429,3 +429,94 @@ def ngram_jaccard_prefix_filtered(spark, sf_dir, t: float = X5_THRESHOLD) -> Dat
     """x5's scale-path twin (see _prefix_filtered_intersections)."""
     ex = shingle_rows(spark, sf_dir).localCheckpoint()
     return _jaccard_from_intersections(ex, _prefix_filtered_intersections(ex, t), t)
+
+
+X5_MAX_DF = 8  # document-frequency cap for the capped variant's index join
+
+
+def _capped_intersections(ex: DataFrame, t: float, max_df: int) -> DataFrame:
+    """The df-capped inverted-index plan — LOSSLESS, with the quadratic
+    risk removed.  The plain index join's volume is sum(df²) over
+    shingles; one viral shingle (df ~ corpus size) makes that quadratic.
+    Here high-df shingles never enter the candidate self-join:
+
+    - Path 1 (the common case): candidate pairs from the inverted index
+      over shingles with df <= max_df only — join volume is bounded by
+      max_df · |shingle rows|, LINEAR in the corpus by construction.
+    - Path 2 (the viral tail): a pair whose every common shingle has
+      df > max_df is invisible to path 1, but by the prefix-filter
+      theorem (any pair with J >= t shares a shingle inside both docs'
+      (df, s)-ordered prefixes of length n - ceil(t·n) + 1) it must
+      collide on a PREFIX shingle — necessarily a high-df one, since a
+      doc's prefix holds its rarest shingles and this pair shares no
+      low-df shingle at all.  So joining only the prefix entries whose
+      shingle has df > max_df catches exactly these pairs.  Docs whose
+      prefix is all-low-df (every doc with >= prefix-length shingles of
+      df <= max_df — the overwhelming majority) contribute NOTHING here.
+    - Verify: candidates from both paths are re-counted against the full
+      index (all shingles, including high-df), so reported intersections
+      are exact.
+
+    Union completeness: J >= t pair (a, b) — either they share a low-df
+    shingle (path 1) or all common shingles are high-df; the prefix
+    theorem puts one common shingle in both prefixes, and it is high-df
+    (path 2).  Pinned by test_x5_capped_equivalence at a cap low enough
+    (max_df < the corpus's true max df) to exercise both paths."""
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    exd = ex.join(dfreq, "s")
+
+    low = exd.where(F.col("df") <= max_df)
+    la = low.select(F.col("doc_id").alias("doc_a"), "s")
+    lb = low.select(F.col("doc_id").alias("doc_b"), "s")
+    cand_low = (
+        la.join(lb, "s").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+    )
+
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix_high = (
+        exd.select("doc_id", "s", "df", F.row_number().over(w).alias("r"))
+        .join(sizes, "doc_id")
+        .where(
+            (F.col("r") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+            & (F.col("df") > max_df)
+        )
+        .select("doc_id", "s", "n")
+    )
+    pa = prefix_high.select(F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na"))
+    pb = prefix_high.select(F.col("doc_id").alias("doc_b"), "s", F.col("n").alias("nb"))
+    cand_high = (
+        pa.join(pb, "s")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("nb") >= F.lit(t) * F.col("na"))
+            & (F.col("na") >= F.lit(t) * F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
+    )
+
+    cand = cand_low.unionAll(cand_high).distinct()
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    return (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+@_register(
+    "x5_ngram_jaccard_capped",
+    "x5 with the document-frequency guard active: shingles with df > "
+    f"{X5_MAX_DF} never enter the candidate self-join (sum(df²) stays "
+    "linear in the corpus — one viral shingle can no longer quadratic the "
+    "plan); pairs whose overlap is all high-df shingles are recovered "
+    "losslessly via high-df prefix collisions.  Same answer as x5 by "
+    "construction — the oracle is the exact computation.",
+    QUERIES["x5_ngram_jaccard"].oracle,
+    ("dedup", "jaccard", "df-cap", "pipeline"),
+)
+def x5_capped(spark, sf_dir):
+    ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    return _jaccard_from_intersections(ex, _capped_intersections(ex, X5_THRESHOLD, X5_MAX_DF))

@@ -111,7 +111,17 @@ def v1(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # v2: LSH random-hyperplane bucketing (the scale path)
 # ---------------------------------------------------------------------------
-N_PLANES = 8  # 8-bit bucket code → 256 buckets
+# Default calibration — 8 planes → 256 buckets — is the ORACLE-CHECKED DEMO
+# setting, not a corpus-size constant.  Sizing rule for real data: the
+# per-bucket self-join is quadratic in bucket population, so pick
+#   n_planes = ceil(log2(N / target_bucket_size))
+# (buckets ≳ N / target_bucket_size; e.g. N=1e9 vectors, target 1k/bucket →
+# 20 planes).  Recall at a given cosine threshold then comes from banding:
+# run b independent plane-sets of r planes each and union candidates
+# (P[collide] = 1-(1-p^r)^b with p = 1 - θ/π), exactly how x3 bands
+# MinHash.  Every function below takes n_planes as a parameter; capped at
+# 31 so the bucket code stays a signed int.
+N_PLANES = 8
 
 
 def _plane_coef(j: int, i: int) -> int:
@@ -126,8 +136,8 @@ def _sig_bit_sql(j: int, emb: str) -> str:
     return f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)"
 
 
-def lsh_bucket(emb) -> Column:
-    """8-bit random-hyperplane signature as ONE compact column expression:
+def lsh_bucket(emb, n_planes: int = N_PLANES) -> Column:
+    """n-bit random-hyperplane signature as ONE compact column expression:
     per-plane dot product via zip_with + left-fold aggregate over a
     literal coefficient array (index order matches the SQL term order).
     The naive spelling — 8 planes × 64 element_at terms — compiled to a
@@ -135,8 +145,9 @@ def lsh_bucket(emb) -> Column:
     constant-size tree evaluated over the array in one pass per plane.
     Prefer lsh_bucket_table for whole-table signatures — the fold here is
     interpreted (HOF lambdas sit outside whole-stage codegen)."""
+    assert 1 <= n_planes <= 31
     code = F.lit(0)
-    for j in range(N_PLANES):
+    for j in range(n_planes):
         coefs = F.array(*[F.lit(float(_plane_coef(j, i))) for i in range(64)])
         dot = F.aggregate(
             F.zip_with(emb, coefs, lambda x, c: x.cast("double") * c),
@@ -147,7 +158,7 @@ def lsh_bucket(emb) -> Column:
     return code.cast("int")
 
 
-def lsh_bucket_table(e) -> "DataFrame":
+def lsh_bucket_table(e, n_planes: int = N_PLANES) -> "DataFrame":
     """(vec_id, bucket) for a whole embeddings frame, fully inside
     whole-stage codegen: posexplode the vector, derive every plane's
     coefficient arithmetically from (pos, plane) — coef = ((pos*31 +
@@ -167,17 +178,18 @@ def lsh_bucket_table(e) -> "DataFrame":
     buckets are equally valid for a boundary vector) but worth knowing when
     asserting bit-identical signatures across plans.  The testdata corpus
     has no |dot| < 1e-6 cases (checked when this form was A/B'd in)."""
+    assert 1 <= n_planes <= 31
     base = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
     aggs = [
         F.sum(
             F.col("x").cast("double")
             * (F.pmod(F.col("pos") * 31 + j * 17 + 7, F.lit(7)) - 3).cast("double")
         ).alias(f"d{j}")
-        for j in range(N_PLANES)
+        for j in range(n_planes)
     ]
     dots = base.groupBy("vec_id").agg(*aggs)
     code = F.lit(0)
-    for j in range(N_PLANES):
+    for j in range(n_planes):
         code = code + F.when(F.col(f"d{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return dots.select("vec_id", code.cast("int").alias("bucket"))
 
@@ -199,13 +211,39 @@ def lsh_bucket_table(e) -> "DataFrame":
     ("similarity", "lsh", "pipeline"),
 )
 def v2(spark, sf_dir):
+    return lsh_bucket_counts(spark, sf_dir, N_PLANES)
+
+
+def lsh_bucket_counts(spark, sf_dir, n_planes: int) -> "DataFrame":
+    """v2 at any calibration: per-bucket population for an n_planes
+    signature (see the sizing rule at N_PLANES)."""
     e = _emb(spark, sf_dir)
-    sig = lsh_bucket_table(e)
+    sig = lsh_bucket_table(e, n_planes)
     return (
         sig.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
         .orderBy("bucket")
     )
+
+
+@_register(
+    "v2_lsh_bucket_16",
+    "v2 at a second calibration (16 planes → 65536 buckets): the oracle "
+    "pins that plane count is a true parameter, not baked-in — the sizing "
+    "rule (n_planes = ceil(log2(N / target_bucket_size))) needs ~20+ "
+    "planes at real corpus sizes.",
+    f"""
+    WITH sig AS (
+      SELECT vec_id,
+             CAST({" + ".join(_sig_bit_sql(j, "embedding") for j in range(16))} AS INT) AS bucket
+      FROM embeddings)
+    SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+    FROM sig GROUP BY bucket ORDER BY bucket
+    """,
+    ("similarity", "lsh", "pipeline", "calibration"),
+)
+def v2_16(spark, sf_dir):
+    return lsh_bucket_counts(spark, sf_dir, 16)
 
 
 # ---------------------------------------------------------------------------
@@ -234,11 +272,19 @@ NEAR_DUP_COS = 0.85
     ("similarity", "dedup", "lsh", "pipeline"),
 )
 def v3(spark, sf_dir):
+    return embedding_near_dup(spark, sf_dir, N_PLANES)
+
+
+def embedding_near_dup(spark, sf_dir, n_planes: int) -> "DataFrame":
+    """v3 at any calibration: same-bucket candidates re-ranked by exact
+    cosine.  n_planes controls bucket count (2^n_planes) and therefore the
+    per-bucket self-join cost — size it so N/2^n_planes stays around the
+    target bucket population (see the sizing rule at N_PLANES)."""
     e = _emb(spark, sf_dir)
     # checkpoint: the signature table would be recomputed by BOTH sides of
     # the self-join and by the sort sampler; the vec_id join reuses the
     # _emb exchange on one side and the signature groupBy's on the other
-    sig = e.join(lsh_bucket_table(e), "vec_id").localCheckpoint()
+    sig = e.join(lsh_bucket_table(e, n_planes), "vec_id").localCheckpoint()
     a, b = sig.alias("a"), sig.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))

@@ -28,6 +28,27 @@ def test_declared_query_matches_oracle(name, spark, sf_small, oracle):
     compare(sdf, pdf, name)
 
 
+@pytest.mark.parametrize("max_df", [1, 3])
+def test_x5_capped_equivalence(spark, sf_small, max_df):
+    """The df-capped plan is lossless at ANY cap — even max_df=1, where the
+    inverted-index path sees no shared shingle at all and every pair must
+    be recovered through high-df prefix collisions (path 2)."""
+    from fifteenmc_spark.operators.dedup import (
+        X5_THRESHOLD,
+        _capped_intersections,
+        _jaccard_from_intersections,
+        shingle_rows,
+    )
+
+    base = QUERIES["x5_ngram_jaccard"].build(spark, sf_small).collect()
+    ex = shingle_rows(spark, sf_small).localCheckpoint()
+    capped = _jaccard_from_intersections(
+        ex, _capped_intersections(ex, X5_THRESHOLD, max_df)
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, capped))
+    assert len(base) > 0
+
+
 def test_x5_prefix_filter_equivalence(spark, sf_small):
     """The PPJoin prefix-filtered plan (x5's scale path) is lossless: it
     returns exactly the pairs of the plain inverted-index plan."""
