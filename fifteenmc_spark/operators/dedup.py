@@ -12,7 +12,10 @@ Scale design
   AQE-splittable.
 - Jaccard verify runs only on LSH candidates, never all pairs.
 - SimHash: 16-bit signature via md5-derived bit votes; near-dup = equal
-  code (or Hamming ≤ k via code-rotation joins at scale).
+  code (x4) or Hamming ≤ k via the pigeonhole block join (x6): split the
+  code into k+1 bit-blocks — any pair within Hamming k agrees exactly on
+  at least one block, so (block_id, block_value) is the join key and the
+  candidate space is per-bucket, never all-pairs.
 
 Portability: hashes are md5-hex (identical in Spark and DuckDB), minhash =
 lexicographic min of seeded md5 strings — a valid uniform minhash family.
