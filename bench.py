@@ -49,17 +49,27 @@ def main() -> None:
     ).mode("overwrite").save()
 
     runs = int(os.environ.get("BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
+    # Per-query error isolation: one broken query must never lose the whole
+    # round's perf recording (r4 lost BENCH entirely to a single exception).
+    # Failures record null and the line carries bench_partial + the errors.
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name, q in QUERIES.items():
         best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = q.build(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = q.build(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as e:  # noqa: BLE001 — record and keep benching
+            timings[name] = None
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 4)
+    ok = {k: v for k, v in timings.items() if v is not None}
+    total = round(sum(ok.values()), 4)
     out = {
         "metric": "declared_query_suite_runtime",
         "value": total,
@@ -67,6 +77,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["bench_partial"] = True
+        out["bench_errors"] = errors
 
     # DuckDB twin on by default: BASELINE.md defines the perf target as a
     # ratio to DuckDB on the same queries/data, so the recorded bench line
@@ -86,13 +99,21 @@ def main() -> None:
         for name, q in QUERIES.items():
             if q.oracle is None:
                 continue
-            t0 = time.perf_counter()
-            con.execute(q.oracle).fetchall()
-            duck[name] = round(time.perf_counter() - t0, 4)
-        out["duckdb_total"] = round(sum(duck.values()), 4)
+            try:
+                t0 = time.perf_counter()
+                con.execute(q.oracle).fetchall()
+                duck[name] = round(time.perf_counter() - t0, 4)
+            except Exception as e:  # noqa: BLE001
+                errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:300]
+                out["bench_partial"] = True
+                out["bench_errors"] = errors
+        # ratio over queries where BOTH sides succeeded, so a one-sided
+        # failure can't skew the numerator/denominator mismatch
+        both = [k for k in duck if timings.get(k) is not None]
+        out["duckdb_total"] = round(sum(duck[k] for k in both), 4)
         out["duckdb_queries"] = duck
         out["spark_vs_duckdb_ratio"] = round(
-            sum(timings[k] for k in duck) / max(out["duckdb_total"], 1e-9), 4
+            sum(timings[k] for k in both) / max(out["duckdb_total"], 1e-9), 4
         )
 
     print(json.dumps(out))

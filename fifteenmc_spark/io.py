@@ -34,10 +34,24 @@ _NANO_TS_COLS = {"events": ("ts",)}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet source (ref: pd.read_parquet, precompute_poi_reach.py:37)."""
+    """Parquet source (ref: pd.read_parquet, precompute_poi_reach.py:37).
+
+    Timestamp normalization: the testdata has shipped events.ts as both
+    TIMESTAMP(NANOS) (older snapshots) and plain timestamp[us] with no
+    isAdjustedToUTC flag (current), which Spark 4 infers as TIMESTAMP_NTZ —
+    a type unix_micros() / withWatermark() reject.  Both knobs below are
+    runtime-settable so the fix also works when the caller's session (e.g.
+    the driver's) was not built by session.get_spark:
+
+    - ``inferTimestampNTZ.enabled=false`` restores pre-3.4 inference: the
+      int64 micros are read directly as TIMESTAMP (micros-since-epoch; no
+      session-tz shift happens at read time for int64 parquet timestamps),
+      matching DuckDB's naive-UTC reading.
+    - ``nanosAsLong`` keeps the NANOS encoding readable; the long column is
+      converted back to a µs timestamp below.
+    """
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name in _NANO_TS_COLS:
-        # runtime-settable; needed when the caller's session (e.g. the
-        # driver's) was not built by session.get_spark
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, ()):
@@ -49,6 +63,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"({c} - pmod({c}, 1000)) div 1000"))
             )
+    # Defensive: if an NTZ column slipped through anyway (e.g. a table cached
+    # by a foreign session before the conf was set), reinterpret it as an
+    # instant.  NTZ→TIMESTAMP casts through the session zone, so pin UTC
+    # first — otherwise a non-UTC caller session would shift the instants.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for c in ntz_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

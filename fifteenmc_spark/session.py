@@ -48,6 +48,10 @@ def get_spark(
         # testdata events.ts is parquet TIMESTAMP(NANOS) — read as long ns,
         # converted back to timestamp in io.read_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ... and newer testdata ships it as plain timestamp[us] (no tz
+        # flag), which Spark 4 would infer as TIMESTAMP_NTZ — a type
+        # unix_micros()/withWatermark() reject.  Keep pre-3.4 inference.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
