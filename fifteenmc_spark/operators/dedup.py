@@ -44,9 +44,13 @@ def _norm_text(col):
 _NORM_SQL = "REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')"
 
 
-def shingle_rows(spark, sf_dir) -> DataFrame:
+def shingle_rows(spark, sf_dir, distinct: bool = True) -> DataFrame:
     """Distinct word-3-gram shingles, one ROW per (doc_id, shingle).
     Docs shorter than 3 tokens contribute their whole normalized text.
+
+    ``distinct=False`` skips the per-(doc, shingle) dedup hash-aggregate:
+    correct whenever the consumer is idempotent under duplicates (MIN —
+    i.e. minhash).  x3/x5 need true set semantics and keep the default.
 
     Shape notes (each matters ~5-10x at sf0.1):
     - The scan is hash-repartitioned by doc_id up front — the testdata
@@ -77,7 +81,8 @@ def shingle_rows(spark, sf_dir) -> DataFrame:
         .select("doc_id", "s")
     )
     shorts = d.select("doc_id", norm.alias("s")).where(F.size(toks) < 3)
-    return tri.unionAll(shorts).dropDuplicates(["doc_id", "s"])
+    out = tri.unionAll(shorts)
+    return out.dropDuplicates(["doc_id", "s"]) if distinct else out
 
 
 _SHINGLES_SQL = f"""
@@ -184,8 +189,10 @@ def x2(spark, sf_dir):
     # checkpoint before the global sort: the range partitioner samples its
     # child, and with no shuffle boundary below (the signature groupBy
     # reuses the doc_id partitioning) sampling would re-execute the whole
-    # shingle pipeline — measured 2x the query
-    sig = minhash_signatures(shingle_rows(spark, sf_dir)).localCheckpoint()
+    # shingle pipeline — measured 2x the query.
+    # distinct=False: MIN is idempotent under duplicate shingles, so the
+    # per-(doc, shingle) dedup aggregate is pure overhead for minhash.
+    sig = minhash_signatures(shingle_rows(spark, sf_dir, distinct=False)).localCheckpoint()
     return sig.orderBy("doc_id")
 
 
@@ -266,18 +273,12 @@ def x3(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# x4: SimHash signatures
+# x4: SimHash signatures; x6: Hamming<=k near-dup pairs (pigeonhole blocks)
 # ---------------------------------------------------------------------------
 _SIMHASH_BITS = 16
 
-
-@_register(
-    "x4_simhash",
-    "16-bit SimHash per doc: each bit is the majority vote over tokens of "
-    "one md5-hex-digit parity.  Near-dups share codes (Hamming-adjacent "
-    "codes joinable via rotation at scale).  Explode+sum form — the "
-    "aggregation is map-side combinable.",
-    f"""
+# Reusable signature query (no ORDER BY) — x4 wraps it, x6 builds on it.
+_SIMHASH_SIG_SQL = f"""
     WITH tok AS (
       SELECT doc_id, MD5(UNNEST(string_split({_NORM_SQL}, ' '))) AS h
       FROM documents),
@@ -291,28 +292,115 @@ _SIMHASH_BITS = 16
     SELECT doc_id,
            CAST({" + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))}
                 AS BIGINT) AS simhash
-    FROM votes ORDER BY doc_id
-    """,
-    ("dedup", "simhash", "pipeline"),
-)
-def x4(spark, sf_dir):
+    FROM votes
+"""
+
+
+def simhash_codes(spark, sf_dir) -> DataFrame:
+    """(doc_id, simhash): bit j of the 16-bit code is the per-doc majority
+    vote over tokens of md5-hex-digit-(j+1)'s parity.
+
+    Expression shape: TWO base conversions per token instead of sixteen —
+    digits 1-15 come from one conv() of the 15-char hex prefix (a 60-bit
+    BIGINT; digit d's parity is bit 4*(15-d), extracted with shiftright+mod
+    inside codegen), digit 16 from a 1-char conv.  Same output as the
+    digit-at-a-time form (pinned by the x4 oracle, which still computes
+    per-digit STRPOS parities)."""
     # hash-partition by doc_id: spreads the single-file scan AND feeds the
     # vote groupBy without a second exchange
     d = read_table(spark, sf_dir, "documents").repartition(d_spark_parallelism(spark), "doc_id")
-    tok = d.select("doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("t")).select(
-        "doc_id", F.md5(F.col("t").cast("binary")).alias("h")
+    tok = (
+        d.select("doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("t"))
+        .select("doc_id", F.md5(F.col("t").cast("binary")).alias("h"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint").alias("h64"),
+            (F.conv(F.substring("h", 16, 1), 16, 10).cast("bigint") % 2).alias("p15"),
+        )
     )
-    # hex-digit parity: conv(digit,16,10) % 2 ≡ (strpos('0..f',digit)-1) % 2
     votes = tok.groupBy("doc_id").agg(
         *[
-            F.sum(2 * (F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int") % 2) - 1).alias(f"v{j}")
-            for j in range(_SIMHASH_BITS)
-        ]
+            F.sum(2 * (F.shiftright("h64", 4 * (14 - j)) % 2) - 1).alias(f"v{j}")
+            for j in range(_SIMHASH_BITS - 1)
+        ],
+        F.sum(2 * F.col("p15") - 1).alias(f"v{_SIMHASH_BITS - 1}"),
     )
     code = F.lit(0)
     for j in range(_SIMHASH_BITS):
         code = code + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return votes.select("doc_id", code.cast("bigint").alias("simhash")).orderBy("doc_id")
+    return votes.select("doc_id", code.cast("bigint").alias("simhash"))
+
+
+@_register(
+    "x4_simhash",
+    "16-bit SimHash per doc: each bit is the majority vote over tokens of "
+    "one md5-hex-digit parity.  Two base conversions per token (60-bit "
+    "prefix value + 1-digit tail), bit extraction in codegen arithmetic; "
+    "the vote aggregation is map-side combinable.",
+    f"{_SIMHASH_SIG_SQL}    ORDER BY doc_id",
+    ("dedup", "simhash", "pipeline"),
+)
+def x4(spark, sf_dir):
+    return simhash_codes(spark, sf_dir).orderBy("doc_id")
+
+
+X6_HAMMING_K = 1  # block count = k+1; 2 blocks of 8 bits over the 16-bit code
+
+
+@_register(
+    "x6_simhash_hamming",
+    "Near-dup pairs at Hamming distance <= k over the 16-bit SimHash "
+    "(k=1): pigeonhole block join — split each code into k+1 bit-blocks; "
+    "any pair within Hamming k agrees EXACTLY on at least one block, so "
+    "(block_id, block_value) is the join key and the candidate space is "
+    "per-bucket, never all-pairs.  Exact bit_count(xor) verify on "
+    "candidates only.  Catches the 1-bit-off near-dups x4's equal-code "
+    "grouping misses.",
+    f"""
+    WITH sig AS ({_SIMHASH_SIG_SQL}),
+    blocks AS (
+      SELECT doc_id, simhash, 0 AS blk, simhash & 255 AS bval FROM sig
+      UNION ALL
+      SELECT doc_id, simhash, 1 AS blk, simhash >> 8 AS bval FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS ha, b.simhash AS hb
+      FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.bval = b.bval
+      WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {X6_HAMMING_K}
+    ORDER BY doc_a, doc_b
+    """,
+    ("dedup", "simhash", "hamming", "pipeline"),
+)
+def x6(spark, sf_dir):
+    # one small row per doc; checkpoint so the two block projections and the
+    # self-join don't recompute the token pipeline
+    sig = simhash_codes(spark, sf_dir).localCheckpoint()
+    blocks = sig.select(
+        "doc_id", "simhash", F.lit(0).alias("blk"), F.col("simhash").bitwiseAND(F.lit(255)).alias("bval")
+    ).unionAll(
+        sig.select("doc_id", "simhash", F.lit(1).alias("blk"), F.shiftright("simhash", 8).alias("bval"))
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bval") == F.col("b.bval")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.where(ham <= X6_HAMMING_K)
+        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -87,28 +87,50 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int]:
     return (n % 640 + 1, n % 480 + 1)
 
 
+def _segment_batch(payloads):
+    """Whole-batch payload segmentation — the vectorized core shared by m2
+    and m3.  ONE decode for the entire Arrow batch instead of one per row:
+    concatenate payloads, count per-row characters from the UTF-8 start
+    bytes ((b & 0xC0) != 0x80) with cumsum arithmetic.  Returns
+    (buf, byte_lens, char_counts); all downstream per-row stats are
+    differences of prefix sums at the row boundaries."""
+    import numpy as np
+
+    n = len(payloads)
+    buf = b"".join(payloads)
+    byte_lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
+    arr8 = np.frombuffer(buf, dtype=np.uint8)
+    cum_chars = np.concatenate(([0], np.cumsum((arr8 & 0xC0) != 0x80, dtype=np.int64)))
+    bbounds = np.concatenate(([0], np.cumsum(byte_lens)))
+    char_counts = cum_chars[bbounds[1:]] - cum_chars[bbounds[:-1]]
+    return buf, byte_lens, char_counts
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     mapInPandas.  Emits per-asset byte stats plus the batch size it saw
-    (pins down the batch shape in tests)."""
+    (pins down the batch shape in tests).
+
+    Fully vectorized inside the batch (no per-row Python): the batch is
+    decoded ONCE, codepoints are one uint32 reinterpretation, and per-row
+    sums are prefix-sum differences at the row boundaries."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        def cp_sum(b) -> int:
-            # vectorized code-point sum: decode once, reinterpret as uint32
-            return int(
-                np.frombuffer(bytes(b).decode("utf-8").encode("utf-32-le"), dtype=np.uint32).sum()
-            )
-
         for pdf in batches:
-            payloads = pdf["payload"]
+            buf, byte_lens, char_counts = _segment_batch(pdf["payload"])
+            cp = np.frombuffer(
+                buf.decode("utf-8").encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            cpc = np.concatenate(([0], np.cumsum(cp)))
+            cbounds = np.concatenate(([0], np.cumsum(char_counts)))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": payloads.map(len).astype("int32"),
-                    "codepoint_sum": payloads.map(cp_sum).astype("int64"),
+                    "n_bytes": byte_lens.astype("int32"),
+                    "codepoint_sum": cpc[cbounds[1:]] - cpc[cbounds[:-1]],
                     "n_batch_rows": len(pdf),
                 }
             )
@@ -192,21 +214,36 @@ def sample_frames(assets: DataFrame) -> DataFrame:
     import hashlib
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            ids, idxs, lens, md5s = [], [], [], []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                text = bytes(payload).decode("utf-8")
-                for i, off in enumerate(range(0, len(text), FRAME_STRIDE)):
-                    fr = text[off : off + FRAME_LEN]
-                    ids.append(aid)
-                    idxs.append(i)
-                    lens.append(len(fr))
-                    md5s.append(hashlib.md5(fr.encode("utf-8")).hexdigest())
+            # Vectorized 1→N expansion: ONE decode per batch, then the
+            # frame table (asset repeat, per-asset frame index, offsets,
+            # lengths) is pure numpy repeat/arange/cumsum arithmetic.  Only
+            # the md5 digests remain Python — hashing is per-frame by
+            # nature — as a single comprehension over slices of the one
+            # decoded string, no per-frame append loop.
+            buf, _byte_lens, char_counts = _segment_batch(pdf["payload"])
+            big = buf.decode("utf-8")
+            n_frames = np.where(char_counts >= 1, (char_counts - 1) // FRAME_STRIDE + 1, 0)
+            total = int(n_frames.sum())
+            aid = np.repeat(pdf["asset_id"].to_numpy(np.int64), n_frames)
+            grp_start = np.concatenate(([0], np.cumsum(n_frames)))[:-1]
+            fidx = np.arange(total, dtype=np.int64) - np.repeat(grp_start, n_frames)
+            cstart = np.concatenate(([0], np.cumsum(char_counts)))[:-1]
+            off = np.repeat(cstart, n_frames) + fidx * FRAME_STRIDE
+            remaining = np.repeat(cstart + char_counts, n_frames) - off
+            flen = np.minimum(remaining, FRAME_LEN)
+            ends = off + flen
+            md5s = [
+                hashlib.md5(big[o:e].encode("utf-8")).hexdigest()
+                for o, e in zip(off.tolist(), ends.tolist())
+            ]
             yield pd.DataFrame(
                 {
-                    "asset_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "asset_id": aid,
+                    "frame_idx": fidx.astype("int32"),
+                    "frame_len": flen.astype("int32"),
                     "frame_md5": pd.Series(md5s, dtype="object"),
                 }
             )

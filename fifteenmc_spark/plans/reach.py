@@ -357,6 +357,45 @@ def compute_reach(
     )
 
 
+def reach_with_sentinels(reach: DataFrame) -> DataFrame:
+    """SURVEY §1.2 sentinel-compat projection: the engine keeps NULL for
+    not-reachable-within-limit internally (SQL-correct: NULLs drop out of
+    aggregates and comparisons), but the reference's published artifact
+    stores ``inf`` distances/times and ``-1`` poi_ids
+    (precompute_poi_reach.py:8,58-60,95).  This materializes exactly those
+    sentinels at the sink boundary so outputs are hash-comparable with
+    reference .npz dumps."""
+    return reach.select(
+        "node_idx",
+        "category",
+        F.coalesce(F.col("dist_m"), F.lit(float("inf"))).cast("float").alias("dist_m"),
+        F.coalesce(F.col("time_s"), F.lit(float("inf"))).cast("float").alias("time_s"),
+        F.coalesce(F.col("poi_id"), F.lit(-1)).cast("bigint").alias("poi_id"),
+    )
+
+
+def reach_from_sentinels(df: DataFrame) -> DataFrame:
+    """Inverse of reach_with_sentinels — import a reference-shaped table
+    back into NULL semantics (inf→NULL, -1→NULL)."""
+    return df.select(
+        "node_idx",
+        "category",
+        F.when(F.col("dist_m") == float("inf"), F.lit(None)).otherwise(F.col("dist_m")).cast("float").alias("dist_m"),
+        F.when(F.col("time_s") == float("inf"), F.lit(None)).otherwise(F.col("time_s")).cast("float").alias("time_s"),
+        F.when(F.col("poi_id") == -1, F.lit(None)).otherwise(F.col("poi_id")).cast("bigint").alias("poi_id"),
+    )
+
+
+def write_reference_shaped(reach: DataFrame, path: str) -> None:
+    """K3-parity sink: the reach table in the reference's sentinel
+    convention, parquet partitioned by category (the Spark-native stand-in
+    for one npz array set per category key,
+    precompute_poi_reach.py:159-170)."""
+    from ..io import write_parquet
+
+    write_parquet(reach_with_sentinels(reach), path, partition_by=["category"])
+
+
 def reach_summary(
     reach: DataFrame, pois: DataFrame, nodes: DataFrame, limit_m: float = LIMIT_M_DEFAULT
 ) -> DataFrame:

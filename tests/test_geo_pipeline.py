@@ -293,6 +293,31 @@ def test_reach_pivot_shape(reach_ctx):
         assert {f"{c}_dist", f"{c}_time", f"{c}_poi"} <= cols
 
 
+def test_reach_sentinel_sink_roundtrip(reach_ctx, tmp_path):
+    """SURVEY §1.2: NULL internally, inf/-1 only at the reference-shaped
+    sink (precompute_poi_reach.py:8,58-60,95) — and the import path
+    restores NULL semantics exactly."""
+    base = reach_ctx["reach"]
+    out = str(tmp_path / "reach_ref_shaped")
+    reach.write_reference_shaped(base, out)
+    back = base.sparkSession.read.parquet(out)
+    bp = back.toPandas()
+    # sentinel parity: the artifact has NO NULLs; unreachable = inf / -1
+    assert not bp[["dist_m", "time_s", "poi_id"]].isna().any().any()
+    n_null = base.where(F.col("dist_m").isNull()).count()
+    assert n_null > 0, "fixture must exercise the unreachable case"
+    assert int(np.isinf(bp["dist_m"]).sum()) == n_null
+    assert int(np.isinf(bp["time_s"]).sum()) == n_null
+    assert int((bp["poi_id"] == -1).sum()) == n_null
+    # inverse restores NULL semantics exactly
+    cols = ["node_idx", "category", "dist_m", "time_s", "poi_id"]
+    restored = (
+        reach.reach_from_sentinels(back).orderBy("node_idx", "category").toPandas()
+    )
+    want = base.select(*cols).orderBy("node_idx", "category").toPandas()
+    pd.testing.assert_frame_equal(restored, want, check_exact=False, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # G7 point query + G4/G5 path query (B7)
 # ---------------------------------------------------------------------------

@@ -4,6 +4,8 @@ pipeline writing partitioned gold tables."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -165,6 +167,33 @@ def test_accuracy_eval(spark):
     r = evaluate_accuracy(metrics).first()
     # pass iff |map-algo| <= 20 + offset: 10<=25 yes, 60<=30 no, 1<=21 yes, 0 yes
     assert r["n_points"] == 4 and r["n_passed"] == 3 and abs(r["accuracy"] - 0.75) < 1e-9
+
+
+_REF_METRICS_CSV = "/root/reference/Documents/metrics.csv"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_REF_METRICS_CSV), reason="reference metrics.csv not present"
+)
+def test_accuracy_eval_reproduces_published_metrics(spark):
+    """A8 golden eval against the REAL published evaluation table: the
+    reference's only quantitative result is accuracy 0.93 over 100 Gdańsk
+    locations (Documents/metrics.csv, summary cell "0,93").  The
+    decimal-comma reader + evaluate_accuracy must reproduce the published
+    aggregate AND every per-row pass flag."""
+    from fifteenmc_spark.io import read_reference_metrics
+    from fifteenmc_spark.plans.query import evaluate_accuracy
+
+    m = read_reference_metrics(spark, _REF_METRICS_CSV)
+    r = evaluate_accuracy(m).first()
+    assert r["n_points"] == 100
+    assert r["n_passed"] == 93
+    assert abs(r["accuracy"] - 0.93) < 1e-9
+    # per-row agreement with the reference's own zaliczone_jako_poprawne
+    flag = (
+        F.abs(F.col("map_m") - F.col("algo_m")) <= F.lit(20.0) + F.col("offset_m")
+    ).cast("int")
+    assert m.where(flag != F.col("ref_passed")).count() == 0
 
 
 # ---------------------------------------------------------------------------
