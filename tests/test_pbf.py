@@ -1,0 +1,125 @@
+"""S1: .osm.pbf → elements contract → POI classification + graph build.
+
+The fixture .pbf is written by tests/pbf_fixture.py (public PBF format,
+DenseNodes/Ways/Relations over two OSMData blobs) and read back by
+fifteenmc_spark.sources.pbf — covering the ingest gap the reference fills
+with pyrosm (graph_construction.py:216-217, snap_poi_to_nodes.py:118-144)
+and osmium tags-filter (osm_full_data_filter_script.ps1:19-59)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fifteenmc_spark.plans import graph_build, poi
+from fifteenmc_spark.sources import pbf
+
+from .pbf_fixture import write_pbf
+
+NODES = [
+    (100, 18.600, 54.370, {}),
+    (101, 18.602, 54.371, {}),
+    (102, 18.604, 54.372, {}),
+    (103, 18.606, 54.373, {}),
+    (200, 18.6010, 54.3705, {"shop": "supermarket", "name": "S1"}),
+    (201, 18.6030, 54.3715, {"amenity": "pharmacy"}),
+]
+WAYS = [
+    (500, [100, 101, 102], {"highway": "footway"}),
+    (501, [100, 101, 102, 103], {"leisure": "park", "name": "P1"}),
+    (502, [102, 103], {"highway": "motorway"}),  # fast road: graph-filtered
+]
+RELS = [
+    # way-member + node-member, in that order; railway=station → rail_station
+    (900, [("way", 501, "outer"), ("node", 200, "")], {"type": "multipolygon", "railway": "station"}),
+]
+
+
+@pytest.fixture(scope="module")
+def pbf_path(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("pbf") / "fixture.osm.pbf"
+    return write_pbf(str(p), nodes=NODES, ways=WAYS, relations=RELS)
+
+
+@pytest.fixture(scope="module")
+def elements(spark, pbf_path):
+    return pbf.read_pbf_elements(spark, pbf_path, keep_untagged=True).cache()
+
+
+def _coords(nid):
+    n = next(x for x in NODES if x[0] == nid)
+    return (n[1], n[2])
+
+
+def test_pbf_roundtrip_counts_and_tags(spark, pbf_path, elements):
+    rows = {(r["elem_id"], r["elem_type"]): r for r in elements.collect()}
+    assert len(rows) == len(NODES) + len(WAYS) + len(RELS)
+    assert rows[(200, "node")]["tags"] == {"shop": "supermarket", "name": "S1"}
+    assert rows[(502, "way")]["tags"] == {"highway": "motorway"}
+    assert rows[(900, "relation")]["tags"] == {"type": "multipolygon", "railway": "station"}
+    # untagged elements drop from the default (tags-filtered) output
+    tagged = pbf.read_pbf_elements(spark, pbf_path)
+    assert {r["elem_id"] for r in tagged.collect()} == {200, 201, 500, 501, 502, 900}
+
+
+def test_pbf_geometry_resolution(elements):
+    rows = {(r["elem_id"], r["elem_type"]): r for r in elements.collect()}
+    # node: a single point
+    g200 = rows[(200, "node")]["geometry"]
+    assert len(g200) == 1 and abs(g200[0]["lon"] - 18.6010) < 1e-6
+    # way: ordered ref coordinates
+    g500 = [(p["lon"], p["lat"]) for p in rows[(500, "way")]["geometry"]]
+    assert len(g500) == 3
+    for got, nid in zip(g500, [100, 101, 102]):
+        want = _coords(nid)
+        assert abs(got[0] - want[0]) < 1e-6 and abs(got[1] - want[1]) < 1e-6
+    # relation: way-member vertex run then node-member point, member order
+    g900 = [(round(p["lon"], 6), round(p["lat"], 6)) for p in rows[(900, "relation")]["geometry"]]
+    want = [_coords(n) for n in [100, 101, 102, 103]] + [_coords(200)]
+    assert g900 == [(round(lo, 6), round(la, 6)) for lo, la in want]
+
+
+def test_pbf_feeds_classify_pois(elements):
+    pois = poi.classify_pois(elements)
+    got = {(r["poi_id"], r["category"]): r for r in pois.collect()}
+    assert set(got) == {
+        (200, "supermarket"),
+        (201, "pharmacy"),
+        (501, "park"),
+        (900, "rail_station"),
+    }
+    assert got[(200, "supermarket")]["name"] == "S1"
+    # park centroid = vertex average of way 501
+    cs = [_coords(n) for n in [100, 101, 102, 103]]
+    assert abs(got[(501, "park")]["lon"] - sum(c[0] for c in cs) / 4) < 1e-6
+    assert abs(got[(501, "park")]["lat"] - sum(c[1] for c in cs) / 4) < 1e-6
+
+
+def test_pbf_feeds_build_graph(spark, pbf_path):
+    nodes_raw, edges_raw = pbf.pbf_graph_inputs(spark, pbf_path)
+    assert nodes_raw.count() == len(NODES)
+    walkable = graph_build.clean_walkable_edges(edges_raw)
+    segs = {(r["u"], r["v"]) for r in walkable.collect()}
+    # footway 500 contributes its 2 segments; park 501 has no highway tag;
+    # motorway 502 is a fast road — both filtered
+    assert segs == {(100, 101), (101, 102)}
+    nodes, edges = graph_build.build_graph(nodes_raw, walkable)
+    e = edges.collect()
+    assert len(e) == 4  # symmetrized, no self-loops
+    pairs = {(r["src"], r["dst"]) for r in e}
+    assert all((d, s) in pairs for s, d in pairs)
+    assert all(r["w"] > 0 for r in e)
+
+
+def test_pbf_ingest_parquet_roundtrip(spark, pbf_path, tmp_path, elements):
+    out = str(tmp_path / "elements_pq")
+    pbf.ingest_pbf(spark, pbf_path, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 6  # tagged elements only
+    assert {r["elem_type"] for r in back.select("elem_type").distinct().collect()} == {
+        "node",
+        "way",
+        "relation",
+    }
+    # partition pruning by elem_type: a node-only scan reads one partition
+    assert back.where(F.col("elem_type") == "node").count() == 2
