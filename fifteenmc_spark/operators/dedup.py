@@ -544,9 +544,14 @@ def _capped_intersections(ex: DataFrame, t: float, max_df: int) -> DataFrame:
       shingle has df > max_df catches exactly these pairs.  Docs whose
       prefix is all-low-df (every doc with >= prefix-length shingles of
       df <= max_df — the overwhelming majority) contribute NOTHING here.
-    - Verify: candidates from both paths are re-counted against the full
-      index (all shingles, including high-df), so reported intersections
-      are exact.
+    - Verify by SPLIT counting, never a full-index re-join: a pair's
+      intersection = (# common low-df shingles) + (# common high-df
+      shingles).  The low count is the groupBy of the path-1 join itself
+      (already paid for); the high count joins candidates against the
+      high-df slice only — at a healthy cap that slice is the viral tail,
+      a small fraction of the index.  (The previous shape re-joined every
+      candidate against the FULL per-doc shingle lists — measured 4.7x
+      DuckDB at sf0.1; the split form keeps the exact same totals.)
 
     Union completeness: J >= t pair (a, b) — either they share a low-df
     shingle (path 1) or all common shingles are high-df; the prefix
@@ -560,8 +565,11 @@ def _capped_intersections(ex: DataFrame, t: float, max_df: int) -> DataFrame:
     low = exd.where(F.col("df") <= max_df)
     la = low.select(F.col("doc_id").alias("doc_a"), "s")
     lb = low.select(F.col("doc_id").alias("doc_b"), "s")
-    cand_low = (
-        la.join(lb, "s").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+    low_counts = (
+        la.join(lb, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_low"))
     )
 
     w = Window.partitionBy("doc_id").orderBy("df", "s")
@@ -586,14 +594,24 @@ def _capped_intersections(ex: DataFrame, t: float, max_df: int) -> DataFrame:
         .select("doc_a", "doc_b")
     )
 
-    cand = cand_low.unionAll(cand_high).distinct()
-    ea = ex.select(F.col("doc_id").alias("doc_a"), "s")
-    eb = ex.select(F.col("doc_id").alias("doc_b"), "s")
-    return (
-        cand.join(ea, "doc_a")
-        .join(eb, ["doc_b", "s"])
+    cand = low_counts.select("doc_a", "doc_b").unionAll(cand_high).distinct()
+    high = exd.where(F.col("df") > max_df)
+    ha = high.select(F.col("doc_id").alias("doc_a"), "s")
+    hb = high.select(F.col("doc_id").alias("doc_b"), "s")
+    high_counts = (
+        cand.join(ha, "doc_a")
+        .join(hb, ["doc_b", "s"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(F.count(F.lit(1)).alias("n_high"))
+    )
+    return (
+        cand.join(low_counts, ["doc_a", "doc_b"], "left")
+        .join(high_counts, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.coalesce("n_low", F.lit(0)) + F.coalesce("n_high", F.lit(0))).alias("n_common"),
+        )
     )
 
 

@@ -58,3 +58,28 @@ def test_x5_prefix_filter_equivalence(spark, sf_small):
     pf = ngram_jaccard_prefix_filtered(spark, sf_small).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, pf))
     assert len(base) > 0
+
+
+def test_grouped_median_ranged_equivalence(spark):
+    """The ranged-rank median (group-count-independent parallelism — the
+    few-groups-at-scale path for d8's operator) matches exact
+    percentile(0.5) interpolation on a skewed synthetic frame."""
+    from pyspark.sql import functions as F
+
+    from fifteenmc_spark.operators.relational import grouped_median_ranged
+
+    df = spark.range(0, 5001).select(
+        (F.col("id") % 7).alias("g"),
+        (F.hash(F.col("id").cast("string")) % 997).cast("double").alias("v"),
+    )
+    got = {
+        r["g"]: r["median"]
+        for r in grouped_median_ranged(df, ["g"], "v").collect()
+    }
+    want = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g").agg(F.percentile("v", F.lit(0.5)).alias("m")).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
