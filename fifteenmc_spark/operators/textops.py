@@ -303,3 +303,98 @@ def p1(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# p2: deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test gets the remainder
+
+
+@_register(
+    "p2_hash_split",
+    "Deterministic train/val/test assignment: md5(doc_id) bucket in "
+    "0..99 → 80/10/10.  Content-independent and engine-portable (same "
+    "split in any system that can md5 a string) — the property a training "
+    "pipeline needs so re-runs, backfills, and other engines agree on "
+    "membership.  Pure projection: no shuffle, no RNG state.",
+    f"""
+    SELECT doc_id, source,
+           CAST(CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 100 AS INT) AS bucket,
+           CASE WHEN CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+    ("text", "split", "pipeline"),
+)
+def p2(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p3: token-budget sequence packing (training-shard assignment)
+# ---------------------------------------------------------------------------
+PACK_BUDGET_TOKENS = 2048
+
+
+@_register(
+    "p3_pack_sequences",
+    "Greedy sequence packing: within each source, docs in doc_id order "
+    "accumulate into shards of <= ~{} tokens — shard_id = floor(exclusive "
+    "running token total / budget).  The window partitions by source, so "
+    "packing parallelism scales with source count and no global sort "
+    "exists; a doc larger than the budget gets its own shard (the greedy "
+    "rule, same as sequence-packing preprocessors).".format(PACK_BUDGET_TOKENS),
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR(
+             (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+             / {PACK_BUDGET_TOKENS}.0) AS INT) AS shard_id
+    FROM tok ORDER BY source, doc_id
+    """,
+    ("text", "packing", "pipeline"),
+)
+def p3(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", T.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    excl_cum = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return tok.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(excl_cum / float(PACK_BUDGET_TOKENS)).cast("int").alias("shard_id"),
+    ).orderBy("source", "doc_id")
