@@ -37,6 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotated out of the driver's 50-slot window since).
 _CHECK_FIRST = (
     "x6_simhash_hamming",
+    "p2_hash_split",
+    "p3_pack_sequences",
     "x4_simhash",
     "x5_ngram_jaccard",
     "g1_grid_tiles",
