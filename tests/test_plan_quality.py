@@ -142,3 +142,27 @@ def test_range_join_is_bucketed_equi_join(spark, sf_small):
     plan = plan_of(QUERIES["d27_range_join"].build(spark, sf_small))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_x6_hamming_join_is_equi_join(spark, sf_small):
+    # the pigeonhole block join must plan as an equi-join on
+    # (block, value) — a Hamming-radius predicate done naively is a
+    # quadratic nested-loop over all code pairs
+    plan = plan_of(QUERIES["x6_simhash_hamming"].build(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_p2_split_is_pure_projection(spark, sf_small):
+    # deterministic hash split: no hash shuffle at all — bucket and split
+    # derive scan-side (the only exchange is the presentational ORDER BY)
+    plan = plan_of(QUERIES["p2_hash_split"].build(spark, sf_small))
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_p3_packing_single_shuffle(spark, sf_small):
+    # sequence packing shuffles ONCE on source for the window; the running
+    # token total must not add further exchanges
+    plan = plan_of(QUERIES["p3_pack_sequences"].build(spark, sf_small))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Window" in plan
