@@ -272,3 +272,39 @@ def test_geojson_source(spark, tmp_path):
     )
     rows = {(r["name"], r["lon"], r["lat"]) for r in feats.collect()}
     assert rows == {(f"p{i}", 18.6 + i, 54.35) for i in range(3)}
+
+
+# ---------------------------------------------------------------------------
+# K7 plot sinks (SVG twins of the reference's matplotlib previews)
+# ---------------------------------------------------------------------------
+def test_plot_sinks_svg(spark, tmp_path):
+    import xml.etree.ElementTree as ET
+
+    from fifteenmc_spark import plot as plot_sink
+    from fifteenmc_spark.plans import grid
+
+    nodes = spark.createDataFrame(
+        [(0, 18.60, 54.37), (1, 18.61, 54.372), (2, 18.62, 54.371)],
+        "node_idx INT, lon DOUBLE, lat DOUBLE",
+    )
+    edges = spark.createDataFrame(
+        [
+            (18.60, 54.37, 18.61, 54.372, "footway"),
+            (18.61, 54.372, 18.62, 54.371, "residential"),
+        ],
+        "u_lon DOUBLE, u_lat DOUBLE, v_lon DOUBLE, v_lat DOUBLE, highway STRING",
+    )
+    net = plot_sink.write_network_svg(nodes, edges, str(tmp_path / "net.svg"))
+    root = ET.parse(net).getroot()  # well-formed XML
+    tags = [el.tag.rsplit("}", 1)[-1] for el in root.iter()]
+    assert tags.count("line") == 2
+    assert tags.count("circle") == 3
+
+    tiles = grid.generate_tiles(spark, (18.4, 54.2, 18.8, 54.5), tile_km=10.0, buffer_km=2.0)
+    gsvg = plot_sink.write_grid_svg(tiles, str(tmp_path / "grid.svg"))
+    groot = ET.parse(gsvg).getroot()
+    gtags = [el.tag.rsplit("}", 1)[-1] for el in groot.iter()]
+    n_tiles = tiles.count()
+    # one tile rect + one buffer rect per tile (+ the background rect)
+    assert gtags.count("rect") == 2 * n_tiles + 1
+    assert gtags.count("text") == n_tiles
