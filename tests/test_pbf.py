@@ -123,3 +123,47 @@ def test_pbf_ingest_parquet_roundtrip(spark, pbf_path, tmp_path, elements):
     }
     # partition pruning by elem_type: a node-only scan reads one partition
     assert back.where(F.col("elem_type") == "node").count() == 2
+
+
+def test_pbf_random_roundtrip(spark, tmp_path):
+    """Property-style codec roundtrip: random ids (including deltas that
+    zigzag negative), extreme coordinates, and unicode tags survive
+    write_pbf → read_pbf_elements exactly."""
+    import random
+
+    rng = random.Random(42)
+    nodes = []
+    used = set()
+    for _ in range(200):
+        nid = rng.randrange(1, 2**40)
+        if nid in used:
+            continue
+        used.add(nid)
+        lon = rng.uniform(-179.999, 179.999)
+        lat = rng.uniform(-89.999, 89.999)
+        tags = {}
+        if rng.random() < 0.3:
+            tags = {"name": f"zażółć-{nid}", "k" + str(rng.randrange(5)): "v"}
+        nodes.append((nid, lon, lat, tags))
+    # ways over random node subsets (ids descending too — delta < 0)
+    ids = [n[0] for n in nodes]
+    ways = [
+        (10**12 + i, rng.sample(ids, rng.randrange(2, 6)), {"highway": "path"})
+        for i in range(20)
+    ]
+    p = write_pbf(str(tmp_path / "rand.osm.pbf"), nodes=nodes, ways=ways)
+    els = pbf.read_pbf_elements(spark, p, keep_untagged=True)
+    got = {(r["elem_id"], r["elem_type"]): r for r in els.collect()}
+    assert len(got) == len(nodes) + len(ways)
+    for nid, lon, lat, tags in nodes:
+        r = got[(nid, "node")]
+        assert r["tags"] == tags
+        assert abs(r["geometry"][0]["lon"] - lon) < 1e-6
+        assert abs(r["geometry"][0]["lat"] - lat) < 1e-6
+    coords = {n[0]: (n[1], n[2]) for n in nodes}
+    for wid, refs, _tags in ways:
+        g = [(p["lon"], p["lat"]) for p in got[(wid, "way")]["geometry"]]
+        assert len(g) == len(refs)
+        for (glon, glat), ref in zip(g, refs):
+            assert abs(glon - coords[ref][0]) < 1e-6
+            assert abs(glat - coords[ref][1]) < 1e-6
