@@ -370,6 +370,48 @@ def d8(spark, sf_dir):
     )
 
 
+def grouped_prefix_sum_ranged(df, keys: list[str], order_col: str, measure: str, out: str = "cum"):
+    """Per-group running SUM(measure) in ``order_col`` order WITHOUT a
+    per-group window — the W1 running-total twin of grouped_rank_ranged,
+    for the regime where one group outgrows a task (e.g. p3's packing if
+    a single source dominated the corpus):
+
+    1. range-repartition by (keys, order_col), sort within partitions;
+    2. per-(partition, group) measure totals (tiny) → prefix offsets of
+       earlier partitions per group;
+    3. local running sum over the (partition, group) slice — bounded by
+       the partition size, so every task does bounded work — plus the
+       broadcast offset.
+
+    Ties in order_col that straddle a partition boundary make the running
+    total order-ambiguous exactly as they do for any non-unique sort; use
+    a unique order column.  Returns df + ``out`` (inclusive running sum)."""
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(npart, *keys, order_col)
+        .sortWithinPartitions(*keys, order_col)
+        .select(F.spark_partition_id().alias("__pid"), "*")
+        .localCheckpoint()
+    )
+    part_sums = ranged.groupBy("__pid", *keys).agg(F.sum(measure).alias("__s"))
+    w_prev = (
+        Window.partitionBy(*keys).orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = part_sums.select(
+        "__pid", *keys, F.coalesce(F.sum("__s").over(w_prev), F.lit(0)).alias("__off")
+    )
+    w_local = (
+        Window.partitionBy("__pid", *keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(offs), ["__pid", *keys])
+        .withColumn(out, F.sum(measure).over(w_local) + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+
+
 def grouped_median_ranged(df, keys: list[str], value: str, out: str = "median"):
     """Exact per-group median on grouped_rank_ranged — the few-groups ×
     huge-table scale path for d8's operator (no per-group single-reducer

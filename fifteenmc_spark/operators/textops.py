@@ -380,6 +380,10 @@ PACK_BUDGET_TOKENS = 2048
     ("text", "packing", "pipeline"),
 )
 def p3(spark, sf_dir):
+    # If one source ever dominated the corpus (a single group bigger than
+    # a task), swap the window for relational.grouped_prefix_sum_ranged —
+    # the same running total with group-count-independent parallelism
+    # (equivalence-tested).
     from pyspark.sql import Window
 
     d = read_table(spark, sf_dir, "documents")

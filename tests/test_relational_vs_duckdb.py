@@ -83,3 +83,30 @@ def test_grouped_median_ranged_equivalence(spark):
     assert got.keys() == want.keys()
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_grouped_prefix_sum_ranged_equivalence(spark):
+    """The ranged running total (W1's few-groups-at-scale path) matches
+    the plain per-group window on a synthetic frame."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fifteenmc_spark.operators.relational import grouped_prefix_sum_ranged
+
+    df = spark.range(0, 4001).select(
+        (F.col("id") % 5).alias("g"),
+        F.col("id").alias("o"),
+        ((F.col("id") * 37) % 101).cast("long").alias("m"),
+    )
+    got = {
+        (r["g"], r["o"]): r["cum"]
+        for r in grouped_prefix_sum_ranged(df, ["g"], "o", "m").collect()
+    }
+    w = (
+        Window.partitionBy("g").orderBy("o").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["g"], r["o"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("m").over(w)).collect()
+    }
+    assert got == want
