@@ -48,7 +48,9 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    # best-of-N absorbs host-load noise (measured ±2x swings on the same
+    # code within an hour); 3 runs ≈ +45s wall for a much stabler minimum
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     # Per-query error isolation: one broken query must never lose the whole
     # round's perf recording (r4 lost BENCH entirely to a single exception).
     # Failures record null and the line carries bench_partial + the errors.
