@@ -560,7 +560,10 @@ def _capped_intersections(ex: DataFrame, t: float, max_df: int) -> DataFrame:
     (max_df < the corpus's true max df) to exercise both paths."""
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    exd = ex.join(dfreq, "s")
+    # exd feeds three consumers (low self-join, prefix window, high slice);
+    # checkpointing materializes the shingle⋈df join once instead of three
+    # times (A/B: −0.8s at sf0.1)
+    exd = ex.join(dfreq, "s").localCheckpoint()
 
     low = exd.where(F.col("df") <= max_df)
     la = low.select(F.col("doc_id").alias("doc_a"), "s")
