@@ -36,6 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (green in r1/r2 windows and in the judge's pytest oracle re-run, but
 # rotated out of the driver's 50-slot window since).
 _CHECK_FIRST = (
+    "x7_near_dup_clusters",
     "x6_simhash_hamming",
     "p2_hash_split",
     "p3_pack_sequences",

@@ -632,3 +632,102 @@ def _capped_intersections(ex: DataFrame, t: float, max_df: int) -> DataFrame:
 def x5_capped(spark, sf_dir):
     ex = shingle_rows(spark, sf_dir).localCheckpoint()
     return _jaccard_from_intersections(ex, _capped_intersections(ex, X5_THRESHOLD, X5_MAX_DF))
+
+
+# ---------------------------------------------------------------------------
+# x7: near-dup cluster assignment (connected components over x3 pairs)
+# ---------------------------------------------------------------------------
+def near_dup_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components of the near-dup pair graph by iterative
+    hash-min label propagation: every member's cluster_id is the MIN
+    doc_id reachable through near-dup edges — the step a real dedup
+    pipeline needs between pair generation (x3/x5/x6) and keep-one-per-
+    cluster filtering (pairs alone can't pick canonicals: A~B, B~C must
+    collapse to ONE cluster even though A~C was never emitted).
+
+    Each round: push labels across edges, fold with min (map-side
+    combinable), converge when no label changes.  Rounds needed = graph
+    diameter — near-dup components are shallow (dozens of docs), so this
+    terminates in a handful of rounds; for adversarial chain-shaped
+    components at corpus scale, swap in the large-star/small-star
+    contraction (same DataFrame ops, O(log n) rounds).  localCheckpoint
+    per round cuts lineage exactly like the reach frontier loop
+    (plans/reach.py)."""
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+    labels = (
+        e.select(F.col("a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        nbr = e.join(labels, e["a"] == labels["doc_id"]).select(
+            F.col("b").alias("doc_id"), "label"
+        )
+        new = (
+            labels.unionAll(nbr).groupBy("doc_id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+@_register(
+    "x7_near_dup_clusters",
+    "Near-dup CLUSTERS from the x3 pair list: connected components via "
+    "iterative hash-min label propagation (cluster_id = min doc_id in the "
+    "component).  Completes the dedup story — pairs alone cannot pick "
+    "canonicals when A~B and B~C but A~C was never emitted.  Oracle: "
+    "recursive-CTE transitive label closure + MIN.",
+    f"""
+    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({QUERIES["x3_minhash_lsh_pairs"].oracle})),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    r(n, m) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM e)
+      UNION
+      SELECT e.b, r.m FROM r JOIN e ON e.a = r.n
+    )
+    SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id
+    FROM r GROUP BY n ORDER BY doc_id
+    """,
+    ("dedup", "clustering", "graph", "pipeline"),
+)
+def x7(spark, sf_dir):
+    ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    sig = minhash_signatures(ex)
+    bands = sig.select(
+        "doc_id", F.lit(0).alias("band"), F.concat_ws("|", "mh0", "mh1").alias("bkey")
+    ).unionAll(
+        sig.select("doc_id", F.lit(1).alias("band"), F.concat_ws("|", "mh2", "mh3").alias("bkey"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    pairs = (
+        inter.join(sa, "doc_a").join(sb, "doc_b").where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    return near_dup_clusters(pairs).orderBy("doc_id")

@@ -110,3 +110,16 @@ def test_grouped_prefix_sum_ranged_equivalence(spark):
         for r in df.withColumn("cum", F.sum("m").over(w)).collect()
     }
     assert got == want
+
+
+def test_near_dup_clusters_transitivity(spark):
+    """A~B and B~C must land in ONE cluster even though A~C was never an
+    edge; disjoint components keep distinct min-doc_id labels."""
+    from fifteenmc_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 9), (9, 4), (7, 8), (20, 21), (21, 3)],
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert got == {2: 2, 9: 2, 4: 2, 7: 7, 8: 7, 20: 3, 21: 3, 3: 3}
