@@ -11,11 +11,13 @@ Scale design
   per-bucket joins.  Buckets are the shuffle key; skewed buckets are
   AQE-splittable.
 - Jaccard verify runs only on LSH candidates, never all pairs.
-- SimHash: 16-bit signature via md5-derived bit votes; near-dup = equal
-  code (x4) or Hamming ≤ k via the pigeonhole block join (x6): split the
-  code into k+1 bit-blocks — any pair within Hamming k agrees exactly on
-  at least one block, so (block_id, block_value) is the join key and the
-  candidate space is per-bucket, never all-pairs.
+- SimHash: md5-derived bit votes at a PARAMETERIZED width; near-dup =
+  equal code (x4) or Hamming ≤ k via the pigeonhole block join (x6):
+  split the code into k+1 bit-blocks — any pair within Hamming k agrees
+  exactly on at least one block, so (block_id, block_value) is the join
+  key and the candidate space is per-bucket, never all-pairs.  The
+  16-bit x4/x6 rows are the oracle-parity demo; x4_64/x6_64 pin the
+  corpus-scale 64-bit calibration (sizing rule at SIMHASH_WIDE_BITS).
 
 Portability: hashes are md5-hex (identical in Spark and DuckDB), minhash =
 lexicographic min of seeded md5 strings — a valid uniform minhash family.
@@ -234,6 +236,15 @@ def x3(spark, sf_dir):
     # shingle rows checkpointed once (small: one string row per distinct
     # shingle) and reused by signatures, sizes, and the pair intersection
     ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    return lsh_jaccard_pairs(ex).orderBy("doc_a", "doc_b")
+
+
+def lsh_jaccard_pairs(ex: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs from shingle ROWS: LSH band
+    candidates verified by exact shingle-set Jaccard >= threshold.  The
+    single source of the x3 pipeline — x3 (pair list) and x7 (cluster
+    assignment) both call this, so a banding change can never
+    desynchronize the two declared queries."""
     sig = minhash_signatures(ex)
     bands = sig.select(
         "doc_id", F.lit(0).alias("band"), F.concat_ws("|", "mh0", "mh1").alias("bkey")
@@ -266,9 +277,8 @@ def x3(spark, sf_dir):
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .where(jac >= JACCARD_THRESHOLD)
+        .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -404,6 +414,171 @@ def x6(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# x4_64 / x6_64: width-parameterized SimHash — the corpus-scale calibration
+# ---------------------------------------------------------------------------
+# Sizing rule (mirrors v2's n_planes, similarity.py): for Hamming radius k
+# over a W-bit code, the pigeonhole join splits the code into k+1 blocks of
+# W/(k+1) bits → 2^(W/(k+1)) buckets per block, candidate volume ~
+# (k+1) · N² / 2^(W/(k+1)).  The 16-bit demo above (x4/x6) keeps its
+# original oracle; at corpus scale 16-bit codes mean 8-bit blocks = 256
+# buckets = N²/256 candidates — still quadratic.  The 64-bit calibration
+# below (k=3 → 4 blocks of 16 bits = 65 536 buckets per block) is the
+# 100 TB setting; recall at a given cosine-similarity level comes from
+# permuted extra tables exactly as x3 bands MinHash.
+SIMHASH_WIDE_BITS = 64
+X6_64_HAMMING_K = 3
+
+
+def simhash_codes_wide(spark, sf_dir, bits: int = SIMHASH_WIDE_BITS) -> DataFrame:
+    """(doc_id, simhash64): up-to-64-bit SimHash — code bit j is the
+    per-doc majority vote over tokens of bit j of the token-md5's 64-bit
+    prefix.  Same two-base-conversions-per-token shape as the 16-bit
+    demo: bits 0-3 come from the 16th hex digit, bits 4-63 from the
+    60-bit value of digits 1-15; all bit extraction is shiftright/mod
+    arithmetic inside codegen, and the vote aggregation is map-side
+    combinable (the only shuffle carries `bits` partial sums per doc)."""
+    assert 4 <= bits <= 64
+    d = read_table(spark, sf_dir, "documents").repartition(d_spark_parallelism(spark), "doc_id")
+    tok = (
+        d.select("doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("t"))
+        .select("doc_id", F.md5(F.col("t").cast("binary")).alias("h"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint").alias("h60"),
+            F.conv(F.substring("h", 16, 1), 16, 10).cast("bigint").alias("p4"),
+        )
+    )
+
+    def bit(j):
+        return (F.shiftright("p4", j) if j < 4 else F.shiftright("h60", j - 4)) % 2
+
+    votes = tok.groupBy("doc_id").agg(
+        *[F.sum(2 * bit(j) - 1).alias(f"v{j}") for j in range(bits)]
+    )
+    # assemble with bitwise OR of shifted bits, not +: bit 63 is the sign
+    # bit of a signed BIGINT — shiftleft wraps (Java semantics) where an
+    # arithmetic sum would overflow under ANSI
+    code = F.lit(0).cast("bigint")
+    for j in range(bits):
+        code = code.bitwiseOR(
+            F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return votes.select("doc_id", code.alias("simhash64"))
+
+
+def _simhash_wide_sig_sql(bits: int = SIMHASH_WIDE_BITS) -> str:
+    def bit(j):
+        return f"((p4 >> {j}) & 1)" if j < 4 else f"((h60 >> {j - 4}) & 1)"
+
+    votes = ",\n             ".join(f"SUM(2 * {bit(j)} - 1) AS v{j}" for j in range(bits))
+    terms = []
+    for j in range(bits):
+        if j == 63:
+            # DuckDB raises on 1::BIGINT << 63 (overflow-checked shift);
+            # spell the sign bit as the min-BIGINT literal instead
+            terms.append(
+                f"(CASE WHEN v{j} > 0 THEN (-9223372036854775807 - 1) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            )
+        else:
+            terms.append(
+                f"(CASE WHEN v{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            )
+    code = " | ".join(terms)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, MD5(UNNEST(string_split({_NORM_SQL}, ' '))) AS h
+      FROM documents),
+    tokbits AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', SUBSTR(h, 1, 15)) AS BIGINT) AS h60,
+             CAST(CONCAT('0x', SUBSTR(h, 16, 1)) AS BIGINT) AS p4
+      FROM tok),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM tokbits GROUP BY doc_id)
+    SELECT doc_id, ({code}) AS simhash64
+    FROM votes
+"""
+
+
+@_register(
+    "x4_simhash_64",
+    "x4 at the corpus-scale calibration (64-bit codes): the oracle pins "
+    "that SimHash width is a true parameter, not baked-in — 16-bit codes "
+    "collapse to 256-bucket pigeonhole blocks (still quadratic) while "
+    "64-bit blocks give 65 536 buckets (see the sizing rule at "
+    "SIMHASH_WIDE_BITS).",
+    f"{_simhash_wide_sig_sql()}    ORDER BY doc_id",
+    ("dedup", "simhash", "pipeline", "calibration"),
+)
+def x4_64(spark, sf_dir):
+    return simhash_codes_wide(spark, sf_dir).orderBy("doc_id")
+
+
+@_register(
+    "x6_simhash_hamming_64",
+    f"x6 at the corpus-scale calibration: Hamming <= {X6_64_HAMMING_K} "
+    "over 64-bit SimHash via 4 pigeonhole blocks of 16 bits — 65 536 "
+    "buckets per block keeps the candidate space ~4·N²/65536 instead of "
+    "the 16-bit demo's N²/256.  Same exact bit_count(xor) verify.",
+    f"""
+    WITH sig AS ({_simhash_wide_sig_sql()}),
+    blocks AS (
+      SELECT doc_id, simhash64, bl.blk,
+             (simhash64 >> (16 * bl.blk)) & 65535 AS bval
+      FROM sig, (SELECT UNNEST([0, 1, 2, 3]) AS blk) bl),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash64 AS ha, b.simhash64 AS hb
+      FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.bval = b.bval
+      WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {X6_64_HAMMING_K}
+    ORDER BY doc_a, doc_b
+    """,
+    ("dedup", "simhash", "hamming", "pipeline", "calibration"),
+)
+def x6_64(spark, sf_dir):
+    sig = simhash_codes_wide(spark, sf_dir).localCheckpoint()
+    parts = [
+        sig.select(
+            "doc_id",
+            "simhash64",
+            F.lit(blk).alias("blk"),
+            F.shiftright("simhash64", 16 * blk).bitwiseAND(F.lit(65535)).alias("bval"),
+        )
+        for blk in range(X6_64_HAMMING_K + 1)
+    ]
+    blocks = parts[0]
+    for p in parts[1:]:
+        blocks = blocks.unionAll(p)
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bval") == F.col("b.bval")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash64").alias("ha"),
+            F.col("b.simhash64").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.where(ham <= X6_64_HAMMING_K)
+        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # x5: exact n-gram Jaccard near-dup pairs via prefix filtering (no LSH)
 # ---------------------------------------------------------------------------
 X5_THRESHOLD = 0.5
@@ -522,7 +697,15 @@ def ngram_jaccard_prefix_filtered(spark, sf_dir, t: float = X5_THRESHOLD) -> Dat
     return _jaccard_from_intersections(ex, _prefix_filtered_intersections(ex, t), t)
 
 
-X5_MAX_DF = 8  # document-frequency cap for the capped variant's index join
+# Document-frequency cap for the capped variant's index join.  Sizing: the
+# plain index join's volume is sum(df²); shingles at df <= cap contribute at
+# most cap · |shingle rows| — linear in the corpus.  64 is far above the df
+# any genuine near-dup shingle reaches in this corpus family (measured max
+# df: 7 at sf0.01, 25 at sf0.1) while still catching boilerplate/viral
+# shingles (df ~ corpus fraction) long before they quadratic the join.  At
+# 100 TB, size it as a small multiple of the expected near-dup cluster
+# width, NOT of the corpus.
+X5_MAX_DF = 64
 
 
 def _capped_intersections(ex: DataFrame, t: float, max_df: int) -> DataFrame:
@@ -620,44 +803,73 @@ def _capped_intersections(ex: DataFrame, t: float, max_df: int) -> DataFrame:
 
 @_register(
     "x5_ngram_jaccard_capped",
-    "x5 with the document-frequency guard active: shingles with df > "
-    f"{X5_MAX_DF} never enter the candidate self-join (sum(df²) stays "
-    "linear in the corpus — one viral shingle can no longer quadratic the "
-    "plan); pairs whose overlap is all high-df shingles are recovered "
-    "losslessly via high-df prefix collisions.  Same answer as x5 by "
-    "construction — the oracle is the exact computation.",
+    "x5 with the document-frequency guard: when the measured max df "
+    f"exceeds {X5_MAX_DF}, shingles above the cap never enter the "
+    "candidate self-join (sum(df²) stays linear — one viral shingle can "
+    "no longer quadratic the plan) and all-high-df pairs are recovered "
+    "losslessly via high-df prefix collisions; when max df is within the "
+    "cap (this corpus), a one-scalar dispatch picks the plain index join "
+    "— the guard paths are provably empty.  Same answer as x5 either "
+    "way — the oracle is the exact computation.",
     QUERIES["x5_ngram_jaccard"].oracle,
     ("dedup", "jaccard", "df-cap", "pipeline"),
 )
 def x5_capped(spark, sf_dir):
+    # Measured dispatch (same pattern as the reach strategies and d8): when
+    # the corpus's MAX document frequency is within the cap, path 2 and the
+    # split verify of the capped plan are provably empty — the df-capped
+    # machinery would only re-derive the plain index join at ~3x the cost
+    # (measured 4.6 s vs 1.2 s at sf0.1).  One scalar aggregate over the
+    # dfreq table (already a required input of either plan) decides.
     ex = shingle_rows(spark, sf_dir).localCheckpoint()
-    return _jaccard_from_intersections(ex, _capped_intersections(ex, X5_THRESHOLD, X5_MAX_DF))
+    max_df = (
+        ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).agg(F.max("df")).first()[0]
+    )
+    if max_df is not None and max_df <= X5_MAX_DF:
+        inter = _index_join_intersections(ex)
+    else:
+        inter = _capped_intersections(ex, X5_THRESHOLD, X5_MAX_DF)
+    return _jaccard_from_intersections(ex, inter)
 
 
 # ---------------------------------------------------------------------------
 # x7: near-dup cluster assignment (connected components over x3 pairs)
 # ---------------------------------------------------------------------------
-def near_dup_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
-    """Connected components of the near-dup pair graph by iterative
-    hash-min label propagation: every member's cluster_id is the MIN
-    doc_id reachable through near-dup edges — the step a real dedup
-    pipeline needs between pair generation (x3/x5/x6) and keep-one-per-
-    cluster filtering (pairs alone can't pick canonicals: A~B, B~C must
-    collapse to ONE cluster even though A~C was never emitted).
+def near_dup_clusters(
+    pairs: DataFrame, max_rounds: int = 20, strategy: str = "auto"
+) -> DataFrame:
+    """Connected components of the near-dup pair graph: every member's
+    cluster_id is the MIN doc_id reachable through near-dup edges — the
+    step a real dedup pipeline needs between pair generation (x3/x5/x6)
+    and keep-one-per-cluster filtering (pairs alone can't pick canonicals:
+    A~B, B~C must collapse to ONE cluster even though A~C was never
+    emitted).
 
-    Each round: push labels across edges, fold with min (map-side
-    combinable), converge when no label changes.  Rounds needed = graph
-    diameter — near-dup components are shallow (dozens of docs), so this
-    terminates in a handful of rounds; for adversarial chain-shaped
-    components at corpus scale, swap in the large-star/small-star
-    contraction (same DataFrame ops, O(log n) rounds).  localCheckpoint
-    per round cuts lineage exactly like the reach frontier loop
-    (plans/reach.py)."""
+    Strategies (equivalence-tested against each other on a chain graph):
+    - ``"propagate"`` — hash-min label propagation: push labels across
+      edges, fold with MIN (map-side combinable), converge when no label
+      changes.  Rounds = component diameter: right for the near-dup
+      regime, where components are shallow (dozens of docs).  RAISES
+      RuntimeError if ``max_rounds`` rounds don't converge — never
+      silently returns truncated labels.
+    - ``"star"`` — alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+      O(log² n) rounds regardless of diameter — the 100 TB path for
+      adversarial chain-shaped components.
+    - ``"auto"`` (default) — propagate, fall back to star if propagation
+      hits ``max_rounds`` without converging: shallow components pay the
+      cheap path, pathological ones still finish correctly.
+
+    localCheckpoint per round cuts lineage exactly like the reach
+    frontier loop (plans/reach.py)."""
+    if strategy == "star":
+        return _clusters_star(pairs, max_rounds)
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
     labels = (
         e.select(F.col("a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
     ).localCheckpoint()
+    converged = False
     for _ in range(max_rounds):
         nbr = e.join(labels, e["a"] == labels["doc_id"]).select(
             F.col("b").alias("doc_id"), "label"
@@ -674,8 +886,79 @@ def near_dup_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        if strategy == "auto":
+            return _clusters_star(pairs, max_rounds)
+        raise RuntimeError(
+            f"near_dup_clusters: label propagation did not converge in "
+            f"{max_rounds} rounds (component diameter exceeds max_rounds); "
+            f"use strategy='star' for deep components"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def _clusters_star(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components by alternating large-star/small-star edge
+    contraction — O(log² n) rounds independent of component diameter.
+
+    Each round rewrites the undirected edge set (kept symmetric+deduped as
+    its canonical form):
+    - large-star: every node u attaches its strictly-LARGER neighbors to
+      m(u) = min(Γ(u) ∪ {u});
+    - small-star: every node u attaches its smaller neighbors AND itself
+      to m(u).
+    Both steps preserve connectivity and monotonically pull components
+    toward stars rooted at the component minimum; convergence = the edge
+    set stops changing, at which point every node's m(u) IS its component
+    min.  All steps are plain groupBy-min + join — map-side combinable,
+    no driver state."""
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e = (
+        e.where(F.col("a") != F.col("b"))
+        .unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(2 * max_rounds):
+        # a path graph is a fixed point of small-star ALONE, so convergence
+        # requires zero change across BOTH phases of one iteration
+        changed_any = 0
+        for large in (True, False):
+            mins = e.groupBy("a").agg(F.min("b").alias("mb")).select(
+                "a", F.least("a", "mb").alias("m")
+            )
+            attached = e.join(mins, "a")
+            if large:
+                out = attached.where(F.col("b") > F.col("a")).select(
+                    F.col("b").alias("a"), F.col("m").alias("b")
+                )
+            else:
+                out = attached.where(F.col("b") < F.col("a")).select(
+                    F.col("b").alias("a"), F.col("m").alias("b")
+                ).unionAll(mins.select("a", F.col("m").alias("b")))
+            out = out.where(F.col("a") != F.col("b")).distinct()
+            new_e = (
+                out.unionAll(out.select(F.col("b").alias("a"), F.col("a").alias("b")))
+                .distinct()
+                .localCheckpoint()
+            )
+            changed_any += (
+                new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
+            )
+            e = new_e
+        if changed_any == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters(star): edge set did not stabilize in "
+            f"{2 * max_rounds} star rounds — pathological input"
+        )
+    labels = e.groupBy("a").agg(F.min("b").alias("mb")).select(
+        "a", F.least("a", "mb").alias("m")
+    )
+    return labels.select(F.col("a").alias("doc_id"), F.col("m").alias("cluster_id"))
 
 
 @_register(
@@ -701,33 +984,31 @@ def near_dup_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
 )
 def x7(spark, sf_dir):
     ex = shingle_rows(spark, sf_dir).localCheckpoint()
-    sig = minhash_signatures(ex)
-    bands = sig.select(
-        "doc_id", F.lit(0).alias("band"), F.concat_ws("|", "mh0", "mh1").alias("bkey")
-    ).unionAll(
-        sig.select("doc_id", F.lit(1).alias("band"), F.concat_ws("|", "mh2", "mh3").alias("bkey"))
+    pairs = lsh_jaccard_pairs(ex).select("doc_a", "doc_b")
+    return near_dup_clusters(pairs).orderBy("doc_id")
+
+
+@_register(
+    "x7_hamming_clusters",
+    "x7 over a SECOND pair source: connected components of the x6 SimHash "
+    "Hamming<=k pair graph (near_dup_clusters is pair-source-generic — "
+    "the cluster step composes with any of x3/x5/x6).  Oracle: the same "
+    "recursive-CTE transitive closure over the x6 oracle.",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({QUERIES["x6_simhash_hamming"].oracle})),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    r(n, m) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM e)
+      UNION
+      SELECT e.b, r.m FROM r JOIN e ON e.a = r.n
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ea = ex.select(F.col("doc_id").alias("doc_a"), "s")
-    eb = ex.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        cand.join(ea, "doc_a")
-        .join(eb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    pairs = (
-        inter.join(sa, "doc_a").join(sb, "doc_b").where(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
+    SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id
+    FROM r GROUP BY n ORDER BY doc_id
+    """,
+    ("dedup", "clustering", "simhash", "graph", "pipeline"),
+)
+def x7_hamming(spark, sf_dir):
+    pairs = QUERIES["x6_simhash_hamming"].build(spark, sf_dir).select("doc_a", "doc_b")
     return near_dup_clusters(pairs).orderBy("doc_id")

@@ -112,14 +112,47 @@ def test_grouped_prefix_sum_ranged_equivalence(spark):
     assert got == want
 
 
-def test_near_dup_clusters_transitivity(spark):
+@pytest.mark.parametrize("strategy", ["propagate", "star", "auto"])
+def test_near_dup_clusters_transitivity(spark, strategy):
     """A~B and B~C must land in ONE cluster even though A~C was never an
-    edge; disjoint components keep distinct min-doc_id labels."""
+    edge; disjoint components keep distinct min-doc_id labels — under
+    every strategy."""
     from fifteenmc_spark.operators.dedup import near_dup_clusters
 
     pairs = spark.createDataFrame(
         [(2, 9), (9, 4), (7, 8), (20, 21), (21, 3)],
         "doc_a BIGINT, doc_b BIGINT",
     )
-    got = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(pairs, strategy=strategy).collect()
+    }
     assert got == {2: 2, 9: 2, 4: 2, 7: 7, 8: 7, 20: 3, 21: 3, 3: 3}
+
+
+def test_near_dup_clusters_chain_convergence(spark):
+    """A 50-node chain (diameter 49): 'propagate' at max_rounds=5 must
+    RAISE (never silently return truncated labels), 'star' converges in
+    O(log n) star rounds regardless of diameter, and 'auto' falls back
+    from exhausted propagation to star and still returns correct labels."""
+    from fifteenmc_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 149)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    want = {i: 100 for i in range(100, 150)}
+
+    got_star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(pairs, strategy="star").collect()
+    }
+    assert got_star == want
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(pairs, max_rounds=5, strategy="propagate")
+
+    got_auto = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(pairs, max_rounds=5, strategy="auto").collect()
+    }
+    assert got_auto == want
