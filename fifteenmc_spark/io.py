@@ -66,12 +66,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Defensive: if an NTZ column slipped through anyway (e.g. a table cached
     # by a foreign session before the conf was set), reinterpret it as an
     # instant.  NTZ→TIMESTAMP casts through the session zone, so pin UTC
-    # first — otherwise a non-UTC caller session would shift the instants.
+    # around the (eagerly analyzed) cast and RESTORE the caller's zone —
+    # permanently mutating a non-UTC foreign session would silently change
+    # timestamp formatting for its unrelated queries after this read.
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz_cols:
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        for c in ntz_cols:
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        try:
+            for c in ntz_cols:
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return df
 
 

@@ -200,20 +200,41 @@ def shortest_paths_bounded(
     if strategy == "auto" and n_edges <= LOCAL_EDGE_THRESHOLD:
         return shortest_paths_bounded_local(edges, seeds, limit_m, track_prev)
     spark = edges.sparkSession
-    # AQE off for the loop: each tiny round otherwise pays query-stage
-    # materialization + re-optimization overhead (measured 28% slower on a
-    # 10k-node lattice); restored in the finally below.
-    #
-    # NOT thread-safe: these are session-global confs, so a concurrent query
-    # on the SAME SparkSession runs with AQE off and the loop's shuffle
-    # partition count while the loop is live (results stay correct; plans
-    # may be worse).  DataFrames cannot cross sessions, so the loop cannot
-    # scope itself — concurrent callers should build their inputs on a
-    # dedicated `spark.newSession()` (shares the SparkContext and cache,
-    # isolates conf) and run the loop there.
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # The loop tunes session-global confs: AQE off (each tiny round
+    # otherwise pays query-stage materialization + re-optimization —
+    # measured 28% slower on a 10k-node lattice) and a graph-sized shuffle
+    # partition count.  It runs on a PRIVATE spark.newSession() — same
+    # SparkContext, block manager, and cache; its own SQLConf — so a
+    # concurrent query on the caller's session keeps its own planner
+    # settings (pinned by test_reach_loop_does_not_leak_conf).  DataFrames
+    # can't cross sessions directly; global temp views (context-scoped)
+    # carry the inputs in and the result out, and the result's lineage
+    # bottoms out in localCheckpoint blocks, so it stays executable after
+    # the views are dropped.
+    import uuid
+
+    tag = f"reach_loop_{uuid.uuid4().hex}"
+    loop = spark.newSession()
+    # Materialize both inputs to LogicalRDD leaves BEFORE registering the
+    # views: edges and seeds typically derive from the same base frames
+    # (nodes/graph), and carrying those shared subplans (and exprIds) into
+    # the loop session trips Union constraint rewriting during the state
+    # merge (NoSuchElementException in AttributeMap).  Checkpointing cuts
+    # the lineage so each view is a self-contained leaf; the loop cached
+    # the (repartitioned) edges anyway, so this adds no extra scan.
+    edges.localCheckpoint().createOrReplaceGlobalTempView(f"{tag}_edges")
+    seeds.localCheckpoint().createOrReplaceGlobalTempView(f"{tag}_seeds")
+    edges = loop.table(f"global_temp.{tag}_edges")
+    seeds = loop.table(f"global_temp.{tag}_seeds")
+    parts_was = loop.conf.get("spark.sql.shuffle.partitions", "200")
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    # Constraint propagation off for the loop (another knob the private
+    # session makes safe to set): Union constraint rewriting trips a
+    # NoSuchElementException in AttributeMap when the state-merge union
+    # mixes checkpointed LogicalRDDs with plans referencing the shared
+    # CacheManager's in-memory relations, and inferred-filter pushdown
+    # buys nothing for these tiny per-round plans anyway.
+    loop.conf.set("spark.sql.constraintPropagation.enabled", "false")
     try:
         # with AQE off, every round would otherwise shuffle into the full
         # session partition count even for a tiny tile graph (32 scheduled
@@ -222,7 +243,7 @@ def shortest_paths_bounded(
         # coalescing would have picked (~50k edges per shuffle partition
         # keeps rounds in-memory); n_edges was counted at dispatch.
         loop_parts = max(1, min(int(parts_was), n_edges // 50_000 + 1))
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        loop.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
         edges = edges.repartition(loop_parts, "src").cache()
 
         val_cols = ["dist_m", "poi_id"] + (["prev"] if track_prev else [])
@@ -305,11 +326,16 @@ def shortest_paths_bounded(
             state = state.localCheckpoint()  # cut lineage before edges unpersist
         out = state.select("node_idx", "category", F.col("v.dist_m").alias("dist_m"), F.col("v.poi_id").alias("poi_id"),
                            *([F.col("v.prev").alias("prev")] if track_prev else []))
+        # re-root the result in the CALLER's session: state is fully
+        # checkpointed, so the resolved plan is a thin projection over
+        # pinned blocks and survives the view drop below
+        out.createOrReplaceGlobalTempView(f"{tag}_out")
+        res = spark.table(f"global_temp.{tag}_out")
         edges.unpersist()
-        return out
+        return res
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
-        spark.conf.set("spark.sql.shuffle.partitions", parts_was)
+        for v in ("edges", "seeds", "out"):
+            spark.catalog.dropGlobalTempView(f"{tag}_{v}")
 
 
 def compute_reach(

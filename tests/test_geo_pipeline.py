@@ -238,6 +238,46 @@ def test_reach_hop_batching_equivalent(fx, reach_ctx, hops):
     pd.testing.assert_frame_equal(batched, base, check_exact=False, atol=1e-6)
 
 
+def test_reach_loop_does_not_leak_conf(fx, reach_ctx, spark):
+    """The frontier loop's planner tuning (AQE off, graph-sized shuffle
+    partitions) runs on a private newSession(): the CALLER session's conf
+    is untouched both while the loop is live (polled from a concurrent
+    thread) and after it returns."""
+    import threading
+    import time
+
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    parts_before = spark.conf.get("spark.sql.shuffle.partitions")
+    observed: list[tuple[str, str]] = []
+    done = threading.Event()
+
+    def poll():
+        while not done.is_set():
+            observed.append(
+                (
+                    spark.conf.get("spark.sql.adaptive.enabled"),
+                    spark.conf.get("spark.sql.shuffle.partitions"),
+                )
+            )
+            time.sleep(0.02)
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        out = reach.compute_reach(
+            fx["gnodes"], fx["gedges"], reach_ctx["pois_sdf"], limit_m=LIMIT_M,
+            strategy="frontier",
+        ).toPandas()
+    finally:
+        done.set()
+        t.join()
+    assert len(out) > 0
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts_before
+    bad = [o for o in observed if o != (aqe_before, parts_before)]
+    assert not bad, f"caller-session conf changed mid-loop: {bad[:3]}"
+
+
 def test_reach_local_strategy_equivalent(fx, reach_ctx):
     # one-task heap Dijkstra and the distributed frontier loop are the
     # same operator: identical (node, category, dist, poi) tables
