@@ -1047,8 +1047,9 @@ def asof_join(
     """Generic backward as-of join (Spark has no ASOF operator): every
     left row gains the ``payload_cols`` of the right row with the greatest
     ``right_time`` <= ``left_time`` within the same key (ties on time:
-    greatest ``tiebreak``, defaulting to the first payload column); NULLs
-    when no right row precedes.
+    greatest ``tiebreak``, defaulting to the first payload column; a NULL
+    tiebreak loses to any non-NULL — i.e. oracle ``ORDER BY tb DESC NULLS
+    LAST`` semantics); NULLs when no right row precedes.
 
     Plan: union-tag both sides, ONE hash shuffle on the key, sort within
     partitions by (time, side, tiebreak), then last-non-null over an
@@ -1084,7 +1085,7 @@ def asof_join(
     )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side", "__tb")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -27,6 +27,15 @@ _PALETTE = (
 )
 
 
+def _hash_sample(df: DataFrame, n: int) -> list:
+    """Deterministic, extent-covering down-sample: order by a hash of the
+    row and take the top ``n`` (TakeOrderedAndProject — distributed-side).
+    Unlike ``.limit(n)`` (first partitions ⇒ one spatially contiguous
+    corner), a hash order draws a reproducible spread over the whole
+    extent regardless of input partitioning."""
+    return df.orderBy(F.hash(*df.columns)).limit(n).collect()
+
+
 def _scaler(min_x, max_x, min_y, max_y, width, height, pad):
     span_x = max(max_x - min_x, 1e-12)
     span_y = max(max_y - min_y, 1e-12)
@@ -54,12 +63,13 @@ def write_network_svg(
 
     ``edges`` needs (u_lon, u_lat, v_lon, v_lat[, highway]); ``nodes``
     needs (lon, lat).  Inputs above the caps are down-sampled
-    distributed-side with a deterministic TABLESAMPLE-free limit."""
+    distributed-side by deterministic hash order (see ``_hash_sample``) so
+    the preview covers the whole extent reproducibly."""
     e_cols = ["u_lon", "u_lat", "v_lon", "v_lat"] + (
         ["highway"] if "highway" in edges.columns else []
     )
-    e = edges.select(*e_cols).limit(max_edges).collect()
-    n = nodes.select("lon", "lat").limit(max_nodes).collect()
+    e = _hash_sample(edges.select(*e_cols), max_edges)
+    n = _hash_sample(nodes.select("lon", "lat"), max_nodes)
     xs = [r["lon"] for r in n] + [r["u_lon"] for r in e] + [r["v_lon"] for r in e]
     ys = [r["lat"] for r in n] + [r["u_lat"] for r in e] + [r["v_lat"] for r in e]
     if not xs:
@@ -86,6 +96,81 @@ def write_network_svg(
     for r in n:
         x, y = to_px(r["lon"], r["lat"])
         parts.append(f'<circle cx="{x:.1f}" cy="{y:.1f}" r="1.5" fill="black" opacity="0.3"/>')
+    parts.append("</svg>")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(parts))
+    return path
+
+
+def write_path_svg(
+    nodes: DataFrame,
+    edges: DataFrame,
+    path_steps: DataFrame,
+    path: str,
+    width: int = 900,
+    height: int = 900,
+    radius_m: float = 1000.0,
+    max_edges: int = 60_000,
+) -> str:
+    """Path-overlay preview (K7 twin of the reference's
+    `test_path.py:336-364` `render_local_png`): the local walking network
+    around the route, the route polyline on top, and start / destination-POI
+    markers.
+
+    ``path_steps`` is the §3.3 path output (seq, lon, lat, ...;
+    `plans/query.py: path_to_nearest_poi`) — bounded by the reach limit, so
+    collecting it is cheap.  The network context is pruned SPARK-SIDE to a
+    ``radius_m`` halo around the route's bounding box (the reference prunes
+    by haversine radius around the query point) and hash-down-sampled to
+    ``max_edges`` — the reference uses `RandomState(0).choice`; a hash
+    order is the distributed equivalent of that fixed-seed sample."""
+    steps = [
+        (r["seq"], float(r["lon"]), float(r["lat"]))
+        for r in path_steps.select("seq", "lon", "lat").orderBy("seq").collect()
+    ]
+    if not steps:
+        raise ValueError("write_path_svg: empty path")
+    p_lons = [s[1] for s in steps]
+    p_lats = [s[2] for s in steps]
+    import math
+
+    halo_lat = radius_m / 111_320.0
+    halo_lon = halo_lat / max(math.cos(math.radians(sum(p_lats) / len(p_lats))), 1e-6)
+    lo_x, hi_x = min(p_lons) - halo_lon, max(p_lons) + halo_lon
+    lo_y, hi_y = min(p_lats) - halo_lat, max(p_lats) + halo_lat
+
+    e_cols = ["u_lon", "u_lat", "v_lon", "v_lat"]
+    local = edges.select(*e_cols).where(
+        (F.col("u_lon") >= lo_x) & (F.col("u_lon") <= hi_x)
+        & (F.col("u_lat") >= lo_y) & (F.col("u_lat") <= hi_y)
+    )
+    e = _hash_sample(local, max_edges)
+
+    xs = p_lons + [r["u_lon"] for r in e] + [r["v_lon"] for r in e]
+    ys = p_lats + [r["u_lat"] for r in e] + [r["v_lat"] for r in e]
+    to_px = _scaler(min(xs), max(xs), min(ys), max(ys), width, height, pad=20)
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
+        f'viewBox="0 0 {width} {height}">',
+        f'<rect width="{width}" height="{height}" fill="white"/>',
+    ]
+    for r in e:
+        x1, y1 = to_px(r["u_lon"], r["u_lat"])
+        x2, y2 = to_px(r["v_lon"], r["v_lat"])
+        parts.append(
+            f'<line x1="{x1:.1f}" y1="{y1:.1f}" x2="{x2:.1f}" y2="{y2:.1f}" '
+            f'stroke="#9e9e9e" stroke-width="0.4" opacity="0.6"/>'
+        )
+    pts = " ".join(f"{x:.1f},{y:.1f}" for x, y in (to_px(lo, la) for _, lo, la in steps))
+    parts.append(
+        f'<polyline points="{pts}" fill="none" stroke="#d62728" '
+        f'stroke-width="2.5" class="route"/>'
+    )
+    sx, sy = to_px(steps[0][1], steps[0][2])
+    ex, ey = to_px(steps[-1][1], steps[-1][2])
+    parts.append(f'<circle cx="{sx:.1f}" cy="{sy:.1f}" r="5" fill="#2ca02c" class="start"/>')
+    parts.append(f'<circle cx="{ex:.1f}" cy="{ey:.1f}" r="5" fill="#ff7f0e" class="poi"/>')
     parts.append("</svg>")
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(parts))

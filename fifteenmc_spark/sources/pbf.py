@@ -27,10 +27,13 @@ container has no osmium/pyrosm/protobuf):
    At 100 TB-scale extracts this is the part that must be distributed —
    ref lists and coords shuffle by node_id/way_id, never whole blocks.
 
-Relations resolve node- and way-members (one extra join); nested
-relation-members are not recursed — mirroring the reference's own
-fallback, which retries POI extraction with keep_relations=False when
-relation tags are absent (snap_poi_to_nodes.py:127-141).
+Relations resolve node- and way-members, plus ONE round of
+relation-in-relation members (depth 2 — e.g. a multipolygon whose member
+is itself a multipolygon).  Deeper nesting degrades to the resolved
+depth-2 prefix rather than recursing unboundedly: real OSM nesting is
+shallow, and the reference itself drops relation geometry entirely when
+its tag pass fails (keep_relations=False fallback,
+snap_poi_to_nodes.py:127-141), so two levels strictly dominates parity.
 """
 
 from __future__ import annotations
@@ -313,15 +316,27 @@ def read_pbf_elements(spark: SparkSession, path: str, keep_untagged: bool = Fals
         .join(wgeo.select(F.col("elem_id").alias("way_id"), F.col("geometry").alias("pts")), mem["mid"] == F.col("way_id"))
         .select("elem_id", "pos", "pts")
     )
-    rgeo = (
-        node_pts.unionAll(way_pts)
-        .groupBy("elem_id")
-        .agg(
+    def _assemble(parts: DataFrame) -> DataFrame:
+        return parts.groupBy("elem_id").agg(
             F.flatten(
                 F.transform(F.array_sort(F.collect_list(F.struct("pos", "pts"))), lambda s: s["pts"])
             ).alias("geometry")
         )
+
+    base_pts = node_pts.unionAll(way_pts)
+    # depth-1 pass: node/way members only; a second pass resolves
+    # relation-in-relation members against the depth-1 geometries (cap at
+    # depth 2 — see module docstring).
+    rgeo1 = _assemble(base_pts)
+    rel_pts = (
+        mem.where(F.col("mtype") == "relation")
+        .join(
+            rgeo1.select(F.col("elem_id").alias("child_id"), F.col("geometry").alias("pts")),
+            mem["mid"] == F.col("child_id"),
+        )
+        .select("elem_id", "pos", "pts")
     )
+    rgeo = _assemble(base_pts.unionAll(rel_pts))
     relations = (
         rels.select("elem_id", "elem_type", "tag_keys", "tag_vals")
         .join(rgeo, "elem_id", "left")

@@ -32,6 +32,8 @@ WAYS = [
 RELS = [
     # way-member + node-member, in that order; railway=station → rail_station
     (900, [("way", 501, "outer"), ("node", 200, "")], {"type": "multipolygon", "railway": "station"}),
+    # relation-of-relations: member 900 resolves via the depth-2 pass
+    (901, [("relation", 900, "outer"), ("node", 201, "")], {"type": "multipolygon", "site": "campus"}),
 ]
 
 
@@ -59,7 +61,7 @@ def test_pbf_roundtrip_counts_and_tags(spark, pbf_path, elements):
     assert rows[(900, "relation")]["tags"] == {"type": "multipolygon", "railway": "station"}
     # untagged elements drop from the default (tags-filtered) output
     tagged = pbf.read_pbf_elements(spark, pbf_path)
-    assert {r["elem_id"] for r in tagged.collect()} == {200, 201, 500, 501, 502, 900}
+    assert {r["elem_id"] for r in tagged.collect()} == {200, 201, 500, 501, 502, 900, 901}
 
 
 def test_pbf_geometry_resolution(elements):
@@ -77,6 +79,17 @@ def test_pbf_geometry_resolution(elements):
     g900 = [(round(p["lon"], 6), round(p["lat"], 6)) for p in rows[(900, "relation")]["geometry"]]
     want = [_coords(n) for n in [100, 101, 102, 103]] + [_coords(200)]
     assert g900 == [(round(lo, 6), round(la, 6)) for lo, la in want]
+
+
+def test_pbf_nested_relation_geometry(elements):
+    """Relation-in-relation members resolve through the depth-2 pass
+    (sources/pbf.py: rel_pts): 901's geometry = member relation 900's full
+    depth-1 geometry (way 501's vertex run + node 200), then node-member
+    201 — in member order."""
+    rows = {(r["elem_id"], r["elem_type"]): r for r in elements.collect()}
+    g901 = [(round(p["lon"], 6), round(p["lat"], 6)) for p in rows[(901, "relation")]["geometry"]]
+    want = [_coords(n) for n in [100, 101, 102, 103]] + [_coords(200), _coords(201)]
+    assert g901 == [(round(lo, 6), round(la, 6)) for lo, la in want]
 
 
 def test_pbf_feeds_classify_pois(elements):
@@ -115,7 +128,7 @@ def test_pbf_ingest_parquet_roundtrip(spark, pbf_path, tmp_path, elements):
     out = str(tmp_path / "elements_pq")
     pbf.ingest_pbf(spark, pbf_path, out)
     back = spark.read.parquet(out)
-    assert back.count() == 6  # tagged elements only
+    assert back.count() == 7  # tagged elements only (incl. nested rel 901)
     assert {r["elem_type"] for r in back.select("elem_type").distinct().collect()} == {
         "node",
         "way",

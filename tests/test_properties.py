@@ -163,3 +163,43 @@ def test_asof_join_matches_pandas(spark, asof_cases):
     else:
         want = {int(r.lid): (None, None) for r in lpdf.itertuples()}
     assert got == want
+
+
+def test_asof_join_nullable_tiebreak(spark, asof_cases):
+    """Equal-timestamp winners with a NULLABLE tiebreak column follow
+    ``ORDER BY tb DESC NULLS LAST`` oracle semantics: a NULL tiebreak loses
+    to any non-NULL, and NULL wins only when every candidate is NULL.
+    Oracle is an independent pure-Python scan (not merge_asof, which can't
+    express the tiebreak rule)."""
+    from fifteenmc_spark.operators.relational import asof_join
+
+    lrows, rrows = [], []
+    for ci, (lefts, rights) in enumerate(asof_cases):
+        for li, (k, t) in enumerate(lefts):
+            lrows.append((ci * 1000 + li, ci * 10 + k, t))
+        for ri, (k, t, v) in enumerate(rights):
+            # every third right row gets a NULL tiebreak; v stays as payload
+            tb = None if ri % 3 == 0 else v
+            rrows.append((ci * 10 + k, t, tb, ri))
+    left = spark.createDataFrame(lrows, "lid BIGINT, k BIGINT, t BIGINT")
+    right = spark.createDataFrame(rrows, "k BIGINT, rt BIGINT, tb BIGINT, rid BIGINT")
+    got = {
+        r["lid"]: (r["tb"], r["rid"])
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            payload_cols=["tb", "rid"], tiebreak="tb",
+        ).collect()
+    }
+
+    def winners(k, t):
+        """All acceptable (tb, rid) answers: rows tied on (rt, tb) have no
+        further sort key in the window, so any of them may win."""
+        cands = [(rt, tb, rid) for (rk, rt, tb, rid) in rrows if rk == k and rt <= t]
+        if not cands:
+            return {(None, None)}
+        key = lambda c: (c[0], c[1] is not None, c[1] if c[1] is not None else 0)
+        top = key(max(cands, key=key))
+        return {(tb, rid) for (rt, tb, rid) in cands if key((rt, tb, rid)) == top}
+
+    for (lid, k, t) in lrows:
+        assert got[lid] in winners(k, t), (lid, k, t, got[lid], winners(k, t))

@@ -308,3 +308,43 @@ def test_plot_sinks_svg(spark, tmp_path):
     # one tile rect + one buffer rect per tile (+ the background rect)
     assert gtags.count("rect") == 2 * n_tiles + 1
     assert gtags.count("text") == n_tiles
+
+
+def test_plot_path_overlay_svg(spark, tmp_path):
+    """K7 path-overlay twin (reference test_path.py:336-364): route
+    polyline over the local network halo, start + POI markers, and
+    spark-side halo pruning (the far-away edge must not be drawn)."""
+    import xml.etree.ElementTree as ET
+
+    from fifteenmc_spark import plot as plot_sink
+
+    nodes = spark.createDataFrame(
+        [(0, 18.60, 54.37), (1, 18.61, 54.372), (2, 18.62, 54.371)],
+        "node_idx INT, lon DOUBLE, lat DOUBLE",
+    )
+    edges = spark.createDataFrame(
+        [
+            (18.60, 54.37, 18.61, 54.372),   # inside the halo
+            (18.605, 54.371, 18.615, 54.372),  # inside
+            (19.90, 55.30, 19.91, 55.31),    # ~100 km away — pruned
+        ],
+        "u_lon DOUBLE, u_lat DOUBLE, v_lon DOUBLE, v_lat DOUBLE",
+    )
+    steps = spark.createDataFrame(
+        [
+            (0, 18.60, 54.37, 0.0, 0.0),
+            (1, 18.61, 54.372, 700.0, 700.0),
+            (2, 18.62, 54.371, 750.0, 1450.0),
+        ],
+        "seq INT, lon DOUBLE, lat DOUBLE, step_m DOUBLE, cum_m DOUBLE",
+    )
+    svg = plot_sink.write_path_svg(nodes, edges, steps, str(tmp_path / "path.svg"))
+    root = ET.parse(svg).getroot()
+    tags = [el.tag.rsplit("}", 1)[-1] for el in root.iter()]
+    assert tags.count("line") == 2  # far edge pruned spark-side
+    assert tags.count("polyline") == 1  # the route
+    classes = [el.get("class") for el in root.iter() if el.get("class")]
+    assert sorted(classes) == ["poi", "route", "start"]
+    # the route polyline has one point per path step
+    poly = next(el for el in root.iter() if el.tag.rsplit("}", 1)[-1] == "polyline")
+    assert len(poly.get("points").split()) == 3

@@ -50,6 +50,41 @@ def test_stream_equals_batch(spark, events_stream_dir, builder):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+@pytest.fixture(scope="module")
+def events_bench_dir(spark, tmp_path_factory):
+    """sf0.1 events (100k rows) re-encoded for the file-stream source —
+    the bench-scale smoke the 100 TB brief names explicitly."""
+    import os
+
+    src = "/root/testdata/sf0.1"
+    if not os.path.isdir(src):
+        pytest.skip("sf0.1 testdata not present")
+    out = str(tmp_path_factory.mktemp("events_bench"))
+    read_table(spark, src, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_stream_bench_scale_tumbling_and_session(spark, events_bench_dir):
+    """Bench-scale streaming smoke: tumbling + session windows over the
+    sf0.1 events fixture through the real file-stream path (availableNow),
+    checked against the batch twin of the same builder (whose shape d19
+    pins against DuckDB).  Must finish well under a minute — the point is
+    that watermarked window state scales past toy fixtures."""
+    import time
+
+    batch = _batch(spark, events_bench_dir)
+    t0 = time.monotonic()
+    for builder in (W.tumbling_counts, W.session_windows):
+        want = _sorted_pdf(builder(batch))
+        assert len(want) > 0
+        stream = W.stream_events(spark, events_bench_dir, batch.schema)
+        name = f"bench_{builder.__name__}"
+        W.run_to_memory(builder(stream), name)
+        got = _sorted_pdf(spark.table(name))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert time.monotonic() - t0 < 60.0
+
+
 def test_stateful_running_totals(spark, events_stream_dir):
     from fifteenmc_spark.streaming.stateful import running_user_totals
 
