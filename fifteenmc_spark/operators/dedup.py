@@ -990,13 +990,18 @@ def x7(spark, sf_dir):
 
 @_register(
     "x7_hamming_clusters",
-    "x7 over a SECOND pair source: connected components of the x6 SimHash "
-    "Hamming<=k pair graph (near_dup_clusters is pair-source-generic — "
-    "the cluster step composes with any of x3/x5/x6).  Oracle: the same "
-    "recursive-CTE transitive closure over the x6 oracle.",
+    "x7 over a SECOND pair source: connected components of the 64-bit "
+    "SimHash Hamming<=k pair graph (near_dup_clusters is "
+    "pair-source-generic — the cluster step composes with any of "
+    "x3/x5/x6).  The 64-bit calibration is the pair source because that "
+    "is the corpus-scale setting AND because 16-bit codes collapse the "
+    "corpus into a few giant Hamming components whose transitive closure "
+    "is quadratic in component size — measured 352 s in the sf0.1 oracle "
+    "vs ~1 s over the 64-bit pair set.  Oracle: the same recursive-CTE "
+    "transitive closure over the x6_64 oracle.",
     f"""
     WITH RECURSIVE pairs AS (
-      SELECT doc_a, doc_b FROM ({QUERIES["x6_simhash_hamming"].oracle})),
+      SELECT doc_a, doc_b FROM ({QUERIES["x6_simhash_hamming_64"].oracle})),
     e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION ALL SELECT doc_b, doc_a FROM pairs),
     r(n, m) AS (
@@ -1010,5 +1015,5 @@ def x7(spark, sf_dir):
     ("dedup", "clustering", "simhash", "graph", "pipeline"),
 )
 def x7_hamming(spark, sf_dir):
-    pairs = QUERIES["x6_simhash_hamming"].build(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = QUERIES["x6_simhash_hamming_64"].build(spark, sf_dir).select("doc_a", "doc_b")
     return near_dup_clusters(pairs).orderBy("doc_id")

@@ -144,11 +144,13 @@ def test_range_join_is_bucketed_equi_join(spark, sf_small):
     assert "CartesianProduct" not in plan
 
 
-def test_x6_hamming_join_is_equi_join(spark, sf_small):
+@pytest.mark.parametrize("name", ["x6_simhash_hamming", "x6_simhash_hamming_64"])
+def test_x6_hamming_join_is_equi_join(spark, sf_small, name):
     # the pigeonhole block join must plan as an equi-join on
     # (block, value) — a Hamming-radius predicate done naively is a
-    # quadratic nested-loop over all code pairs
-    plan = plan_of(QUERIES["x6_simhash_hamming"].build(spark, sf_small))
+    # quadratic nested-loop over all code pairs; both the 16-bit demo and
+    # the 64-bit corpus-scale calibration must keep the equi-join shape
+    plan = plan_of(QUERIES[name].build(spark, sf_small))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
