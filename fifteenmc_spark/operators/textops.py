@@ -402,3 +402,110 @@ def p3(spark, sf_dir):
         "n_tokens",
         F.floor(excl_cum / float(PACK_BUDGET_TOKENS)).cast("int").alias("shard_id"),
     ).orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p4: stratified data-mixing sample (rebalance the corpus language mix)
+# ---------------------------------------------------------------------------
+# Per-language keep rates in percent; absent languages keep everything.
+# The demo rate halves English — the corpus is ~44% en, the classic
+# "rebalance the English-heavy crawl" mixing step.  Rates are a config
+# surface, not a derived quantity: a real pipeline sets them from its
+# target data mix.
+MIX_RATE_PCT = {"en": 50}
+MIX_RATE_DEFAULT_PCT = 100
+_MIX_SALT = ":mix"  # decorrelates the mixing bucket from p2's split bucket
+
+
+@_register(
+    "p4_stratified_sample",
+    "Deterministic stratified sampling for data mixing: each doc keeps iff "
+    "md5(doc_id || ':mix') % 100 < rate(lang).  Salted so mixing is "
+    "INDEPENDENT of the p2 train/val/test split (same md5 family, "
+    "different preimage — sampling within every split is unbiased).  "
+    "Content-independent, RNG-free, engine-portable, pure projection + "
+    "filter: re-runs and backfills agree on membership, and at 100 TB the "
+    "sample is decided scan-side with zero shuffle.",
+    f"""
+    SELECT doc_id, lang, source,
+           CAST(CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '{_MIX_SALT}'), 1, 8))
+                AS BIGINT) % 100 AS INT) AS mix_bucket
+    FROM documents
+    WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '{_MIX_SALT}'), 1, 8))
+          AS BIGINT) % 100
+          < (CASE WHEN lang = 'en' THEN {MIX_RATE_PCT["en"]} ELSE {MIX_RATE_DEFAULT_PCT} END)
+    ORDER BY doc_id
+    """,
+    ("text", "sampling", "mixing", "pipeline"),
+)
+def p4(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SALT)).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(MIX_RATE_PCT["en"])).otherwise(
+        F.lit(MIX_RATE_DEFAULT_PCT)
+    )
+    return (
+        d.where(bucket < rate)
+        .select("doc_id", "lang", "source", bucket.cast("int").alias("mix_bucket"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t6: per-language vocabulary top-k (corpus token statistics)
+# ---------------------------------------------------------------------------
+VOCAB_TOP_K = 20
+
+
+@_register(
+    "t6_vocab_topk",
+    f"Per-language vocabulary: top {VOCAB_TOP_K} tokens by frequency with "
+    "rank (ties broken by token).  The corpus-scale shape: the token "
+    "explode never shuffles raw text — the one heavy shuffle carries "
+    "(lang, token, partial_count) AFTER map-side combine collapses each "
+    "partition to its distinct tokens, and the rank window runs over the "
+    "aggregated vocabulary (|vocab| rows, corpus-size-independent).  The "
+    "first stage of tokenizer/BPE training and corpus drift monitoring.",
+    f"""
+    WITH tok AS (
+      SELECT lang, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''),
+    counts AS (
+      SELECT lang, token, COUNT(*) AS cnt
+      FROM tok WHERE token <> '' GROUP BY lang, token),
+    ranked AS (
+      SELECT lang, token, CAST(cnt AS BIGINT) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+      FROM counts)
+    SELECT lang, token, cnt, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {VOCAB_TOP_K} ORDER BY lang, rnk
+    """,
+    ("text", "vocab", "pipeline"),
+)
+def t6(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = (
+        d.where(F.trim(F.col("text")) != "")
+        .select("lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        counts.select("lang", "token", "cnt", F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= VOCAB_TOP_K)
+        .orderBy("lang", "rnk")
+    )
