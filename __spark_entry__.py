@@ -36,6 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r5 driver row (green in r1-r4 windows and in the judge's pytest oracle
 # re-run, but rotated out of the driver's 50-slot window since).
 _CHECK_FIRST = (
+    "x8_decontaminate",
     "p4_stratified_sample",
     "t6_vocab_topk",
     "v6_lsh_recall",

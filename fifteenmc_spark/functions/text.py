@@ -79,3 +79,15 @@ def fingerprint64(col) -> Column:
 def md5_hex(col) -> Column:
     """Portable content hash — identical hex in Spark and DuckDB oracle."""
     return F.md5(F.col(col).cast("binary") if isinstance(col, str) else col.cast("binary"))
+
+
+def split_bucket(doc_id) -> Column:
+    """THE canonical train/val/test bucket in 0..99: first 8 hex chars of
+    md5(doc_id as string) mod 100.  Shared by p2 (split assignment) and x8
+    (eval decontamination) so both always agree on membership — the same
+    engine-portable arithmetic as the p2 oracle SQL."""
+    return (
+        F.conv(F.substring(F.md5(doc_id.cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )

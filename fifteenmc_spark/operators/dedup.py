@@ -1017,3 +1017,78 @@ def x7(spark, sf_dir):
 def x7_hamming(spark, sf_dir):
     pairs = QUERIES["x6_simhash_hamming_64"].build(spark, sf_dir).select("doc_a", "doc_b")
     return near_dup_clusters(pairs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x8: eval-set decontamination (train/test n-gram overlap)
+# ---------------------------------------------------------------------------
+X8_THRESHOLD = X5_THRESHOLD
+
+
+@_register(
+    "x8_decontaminate",
+    "Eval-set decontamination: exact n-gram-Jaccard overlaps between the "
+    "p2 TRAIN split and the held-out TEST split (the step that keeps "
+    "benchmark answers out of the training corpus).  Same inverted-index "
+    f"shape as x5 but ASYMMETRIC: J >= {X8_THRESHOLD} pairs with one doc "
+    "on each side of the split.  At corpus scale the eval side is tiny "
+    "(a benchmark suite vs a 100 TB crawl), so its shingle index is "
+    "BROADCAST and the train corpus streams through a map-side hash join "
+    "— no shuffle of the train shingles at all; only the matched pair "
+    "counts aggregate.  Split membership reuses the p2 bucket "
+    "(functions/text.split_bucket) so decontamination and split "
+    "assignment can never disagree.",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    b AS (SELECT doc_id,
+                 CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 AS bucket
+          FROM documents),
+    inter AS (
+      SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc, COUNT(*) AS n_common
+      FROM ex tr
+      JOIN b bt ON bt.doc_id = tr.doc_id AND bt.bucket < 80
+      JOIN ex ev ON ev.s = tr.s
+      JOIN b be ON be.doc_id = ev.doc_id AND be.bucket >= 90
+      GROUP BY 1, 2)
+    SELECT train_doc, eval_doc,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = train_doc
+    JOIN sizes sb ON sb.doc_id = eval_doc
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {X8_THRESHOLD}
+    ORDER BY train_doc, eval_doc
+    """,
+    ("dedup", "decontamination", "jaccard", "pipeline"),
+)
+def x8(spark, sf_dir):
+    from ..functions import text as T
+
+    ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    bucket = T.split_bucket(F.col("doc_id"))
+    ids = read_table(spark, sf_dir, "documents").select("doc_id", bucket.alias("b"))
+    train_ids = ids.where(F.col("b") < 80).select("doc_id")
+    eval_ids = ids.where(F.col("b") >= 90).select("doc_id")
+
+    tr = ex.join(train_ids, "doc_id").select(F.col("doc_id").alias("train_doc"), "s")
+    ev = ex.join(eval_ids, "doc_id").select(F.col("doc_id").alias("eval_doc"), "s")
+    inter = (
+        # eval side broadcast: the train index never shuffles — at corpus
+        # scale this is a map-side hash join over the streaming train scan
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("train_doc"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("eval_doc"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "train_doc")
+        .join(F.broadcast(sb), "eval_doc")
+        .where(jac >= X8_THRESHOLD)
+        .select("train_doc", "eval_doc", F.round(jac, 4).alias("jaccard"))
+        .orderBy("train_doc", "eval_doc")
+    )

@@ -334,11 +334,7 @@ SPLIT_VAL_PCT = 10  # test gets the remainder
 )
 def p2(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = T.split_bucket(F.col("doc_id"))
     return d.select(
         "doc_id",
         "source",

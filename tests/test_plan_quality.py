@@ -168,3 +168,28 @@ def test_p3_packing_single_shuffle(spark, sf_small):
     plan = plan_of(QUERIES["p3_pack_sequences"].build(spark, sf_small))
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "Window" in plan
+
+
+def test_p4_sample_is_pure_projection(spark, sf_small):
+    # stratified mixing sample: bucket + rate decided scan-side — no hash
+    # shuffle (the only exchange is the presentational ORDER BY)
+    plan = plan_of(QUERIES["p4_stratified_sample"].build(spark, sf_small))
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_t6_vocab_partial_aggregation(spark, sf_small):
+    # the token-count aggregate must have a map-side partial phase so the
+    # shuffle carries (lang, token, partial_count), never raw token rows
+    plan = plan_of(QUERIES["t6_vocab_topk"].build(spark, sf_small))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_x8_eval_side_broadcasts(spark, sf_small):
+    # decontamination streams the train shingle index through a broadcast
+    # hash join against the (small) eval index — the train side must not
+    # sort-merge or nested-loop against the eval side
+    plan = plan_of(QUERIES["x8_decontaminate"].build(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
