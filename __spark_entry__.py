@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-run, but rotated out of the driver's 50-slot window since).
 _CHECK_FIRST = (
     "x8_decontaminate",
+    "x3_minhash_lsh_pairs_16",
     "p4_stratified_sample",
     "t6_vocab_topk",
     "v6_lsh_recall",

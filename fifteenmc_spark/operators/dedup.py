@@ -101,10 +101,20 @@ _SHINGLES_SQL = f"""
 
 # Universal-hash minhash family: one md5 per shingle → 60-bit int → per-seed
 # affine map mod a Mersenne prime.  Products stay < 2^62, portable BIGINT
-# arithmetic in both engines.
+# arithmetic in both engines.  16 seed pairs: the first 4 are the x2/x3
+# demo family; the tail extends it for the wide (x3_16) calibration — any
+# nonzero a works for the (a·h + b) mod p family, primes kept for style.
 _MH_P = 2147483647
-_MH_A = (1299709, 15485863, 32452843, 49979687)
-_MH_B = (104729, 1299721, 7368787, 15487469)
+_MH_A = (
+    1299709, 15485863, 32452843, 49979687,
+    49979693, 49979767, 49979791, 49979827, 49979869, 49979921,
+    49979947, 49979959, 49979977, 49980001, 49980041, 49980067,
+)
+_MH_B = (
+    104729, 1299721, 7368787, 15487469,
+    15487517, 15487541, 15487547, 15487609, 15487639, 15487721,
+    15487739, 15487789, 15487841, 15487861, 15487897, 15487909,
+)
 
 
 def _shingle_hash(s) -> "F.Column":
@@ -239,18 +249,40 @@ def x3(spark, sf_dir):
     return lsh_jaccard_pairs(ex).orderBy("doc_a", "doc_b")
 
 
-def lsh_jaccard_pairs(ex: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def lsh_jaccard_pairs(
+    ex: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = 2,
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) near-dup pairs from shingle ROWS: LSH band
     candidates verified by exact shingle-set Jaccard >= threshold.  The
     single source of the x3 pipeline — x3 (pair list) and x7 (cluster
     assignment) both call this, so a banding change can never
-    desynchronize the two declared queries."""
-    sig = minhash_signatures(ex)
-    bands = sig.select(
-        "doc_id", F.lit(0).alias("band"), F.concat_ws("|", "mh0", "mh1").alias("bkey")
-    ).unionAll(
-        sig.select("doc_id", F.lit(1).alias("band"), F.concat_ws("|", "mh2", "mh3").alias("bkey"))
-    )
+    desynchronize the two declared queries.
+
+    Banding is a true parameter (n_hashes = n_bands · rows_per_band):
+    a pair collides with P = 1 - (1 - J^r)^b, so r tunes precision (longer
+    bands admit fewer false candidates) and b buys recall back.  The
+    default 2×2 is the oracle-checked demo; x3_16 pins a 4×4 calibration.
+    At corpus scale pick r so the expected bucket population stays small
+    (e.g. r=4..8, b sized from the target recall at the dedup threshold)
+    — candidate volume is the sum of per-bucket squares, exactly like the
+    x6 pigeonhole blocks."""
+    r, rem = divmod(n_hashes, n_bands)
+    assert rem == 0 and n_hashes <= len(_MH_A), "n_hashes must be n_bands*r, <= seed count"
+    sig = minhash_signatures(ex, n=n_hashes)
+    parts = [
+        sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat_ws("|", *[f"mh{band * r + i}" for i in range(r)]).alias("bkey"),
+        )
+        for band in range(n_bands)
+    ]
+    bands = parts[0]
+    for p in parts[1:]:
+        bands = bands.unionAll(p)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -280,6 +312,59 @@ def lsh_jaccard_pairs(ex: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Da
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def _lsh_bands_sql(n_hashes: int, n_bands: int) -> str:
+    r = n_hashes // n_bands
+    return "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, {k} AS bkey FROM sig".format(
+            b=band, k=" || '|' || ".join(f"mh{band * r + i}" for i in range(r))
+        )
+        for band in range(n_bands)
+    )
+
+
+X3_WIDE_HASHES = 16
+X3_WIDE_BANDS = 4
+
+
+@_register(
+    "x3_minhash_lsh_pairs_16",
+    "x3 at a second banding calibration (16 minhashes, 4 bands × 4 rows): "
+    "the oracle pins that the banding structure is a true parameter — "
+    "collision P = 1-(1-J^r)^b, so the demo's r=2 admits far more false "
+    "candidates than a corpus-scale r would; the same exact-Jaccard "
+    "verify makes every calibration a subset of the true >= t pair set, "
+    "differing only in recall.",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS ({_minhash_sig_sql(X3_WIDE_HASHES)}),
+    bands AS (
+      {_lsh_bands_sql(X3_WIDE_HASHES, X3_WIDE_BANDS)}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             LEN(list_intersect(ja.shingles, jb.shingles)) AS n_common,
+             LEN(ja.shingles) AS na, LEN(jb.shingles) AS nb
+      FROM cand c
+      JOIN sh ja ON ja.doc_id = c.doc_a
+      JOIN sh jb ON jb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    ("dedup", "minhash", "lsh", "jaccard", "pipeline", "calibration"),
+)
+def x3_16(spark, sf_dir):
+    ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    return lsh_jaccard_pairs(
+        ex, n_hashes=X3_WIDE_HASHES, n_bands=X3_WIDE_BANDS
+    ).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
