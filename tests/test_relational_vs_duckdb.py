@@ -156,3 +156,45 @@ def test_near_dup_clusters_chain_convergence(spark):
         for r in near_dup_clusters(pairs, max_rounds=5, strategy="auto").collect()
     }
     assert got_auto == want
+
+
+def test_near_dup_clusters_random_graphs(spark):
+    """Star contraction equals hash-min propagation equals an independent
+    union-find oracle on randomized graphs (mixed component shapes: stars,
+    chains, cliques, isolated edges)."""
+    import random
+
+    from fifteenmc_spark.operators.dedup import near_dup_clusters
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = set()
+        for _ in range(70):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b) + 1000 * trial, max(a, b) + 1000 * trial))
+        edges = sorted(edges)
+
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for a, b in edges:
+            union(a, b)
+        want = {x: find(x) for x in parent}
+
+        pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+        for strategy in ("propagate", "star"):
+            got = {
+                r["doc_id"]: r["cluster_id"]
+                for r in near_dup_clusters(pairs, strategy=strategy).collect()
+            }
+            assert got == want, (trial, strategy)
