@@ -921,7 +921,10 @@ def x5_capped(spark, sf_dir):
 # x7: near-dup cluster assignment (connected components over x3 pairs)
 # ---------------------------------------------------------------------------
 def near_dup_clusters(
-    pairs: DataFrame, max_rounds: int = 20, strategy: str = "auto"
+    pairs: DataFrame,
+    max_rounds: int = 20,
+    strategy: str = "auto",
+    local_max_pairs: int | None = None,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph: every member's
     cluster_id is the MIN doc_id reachable through near-dup edges — the
@@ -930,7 +933,13 @@ def near_dup_clusters(
     A~B, B~C must collapse to ONE cluster even though A~C was never
     emitted).
 
-    Strategies (equivalence-tested against each other on a chain graph):
+    Strategies (equivalence-tested against each other and a union-find
+    oracle on chain + random graphs):
+    - ``"local"`` — driver-side union-find over the collected pair list.
+      Exact, and free of the per-round scheduling latency that dominates
+      the distributed loops when the pair graph is small (a few distributed
+      rounds cost ~0.5 s each; a million-edge union-find costs
+      milliseconds).  Only valid under ``LOCAL_CLUSTER_MAX_PAIRS``.
     - ``"propagate"`` — hash-min label propagation: push labels across
       edges, fold with MIN (map-side combinable), converge when no label
       changes.  Rounds = component diameter: right for the near-dup
@@ -941,14 +950,30 @@ def near_dup_clusters(
       (Kiveris et al., "Connected Components in MapReduce and Beyond"):
       O(log² n) rounds regardless of diameter — the 100 TB path for
       adversarial chain-shaped components.
-    - ``"auto"`` (default) — propagate, fall back to star if propagation
-      hits ``max_rounds`` without converging: shallow components pay the
-      cheap path, pathological ones still finish correctly.
+    - ``"auto"`` (default) — measured dispatch, the same pattern as the
+      reach one-task strategy (plans/reach.py) and the x5_capped max-df
+      dispatch: count the (already-materialized) pair list; under the
+      local bound run union-find on the driver, else propagate with a
+      star fallback.  At corpus scale the near-dup pair graph of a
+      100 TB corpus far exceeds the bound and always takes the
+      distributed path.
 
     localCheckpoint per round cuts lineage exactly like the reach
     frontier loop (plans/reach.py)."""
     if strategy == "star":
         return _clusters_star(pairs, max_rounds)
+    if strategy in ("local", "auto"):
+        bound = LOCAL_CLUSTER_MAX_PAIRS if local_max_pairs is None else local_max_pairs
+        p = pairs.select("doc_a", "doc_b").localCheckpoint()
+        n_pairs = p.count()
+        if n_pairs <= bound:
+            return _clusters_local(p)
+        if strategy == "local":
+            raise RuntimeError(
+                f"near_dup_clusters(local): {n_pairs} pairs exceeds the "
+                f"local bound {bound}; use a distributed strategy"
+            )
+        pairs = p  # auto over the bound: fall through, reuse materialization
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
     labels = (
@@ -982,6 +1007,35 @@ def near_dup_clusters(
             f"use strategy='star' for deep components"
         )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def _clusters_local(pairs: DataFrame) -> DataFrame:
+    """Driver-side union-find over a BOUNDED pair list (collect is gated
+    by LOCAL_CLUSTER_MAX_PAIRS in near_dup_clusters — at 16 bytes/edge the
+    bound is tens of MB, same class of bounded collect as the reach
+    prev-map backtrack).  Union-by-min + path compression: the final root
+    of every tree is the component's minimum doc_id."""
+    rows = pairs.collect()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = [(x, find(x)) for x in parent]
+    return pairs.sparkSession.createDataFrame(labels, "doc_id BIGINT, cluster_id BIGINT")
+
+
+LOCAL_CLUSTER_MAX_PAIRS = 2_000_000
 
 
 def _clusters_star(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:

@@ -112,7 +112,7 @@ def test_grouped_prefix_sum_ranged_equivalence(spark):
     assert got == want
 
 
-@pytest.mark.parametrize("strategy", ["propagate", "star", "auto"])
+@pytest.mark.parametrize("strategy", ["propagate", "star", "auto", "local"])
 def test_near_dup_clusters_transitivity(spark, strategy):
     """A~B and B~C must land in ONE cluster even though A~C was never an
     edge; disjoint components keep distinct min-doc_id labels — under
@@ -151,11 +151,18 @@ def test_near_dup_clusters_chain_convergence(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         near_dup_clusters(pairs, max_rounds=5, strategy="propagate")
 
+    # local_max_pairs=0 forces auto past the driver-local dispatch so the
+    # propagate→star fallback path is the one exercised
     got_auto = {
         r["doc_id"]: r["cluster_id"]
-        for r in near_dup_clusters(pairs, max_rounds=5, strategy="auto").collect()
+        for r in near_dup_clusters(
+            pairs, max_rounds=5, strategy="auto", local_max_pairs=0
+        ).collect()
     }
     assert got_auto == want
+
+    with pytest.raises(RuntimeError, match="exceeds the local bound"):
+        near_dup_clusters(pairs, strategy="local", local_max_pairs=0)
 
 
 def test_near_dup_clusters_random_graphs(spark):
@@ -192,7 +199,7 @@ def test_near_dup_clusters_random_graphs(spark):
         want = {x: find(x) for x in parent}
 
         pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
-        for strategy in ("propagate", "star"):
+        for strategy in ("propagate", "star", "local"):
             got = {
                 r["doc_id"]: r["cluster_id"]
                 for r in near_dup_clusters(pairs, strategy=strategy).collect()
