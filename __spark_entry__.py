@@ -36,6 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r5 driver row (green in r1-r4 windows and in the judge's pytest oracle
 # re-run, but rotated out of the driver's 50-slot window since).
 _CHECK_FIRST = (
+    "t7_repetition",
     "x8_decontaminate",
     "x3_minhash_lsh_pairs_16",
     "p4_stratified_sample",

@@ -1215,7 +1215,13 @@ def x8(spark, sf_dir):
     ev = ex.join(eval_ids, "doc_id").select(F.col("doc_id").alias("eval_doc"), "s")
     inter = (
         # eval side broadcast: the train index never shuffles — at corpus
-        # scale this is a map-side hash join over the streaming train scan
+        # scale this is a map-side hash join over the streaming train scan.
+        # Viral-shingle guard at real scale: a stop-shingle with train df
+        # ~N would still expand this join (one output row per train
+        # occurrence per matching eval shingle); the x5_capped df-cap
+        # machinery (path 1/2 split on measured max df) applies unchanged
+        # because the prefix-filter theorem is side-agnostic — dispatch on
+        # max df exactly as x5_capped does when the corpus has a tail.
         tr.join(F.broadcast(ev), "s")
         .groupBy("train_doc", "eval_doc")
         .agg(F.count(F.lit(1)).alias("n_common"))

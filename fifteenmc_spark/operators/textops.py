@@ -505,3 +505,56 @@ def t6(spark, sf_dir):
         .where(F.col("rnk") <= VOCAB_TOP_K)
         .orderBy("lang", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# t7: intra-document repetition score (Gopher-style repetition filter signal)
+# ---------------------------------------------------------------------------
+@_register(
+    "t7_repetition",
+    "Per-document repetition score: 1 - distinct/total word-3-gram "
+    "shingles — the classic intra-doc repetition signal pretraining "
+    "filters threshold on (boilerplate and generated spam repeat their "
+    "n-grams; clean prose doesn't).  Reuses the x-family shingle pipeline "
+    "(operators/dedup.shingle_rows, distinct=False) so the quality signal "
+    "and the dedup surface can never disagree on tokenization; one "
+    "groupBy(doc_id) computes total + distinct in a single pass, and the "
+    "shuffle carries (doc_id, shingle) — never document text.",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, UNNEST(
+        CASE WHEN LEN(toks) >= 3 THEN
+          list_transform(generate_series(1, LEN(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        ELSE [norm] END) AS s
+      FROM (SELECT doc_id, REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm,
+                   string_split(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS toks
+            FROM documents))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*), 4) AS repetition
+    FROM ex GROUP BY doc_id ORDER BY doc_id
+    """,
+    ("text", "quality", "repetition", "pipeline"),
+)
+def t7(spark, sf_dir):
+    from .dedup import shingle_rows
+
+    ex = shingle_rows(spark, sf_dir, distinct=False)
+    return (
+        ex.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.countDistinct("s").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_shingles"), 4
+            ).alias("repetition"),
+        )
+        .orderBy("doc_id")
+    )
