@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-run, but rotated out of the driver's 50-slot window since).
 _CHECK_FIRST = (
     "t7_repetition",
+    "v7_lsh_banded_near_dup",
     "x8_decontaminate",
     "x3_minhash_lsh_pairs_16",
     "p4_stratified_sample",

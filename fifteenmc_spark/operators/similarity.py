@@ -125,8 +125,15 @@ N_PLANES = 8
 
 
 def _plane_coef(j: int, i: int) -> int:
-    # deterministic pseudo-hyperplane coefficient in [-3, 3]
-    return ((i * 31 + j * 17 + 7) % 7) - 3
+    # Deterministic pseudo-hyperplane coefficient in [-3, 3].  The mixed
+    # moduli matter: a single "% 7" family is a polynomial in j mod 7 and
+    # therefore has PERIOD 7 in the plane index — planes 7..13 silently
+    # duplicated planes 0..6, capping every multi-plane calibration at
+    # 2^7 effective buckets (caught when banded v7 added zero recall over
+    # v3).  The (i*j % 5) term breaks the period: joint period 35 > the
+    # 31-plane cap, and all 31 coefficient vectors are pairwise distinct
+    # (asserted in test_lsh_planes_distinct).
+    return ((((i * 31 + j * 17 + 7) % 7) + ((i * j) % 5)) % 7) - 3
 
 
 def _sig_bit_sql(j: int, emb: str) -> str:
@@ -161,8 +168,8 @@ def lsh_bucket(emb, n_planes: int = N_PLANES) -> Column:
 def lsh_bucket_table(e, n_planes: int = N_PLANES) -> "DataFrame":
     """(vec_id, bucket) for a whole embeddings frame, fully inside
     whole-stage codegen: posexplode the vector, derive every plane's
-    coefficient arithmetically from (pos, plane) — coef = ((pos*31 +
-    j*17 + 7) % 7) - 3, the same family lsh_bucket hardcodes — and take 8
+    coefficient arithmetically from (pos, plane) — the exact _plane_coef
+    mixed-moduli family lsh_bucket hardcodes as literals — and take 8
     sums in one map-side-combinable groupBy(vec_id).  Measured ~30%
     faster than the interpreted HOF fold at sf0.1 (results identical:
     explode emits elements in index order within one partition, so each
@@ -180,11 +187,17 @@ def lsh_bucket_table(e, n_planes: int = N_PLANES) -> "DataFrame":
     has no |dot| < 1e-6 cases (checked when this form was A/B'd in)."""
     assert 1 <= n_planes <= 31
     base = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    # arithmetic twin of _plane_coef — must stay formula-identical
+    coef = lambda j: (
+        F.pmod(
+            F.pmod(F.col("pos") * 31 + j * 17 + 7, F.lit(7))
+            + F.pmod(F.col("pos") * j, F.lit(5)),
+            F.lit(7),
+        )
+        - 3
+    )
     aggs = [
-        F.sum(
-            F.col("x").cast("double")
-            * (F.pmod(F.col("pos") * 31 + j * 17 + 7, F.lit(7)) - 3).cast("double")
-        ).alias(f"d{j}")
+        F.sum(F.col("x").cast("double") * coef(j).cast("double")).alias(f"d{j}")
         for j in range(n_planes)
     ]
     dots = base.groupBy("vec_id").agg(*aggs)
@@ -249,13 +262,19 @@ def v2_16(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # v3: embedding-cosine near-duplicate pairs via LSH buckets
 # ---------------------------------------------------------------------------
-NEAR_DUP_COS = 0.85
+# Demo threshold CALIBRATED TO THE TESTDATA: the synthetic embeddings'
+# max pairwise cosine is ~0.60, so a production-style 0.85 cutoff can
+# never fire and the verify stage would be permanently green-on-empty
+# (as it silently was through r5).  0.45 yields a real pair set at both
+# driver SFs; a production near-dup pass would raise this to 0.85+.
+NEAR_DUP_COS = 0.45
 
 
 @_register(
     "v3_embedding_near_dup",
     "Embedding near-dup pairs: same-LSH-bucket candidates re-ranked by "
-    "exact cosine >= 0.85.  The join is per-bucket (never O(n²)); at 100 TB "
+    f"exact cosine >= {NEAR_DUP_COS} (testdata-calibrated — see the "
+    "NEAR_DUP_COS note).  The join is per-bucket (never O(n²)); at 100 TB "
     "this is the embedding twin of MinHash-LSH text dedup.",
     f"""
     WITH sig AS (
@@ -540,4 +559,84 @@ def v6(spark, sf_dir):
             F.round(F.col("n_recovered") / F.col("n_topk"), 4).alias("recall"),
         )
         .orderBy("qid", "n_planes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v7: BANDED hyperplane LSH near-dup pairs (recall via multiple tables)
+# ---------------------------------------------------------------------------
+V7_TOTAL_PLANES = 16
+V7_BANDS = 2  # 2 bands x 8 planes, sliced from ONE 16-plane signature
+
+
+@_register(
+    "v7_lsh_banded_near_dup",
+    "v3 with BANDING: candidates collide in ANY of 2 independent 8-plane "
+    "tables (P = 1-(1-p^8)^2 vs a single table's p^8 — the recall "
+    "mechanism the v2 sizing rule defers to, here oracle-checked for "
+    "embeddings exactly as x3 bands MinHash for text).  One 16-plane "
+    "signature scan serves both bands by bit-slicing (band k = bits "
+    "8k..8k+7), so banding costs one extra per-band shuffle, not an "
+    "extra corpus scan; the same exact-cosine verify makes the output a "
+    "higher-recall superset-in-expectation of v3's at identical "
+    "precision.",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             CAST({" + ".join(_sig_bit_sql(j, "embedding") for j in range(V7_TOTAL_PLANES))} AS INT) AS code
+      FROM embeddings),
+    bands AS (
+      SELECT vec_id, embedding, 0 AS band, code & 255 AS bval FROM sig
+      UNION ALL
+      SELECT vec_id, embedding, 1 AS band, (code >> 8) & 255 AS bval FROM sig),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+      WHERE a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT c.vec_a, c.vec_b,
+             {_COS_SQL.format(a="ea.embedding", b="eb.embedding")} AS sim
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b)
+    SELECT vec_a, vec_b, ROUND(sim, 4) AS sim
+    FROM pairs WHERE sim >= {NEAR_DUP_COS} ORDER BY vec_a, vec_b
+    """,
+    ("similarity", "dedup", "lsh", "banding", "pipeline", "calibration"),
+)
+def v7(spark, sf_dir):
+    r = V7_TOTAL_PLANES // V7_BANDS
+    e = _emb(spark, sf_dir)
+    sig = lsh_bucket_table(e, V7_TOTAL_PLANES)
+    mask = (1 << r) - 1
+    parts = [
+        sig.select(
+            "vec_id",
+            F.lit(band).alias("band"),
+            F.shiftright("bucket", r * band).bitwiseAND(F.lit(mask)).alias("bval"),
+        )
+        for band in range(V7_BANDS)
+    ]
+    bands = parts[0]
+    for p in parts[1:]:
+        bands = bands.unionAll(p)
+    bands = bands.localCheckpoint()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bval") == F.col("b.bval")))
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    pairs = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("sim"))
+    )
+    return (
+        pairs.where(F.col("sim") >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("sim"))
+        .orderBy("vec_a", "vec_b")
     )

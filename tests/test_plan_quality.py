@@ -193,3 +193,13 @@ def test_x8_eval_side_broadcasts(spark, sf_small):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_planes_distinct():
+    # the pseudo-hyperplane family must not repeat planes within the
+    # 31-plane cap — a single "% 7" family had period 7 in j, silently
+    # capping every multi-plane calibration at 2^7 effective buckets
+    from fifteenmc_spark.operators.similarity import _plane_coef
+
+    vecs = {j: tuple(_plane_coef(j, i) for i in range(64)) for j in range(31)}
+    assert len(set(vecs.values())) == 31
