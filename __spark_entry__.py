@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = (
     "t7_repetition",
     "v7_lsh_banded_near_dup",
+    "v8_embedding_clusters",
+    "v9_ivf_recall",
     "x8_decontaminate",
     "x3_minhash_lsh_pairs_16",
     "p4_stratified_sample",

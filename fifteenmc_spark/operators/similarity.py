@@ -23,7 +23,7 @@ from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from ..io import read_table
-from .relational import _register
+from .relational import QUERIES, _register
 
 
 def _emb(spark, sf_dir):
@@ -639,4 +639,145 @@ def v7(spark, sf_dir):
         pairs.where(F.col("sim") >= NEAR_DUP_COS)
         .select("vec_a", "vec_b", F.round("sim", 4).alias("sim"))
         .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v8: embedding near-dup cluster assignment (x7 over the v7 pair graph)
+# ---------------------------------------------------------------------------
+@_register(
+    "v8_embedding_clusters",
+    "Embedding near-dup CLUSTERS: connected components over the banded-LSH "
+    "pair graph (v7) — the keep-one-per-cluster step for embedding dedup, "
+    "exactly as x7 clusters the text pair sources (near_dup_clusters is "
+    "pair-source-generic across both modalities).  Oracle: recursive-CTE "
+    "transitive closure over the v7 oracle.",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT vec_a, vec_b FROM ({QUERIES["v7_lsh_banded_near_dup"].oracle})),
+    e AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+          UNION ALL SELECT vec_b, vec_a FROM pairs),
+    r(n, m) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM e)
+      UNION
+      SELECT e.b, r.m FROM r JOIN e ON e.a = r.n
+    )
+    SELECT n AS vec_id, CAST(MIN(m) AS BIGINT) AS cluster_id
+    FROM r GROUP BY n ORDER BY vec_id
+    """,
+    ("similarity", "dedup", "clustering", "pipeline"),
+)
+def v8(spark, sf_dir):
+    from .dedup import near_dup_clusters
+    from .relational import QUERIES
+
+    pairs = (
+        QUERIES["v7_lsh_banded_near_dup"]
+        .build(spark, sf_dir)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    return (
+        near_dup_clusters(pairs)
+        .select(F.col("doc_id").alias("vec_id"), "cluster_id")
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v9: IVF recall evaluation (nprobe sweep — the v6 twin for cell-probe ANN)
+# ---------------------------------------------------------------------------
+V9_MAX_PROBE = 2
+
+
+@_register(
+    "v9_ivf_recall",
+    "IVF calibration eval: recall@k of cell-probing vs the exact v1 top-k "
+    f"at nprobe 1 and {V9_MAX_PROBE} side by side — how much of the true "
+    "neighborhood each additional probed cell buys, against a scan "
+    "fraction of nprobe/ncells.  Fused plan: one centroid-scoring pass "
+    "yields cell assignments AND the probe ranking; per-(query, neighbor) "
+    "the minimum probe rank that reaches the neighbor's cell aggregates "
+    "to every nprobe's recall in a single groupBy.",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+               WHERE vec_id IN {IVF_SEED_IDS}),
+    ranked AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COS_SQL.format(a="e.embedding", b="c.ce")} DESC, c.cid) AS rn
+      FROM embeddings e, c),
+    cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cid AS cell, rn FROM ranked
+               WHERE vec_id < {N_QUERY_VECS} AND rn <= {V9_MAX_PROBE}),
+    hit AS (
+      SELECT x.qid, x.vec_id, MIN(p.rn) AS min_rn
+      FROM ({QUERIES["v1_cosine_topk"].oracle}) x
+      JOIN cells cl ON cl.vec_id = x.vec_id
+      LEFT JOIN probes p ON p.qid = x.qid AND p.cell = cl.cell
+      GROUP BY x.qid, x.vec_id),
+    agg AS (
+      SELECT qid, COUNT(*) AS n_topk,
+             SUM(CASE WHEN min_rn <= 1 THEN 1 ELSE 0 END) AS r1,
+             SUM(CASE WHEN min_rn <= {V9_MAX_PROBE} THEN 1 ELSE 0 END) AS r2
+      FROM hit GROUP BY qid)
+    SELECT qid, nprobe, n_topk, n_recovered,
+           ROUND(n_recovered * 1.0 / n_topk, 4) AS recall
+    FROM (
+      SELECT qid, 1 AS nprobe, CAST(n_topk AS BIGINT) AS n_topk,
+             CAST(r1 AS BIGINT) AS n_recovered FROM agg
+      UNION ALL
+      SELECT qid, {V9_MAX_PROBE}, CAST(n_topk AS BIGINT), CAST(r2 AS BIGINT) FROM agg)
+    ORDER BY qid, nprobe
+    """,
+    ("similarity", "ann", "ivf", "eval", "calibration", "pipeline"),
+)
+def v9(spark, sf_dir):
+    from .relational import QUERIES
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cents = e.where(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", cosine(F.col("embedding"), F.col("ce")).alias("sim"))
+        .localCheckpoint()
+    )
+    pick = F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("neg"), F.col("cid").alias("cid")))
+    cells = scored.groupBy("vec_id").agg(pick.alias("m")).select(
+        "vec_id", F.col("m.cid").alias("cell")
+    )
+    wprobe = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    probes = (
+        scored.where(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", "cid", F.row_number().over(wprobe).alias("rn"))
+        .where(F.col("rn") <= V9_MAX_PROBE)
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"), "rn")
+    )
+    exact = QUERIES["v1_cosine_topk"].build(spark, sf_dir).select("qid", "vec_id")
+    hit = (
+        exact.join(cells, "vec_id")
+        .join(F.broadcast(probes), ["qid", "cell"], "left")
+        .groupBy("qid", "vec_id")
+        .agg(F.min("rn").alias("min_rn"))
+    )
+    agg = hit.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_topk"),
+        F.sum((F.col("min_rn") <= 1).cast("int")).alias("r1"),
+        F.sum((F.col("min_rn") <= V9_MAX_PROBE).cast("int")).alias("r2"),
+    )
+    return (
+        agg.select(
+            "qid",
+            "n_topk",
+            F.expr(f"stack(2, 1, r1, {V9_MAX_PROBE}, r2) AS (nprobe, n_recovered)"),
+        )
+        .select(
+            "qid",
+            F.col("nprobe").cast("int").alias("nprobe"),
+            F.col("n_topk").cast("bigint").alias("n_topk"),
+            F.coalesce(F.col("n_recovered"), F.lit(0)).cast("bigint").alias("n_recovered"),
+            F.round(F.coalesce(F.col("n_recovered"), F.lit(0)) / F.col("n_topk"), 4).alias("recall"),
+        )
+        .orderBy("qid", "nprobe")
     )
