@@ -615,8 +615,9 @@ def x4_64(spark, sf_dir):
     WITH sig AS ({_simhash_wide_sig_sql()}),
     blocks AS (
       SELECT doc_id, simhash64, bl.blk,
-             (simhash64 >> (16 * bl.blk)) & 65535 AS bval
-      FROM sig, (SELECT UNNEST([0, 1, 2, 3]) AS blk) bl),
+             (simhash64 >> ({SIMHASH_WIDE_BITS // (X6_64_HAMMING_K + 1)} * bl.blk))
+               & {(1 << (SIMHASH_WIDE_BITS // (X6_64_HAMMING_K + 1))) - 1} AS bval
+      FROM sig, (SELECT UNNEST([{", ".join(str(b) for b in range(X6_64_HAMMING_K + 1))}]) AS blk) bl),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                       a.simhash64 AS ha, b.simhash64 AS hb
@@ -631,12 +632,14 @@ def x4_64(spark, sf_dir):
 )
 def x6_64(spark, sf_dir):
     sig = simhash_codes_wide(spark, sf_dir).localCheckpoint()
+    block_bits = SIMHASH_WIDE_BITS // (X6_64_HAMMING_K + 1)
+    mask = (1 << block_bits) - 1
     parts = [
         sig.select(
             "doc_id",
             "simhash64",
             F.lit(blk).alias("blk"),
-            F.shiftright("simhash64", 16 * blk).bitwiseAND(F.lit(65535)).alias("bval"),
+            F.shiftright("simhash64", block_bits * blk).bitwiseAND(F.lit(mask)).alias("bval"),
         )
         for blk in range(X6_64_HAMMING_K + 1)
     ]
@@ -899,21 +902,24 @@ def _capped_intersections(ex: DataFrame, t: float, max_df: int) -> DataFrame:
     QUERIES["x5_ngram_jaccard"].oracle,
     ("dedup", "jaccard", "df-cap", "pipeline"),
 )
-def x5_capped(spark, sf_dir):
+def x5_capped(spark, sf_dir, cap: int = X5_MAX_DF):
     # Measured dispatch (same pattern as the reach strategies and d8): when
     # the corpus's MAX document frequency is within the cap, path 2 and the
     # split verify of the capped plan are provably empty — the df-capped
     # machinery would only re-derive the plain index join at ~3x the cost
     # (measured 4.6 s vs 1.2 s at sf0.1).  One scalar aggregate over the
     # dfreq table (already a required input of either plan) decides.
+    # ``cap`` is parameterized so tests can bind it below the corpus max
+    # and exercise THIS function's capped branch, not just the helper
+    # (test_x5_capped_dispatch_capped_branch).
     ex = shingle_rows(spark, sf_dir).localCheckpoint()
     max_df = (
         ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).agg(F.max("df")).first()[0]
     )
-    if max_df is not None and max_df <= X5_MAX_DF:
+    if max_df is not None and max_df <= cap:
         inter = _index_join_intersections(ex)
     else:
-        inter = _capped_intersections(ex, X5_THRESHOLD, X5_MAX_DF)
+        inter = _capped_intersections(ex, X5_THRESHOLD, cap)
     return _jaccard_from_intersections(ex, inter)
 
 
@@ -960,6 +966,8 @@ def near_dup_clusters(
 
     localCheckpoint per round cuts lineage exactly like the reach
     frontier loop (plans/reach.py)."""
+    if strategy not in ("auto", "local", "propagate", "star"):
+        raise ValueError(f"near_dup_clusters: unknown strategy {strategy!r}")
     if strategy == "star":
         return _clusters_star(pairs, max_rounds)
     if strategy in ("local", "auto"):
@@ -1035,7 +1043,12 @@ def _clusters_local(pairs: DataFrame) -> DataFrame:
     return pairs.sparkSession.createDataFrame(labels, "doc_id BIGINT, cluster_id BIGINT")
 
 
-LOCAL_CLUSTER_MAX_PAIRS = 2_000_000
+# Driver-memory bound for the local strategy: collect() materializes
+# PySpark Row objects (~100+ bytes each, not 16), plus the union-find
+# dict and the labels list — ~100-200 MB at this bound, safe on any
+# reasonably-sized driver but far from free.  Raise only with the
+# driver's memory budget in hand.
+LOCAL_CLUSTER_MAX_PAIRS = 200_000
 
 
 def _clusters_star(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
@@ -1228,7 +1241,12 @@ def x8(spark, sf_dir):
     )
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col("doc_id").alias("train_doc"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("eval_doc"), F.col("n").alias("nb"))
+    # only the EVAL docs' sizes broadcast (bounded like ev itself); the
+    # full-corpus sizes table stays a regular join on the train side
+    sb = (
+        sizes.join(eval_ids, "doc_id")
+        .select(F.col("doc_id").alias("eval_doc"), F.col("n").alias("nb"))
+    )
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         inter.join(sa, "train_doc")

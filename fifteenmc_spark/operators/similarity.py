@@ -445,8 +445,6 @@ RECALL_PLANE_SETS = (4, 8)
 
 
 def _recall_sql(n_planes: int) -> str:
-    from .relational import QUERIES
-
     sig = " + ".join(_sig_bit_sql(j, "embedding") for j in range(n_planes))
     return f"""
     SELECT x.qid, {n_planes} AS n_planes,
@@ -462,42 +460,6 @@ def _recall_sql(n_planes: int) -> str:
           WHERE vec_id < {N_QUERY_VECS}) q
       ON q.qid = x.qid
     GROUP BY x.qid"""
-
-
-def lsh_recall(spark, sf_dir, n_planes: int) -> "DataFrame":
-    """Recall@k of single-table LSH bucketing against the exact v1 top-k:
-    the fraction of a query's true top-k neighbors that share the query's
-    bucket.  This is the calibration loop the N_PLANES sizing rule feeds
-    — more planes means smaller buckets (cheaper candidate joins) but
-    lower single-table recall, which banding then buys back.  All joins
-    are on (qid | vec_id) after both sides have been reduced to top-k
-    winners / signatures — nothing here rescans raw vectors."""
-    from .relational import QUERIES
-
-    e = _emb(spark, sf_dir)
-    exact = QUERIES["v1_cosine_topk"].build(spark, sf_dir).select("qid", "vec_id")
-    sig = lsh_bucket_table(e, n_planes)
-    qb = sig.where(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("bucket").alias("qbucket")
-    )
-    hit = (F.col("bucket") == F.col("qbucket")).cast("int")
-    return (
-        exact.join(sig, "vec_id")
-        .join(F.broadcast(qb), "qid")
-        .groupBy("qid")
-        .agg(
-            F.count(F.lit(1)).alias("n_topk"),
-            F.sum(hit).alias("n_recovered"),
-            F.round(F.sum(hit) / F.count(F.lit(1)), 4).alias("recall"),
-        )
-        .select(
-            "qid",
-            F.lit(n_planes).cast("int").alias("n_planes"),
-            "n_topk",
-            "n_recovered",
-            "recall",
-        )
-    )
 
 
 @_register(
@@ -520,8 +482,6 @@ def v6(spark, sf_dir):
     # twice; measured 2.6 s → 1.3 s at sf0.1).
     lo, hi = RECALL_PLANE_SETS
     assert lo < hi, "prefix-bucket fusion needs an ascending plane pair"
-    from .relational import QUERIES
-
     e = _emb(spark, sf_dir)
     exact = QUERIES["v1_cosine_topk"].build(spark, sf_dir).select("qid", "vec_id")
     mask = (1 << lo) - 1
@@ -669,7 +629,6 @@ def v7(spark, sf_dir):
 )
 def v8(spark, sf_dir):
     from .dedup import near_dup_clusters
-    from .relational import QUERIES
 
     pairs = (
         QUERIES["v7_lsh_banded_near_dup"]
@@ -732,8 +691,6 @@ V9_MAX_PROBE = 2
     ("similarity", "ann", "ivf", "eval", "calibration", "pipeline"),
 )
 def v9(spark, sf_dir):
-    from .relational import QUERIES
-
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     cents = e.where(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")

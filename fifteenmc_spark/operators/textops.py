@@ -436,18 +436,7 @@ _MIX_SALT = ":mix"  # decorrelates the mixing bucket from p2's split bucket
 )
 def p4(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SALT)).cast("binary")),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    bucket = T.split_bucket(F.col("doc_id"), salt=_MIX_SALT)
     rate = F.when(F.col("lang") == "en", F.lit(MIX_RATE_PCT["en"])).otherwise(
         F.lit(MIX_RATE_DEFAULT_PCT)
     )

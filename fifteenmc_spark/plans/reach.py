@@ -226,7 +226,10 @@ def shortest_paths_bounded(
     seeds.localCheckpoint().createOrReplaceGlobalTempView(f"{tag}_seeds")
     edges = loop.table(f"global_temp.{tag}_edges")
     seeds = loop.table(f"global_temp.{tag}_seeds")
-    parts_was = loop.conf.get("spark.sql.shuffle.partitions", "200")
+    # cap from the CALLER's conf, not the fresh session's: newSession()
+    # resets runtime-set conf to builder defaults, and the cap's purpose
+    # is to respect the tuning of the session that invoked the operator
+    parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
     loop.conf.set("spark.sql.adaptive.enabled", "false")
     # Constraint propagation off for the loop (another knob the private
     # session makes safe to set): Union constraint rewriting trips a

@@ -103,7 +103,6 @@ def write_network_svg(
 
 
 def write_path_svg(
-    nodes: DataFrame,
     edges: DataFrame,
     path_steps: DataFrame,
     path: str,
@@ -115,7 +114,8 @@ def write_path_svg(
     """Path-overlay preview (K7 twin of the reference's
     `test_path.py:336-364` `render_local_png`): the local walking network
     around the route, the route polyline on top, and start / destination-POI
-    markers.
+    markers (edges + route only, like the reference render — no node
+    scatter).
 
     ``path_steps`` is the §3.3 path output (seq, lon, lat, ...;
     `plans/query.py: path_to_nearest_poi`) — bounded by the reach limit, so
@@ -140,9 +140,14 @@ def write_path_svg(
     lo_y, hi_y = min(p_lats) - halo_lat, max(p_lats) + halo_lat
 
     e_cols = ["u_lon", "u_lat", "v_lon", "v_lat"]
+    # BOTH endpoints inside the halo — the reference's prune is
+    # keep_mask[u] & keep_mask[v] (test_path.py:345-348), and a one-sided
+    # filter would let a kept edge's far endpoint blow up the plot extent
     local = edges.select(*e_cols).where(
         (F.col("u_lon") >= lo_x) & (F.col("u_lon") <= hi_x)
         & (F.col("u_lat") >= lo_y) & (F.col("u_lat") <= hi_y)
+        & (F.col("v_lon") >= lo_x) & (F.col("v_lon") <= hi_x)
+        & (F.col("v_lat") >= lo_y) & (F.col("v_lat") <= hi_y)
     )
     e = _hash_sample(local, max_edges)
 

@@ -49,6 +49,18 @@ def test_x5_capped_equivalence(spark, sf_small, max_df):
     assert len(base) > 0
 
 
+def test_x5_capped_dispatch_capped_branch(spark, sf_small):
+    """The REGISTERED x5_capped function's else-branch (capped plan) must
+    be wired correctly — drive it by binding the cap below the corpus's
+    max df, where the dispatch cannot take the plain-index shortcut."""
+    from fifteenmc_spark.operators.dedup import x5_capped
+
+    base = QUERIES["x5_ngram_jaccard"].build(spark, sf_small).collect()
+    capped = x5_capped(spark, sf_small, cap=3).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, capped))
+    assert len(base) > 0
+
+
 def test_x5_prefix_filter_equivalence(spark, sf_small):
     """The PPJoin prefix-filtered plan (x5's scale path) is lossless: it
     returns exactly the pairs of the plain inverted-index plan."""

@@ -318,15 +318,12 @@ def test_plot_path_overlay_svg(spark, tmp_path):
 
     from fifteenmc_spark import plot as plot_sink
 
-    nodes = spark.createDataFrame(
-        [(0, 18.60, 54.37), (1, 18.61, 54.372), (2, 18.62, 54.371)],
-        "node_idx INT, lon DOUBLE, lat DOUBLE",
-    )
     edges = spark.createDataFrame(
         [
             (18.60, 54.37, 18.61, 54.372),   # inside the halo
             (18.605, 54.371, 18.615, 54.372),  # inside
             (19.90, 55.30, 19.91, 55.31),    # ~100 km away — pruned
+            (18.61, 54.372, 19.90, 55.30),   # u inside, v far — pruned too
         ],
         "u_lon DOUBLE, u_lat DOUBLE, v_lon DOUBLE, v_lat DOUBLE",
     )
@@ -338,10 +335,12 @@ def test_plot_path_overlay_svg(spark, tmp_path):
         ],
         "seq INT, lon DOUBLE, lat DOUBLE, step_m DOUBLE, cum_m DOUBLE",
     )
-    svg = plot_sink.write_path_svg(nodes, edges, steps, str(tmp_path / "path.svg"))
+    svg = plot_sink.write_path_svg(edges, steps, str(tmp_path / "path.svg"))
     root = ET.parse(svg).getroot()
     tags = [el.tag.rsplit("}", 1)[-1] for el in root.iter()]
-    assert tags.count("line") == 2  # far edge pruned spark-side
+    # far edge AND the boundary-crossing edge pruned spark-side (both
+    # endpoints must sit in the halo, matching the reference's prune)
+    assert tags.count("line") == 2
     assert tags.count("polyline") == 1  # the route
     classes = [el.get("class") for el in root.iter() if el.get("class")]
     assert sorted(classes) == ["poi", "route", "start"]
