@@ -40,6 +40,7 @@ _CHECK_FIRST = (
     "v7_lsh_banded_near_dup",
     "v8_embedding_clusters",
     "v9_ivf_recall",
+    "m4_frame_dedup",
     "x8_decontaminate",
     "x3_minhash_lsh_pairs_16",
     "p4_stratified_sample",

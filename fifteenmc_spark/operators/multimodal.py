@@ -280,3 +280,67 @@ def m3(spark, sf_dir):
     # checkpoint before the global sort: the range sampler would otherwise
     # re-execute the whole mapInPandas (Python workers) a second time
     return sample_frames(video).localCheckpoint().orderBy("asset_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# m4: cross-asset frame dedup (the multimodal twin of x1 exact dedup)
+# ---------------------------------------------------------------------------
+@_register(
+    "m4_frame_dedup",
+    "Cross-asset FRAME dedup: group the m3 frame table by frame hash and "
+    "report every hash appearing more than once — shared intros, static "
+    "segments, re-uploads.  The multimodal twin of x1: the decode/sample "
+    "step (mapInPandas) emits one 32-char hash per frame, and from there "
+    "the shuffle carries (frame_md5, asset_id, frame_idx) — never frame "
+    "payloads — so dedup cost is independent of frame byte size at "
+    "100 TB.  Canonical = (min asset, min idx within that asset).",
+    f"""
+    WITH v AS (
+      SELECT doc_id AS asset_id, text FROM documents
+      WHERE doc_id % 4 = 2 AND LEN(text) >= 1),
+    f AS (
+      SELECT asset_id, text,
+             UNNEST(generate_series(0, (LEN(text) - 1) // {FRAME_STRIDE})) AS fi
+      FROM v),
+    fr AS (
+      SELECT asset_id, CAST(fi AS INT) AS frame_idx,
+             MD5(SUBSTR(text, fi * {FRAME_STRIDE} + 1, {FRAME_LEN})) AS frame_md5
+      FROM f)
+    SELECT frame_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT asset_id) AS BIGINT) AS n_assets,
+           CAST(MIN(asset_id) AS BIGINT) AS first_asset,
+           CAST(MIN(CASE WHEN asset_id = m THEN frame_idx END) AS INT) AS first_idx
+    FROM (SELECT *, MIN(asset_id) OVER (PARTITION BY frame_md5) AS m FROM fr)
+    GROUP BY frame_md5
+    HAVING COUNT(*) > 1
+    ORDER BY frame_md5
+    """,
+    ("multimodal", "dedup", "frame-sample", "pipeline"),
+)
+def m4(spark, sf_dir):
+    video = synthesize_assets(spark, sf_dir).where(
+        (F.col("modality") == "video") & (F.length("payload") >= 1)
+    )
+    fr = sample_frames(video).select("asset_id", "frame_idx", "frame_md5")
+    # min (asset, idx) in ONE max-struct-free aggregate: min asset first,
+    # then min idx among that asset's rows via a struct-min — map-side
+    # combinable, no window over the frame table
+    pick = F.min(F.struct(F.col("asset_id"), F.col("frame_idx")))
+    return (
+        fr.groupBy("frame_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("asset_id").alias("n_assets"),
+            pick.alias("m"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select(
+            "frame_md5",
+            "n_copies",
+            "n_assets",
+            F.col("m.asset_id").cast("bigint").alias("first_asset"),
+            F.col("m.frame_idx").cast("int").alias("first_idx"),
+        )
+        .orderBy("frame_md5")
+    )
