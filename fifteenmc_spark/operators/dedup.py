@@ -1019,8 +1019,9 @@ def near_dup_clusters(
 
 def _clusters_local(pairs: DataFrame) -> DataFrame:
     """Driver-side union-find over a BOUNDED pair list (collect is gated
-    by LOCAL_CLUSTER_MAX_PAIRS in near_dup_clusters — at 16 bytes/edge the
-    bound is tens of MB, same class of bounded collect as the reach
+    by LOCAL_CLUSTER_MAX_PAIRS in near_dup_clusters — PySpark Rows cost
+    ~100+ bytes each, so the 200k bound is ~100-200 MB driver-side
+    including the parent dict; same class of bounded collect as the reach
     prev-map backtrack).  Union-by-min + path compression: the final root
     of every tree is the component's minimum doc_id."""
     rows = pairs.collect()

@@ -352,6 +352,44 @@ IVF_SEED_IDS = (7, 61, 113, 167, 229, 283, 337, 401)
 N_PROBE = 2
 
 
+def _ivf_cells_probes(spark, sf_dir, max_probe: int):
+    """Shared IVF front half for v5 (cell-probe search) and v9 (its recall
+    eval): (e, cells, probes).  ONE definition so the eval always measures
+    the index v5 actually builds — the seed set, the max-struct cell
+    tie-break (sim desc, cid asc), and the probe ranking can never drift
+    between the two queries.
+
+    Scores every vector against the broadcast centroids; argmax by
+    (sim desc, cid asc) via a max-struct aggregate — map-side combinable,
+    the shuffle carries (vec_id, one struct), never the embeddings.
+    Checkpoint: the |corpus|×ncells cosine folds (interpreted HOFs) feed
+    the cell assignment, the query probes, and downstream samplers —
+    without it they evaluate once per consumer.  ``probes`` keeps the
+    probe rank ``rn`` (1 = nearest cell) up to ``max_probe``."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cents = e.where(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", cosine(F.col("embedding"), F.col("ce")).alias("sim"))
+        .localCheckpoint()
+    )
+    pick = F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("neg"), F.col("cid").alias("cid")))
+    cells = scored.groupBy("vec_id").agg(pick.alias("m")).select(
+        "vec_id", F.col("m.cid").alias("cell")
+    )
+    wprobe = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    probes = (
+        scored.where(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", "cid", F.row_number().over(wprobe).alias("rn"))
+        .where(F.col("rn") <= max_probe)
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"), "rn")
+    )
+    return e, cells, probes
+
+
+
 @_register(
     "v5_ivf_topk",
     "IVF approximate top-5: the corpus is coarse-quantized into 8 cells "
@@ -392,32 +430,8 @@ N_PROBE = 2
     ("similarity", "ann", "ivf", "pipeline"),
 )
 def v5(spark, sf_dir):
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    cents = e.where(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    # score every vector against the 8 broadcast centroids; argmax by
-    # (sim desc, cid asc) via a max-struct aggregate — map-side combinable,
-    # the shuffle carries (vec_id, one struct), never the embeddings
-    # checkpoint: the 8-centroid cosine scores (interpreted HOF folds) feed
-    # the cell assignment, the query probes, AND the sort sampler — without
-    # it the |corpus|×8 fold evaluates three times
-    scored = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", cosine(F.col("embedding"), F.col("ce")).alias("sim"))
-        .localCheckpoint()
-    )
-    pick = F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("neg"), F.col("cid").alias("cid")))
-    cells = scored.groupBy("vec_id").agg(pick.alias("m")).select(
-        "vec_id", F.col("m.cid").alias("cell")
-    )
-    wprobe = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
-    probes = (
-        scored.where(F.col("vec_id") < N_QUERY_VECS)
-        .select("vec_id", "cid", F.row_number().over(wprobe).alias("rn"))
-        .where(F.col("rn") <= N_PROBE)
-        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"))
-    )
+    e, cells, probes = _ivf_cells_probes(spark, sf_dir, N_PROBE)
+    probes = probes.drop("rn")
     qv = e.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -546,9 +560,12 @@ V7_BANDS = 2  # 2 bands x 8 planes, sliced from ONE 16-plane signature
              CAST({" + ".join(_sig_bit_sql(j, "embedding") for j in range(V7_TOTAL_PLANES))} AS INT) AS code
       FROM embeddings),
     bands AS (
-      SELECT vec_id, embedding, 0 AS band, code & 255 AS bval FROM sig
-      UNION ALL
-      SELECT vec_id, embedding, 1 AS band, (code >> 8) & 255 AS bval FROM sig),
+      {" UNION ALL ".join(
+          f"SELECT vec_id, embedding, {band} AS band, "
+          f"(code >> {(V7_TOTAL_PLANES // V7_BANDS) * band}) "
+          f"& {(1 << (V7_TOTAL_PLANES // V7_BANDS)) - 1} AS bval FROM sig"
+          for band in range(V7_BANDS)
+      )}),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
@@ -567,7 +584,9 @@ V7_BANDS = 2  # 2 bands x 8 planes, sliced from ONE 16-plane signature
 def v7(spark, sf_dir):
     r = V7_TOTAL_PLANES // V7_BANDS
     e = _emb(spark, sf_dir)
-    sig = lsh_bucket_table(e, V7_TOTAL_PLANES)
+    # checkpoint before slicing: the union's branches would otherwise each
+    # re-run the 16-sum signature aggregation (x6_64 does the same)
+    sig = lsh_bucket_table(e, V7_TOTAL_PLANES).localCheckpoint()
     mask = (1 << r) - 1
     parts = [
         sig.select(
@@ -691,26 +710,7 @@ V9_MAX_PROBE = 2
     ("similarity", "ann", "ivf", "eval", "calibration", "pipeline"),
 )
 def v9(spark, sf_dir):
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    cents = e.where(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    scored = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", cosine(F.col("embedding"), F.col("ce")).alias("sim"))
-        .localCheckpoint()
-    )
-    pick = F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("neg"), F.col("cid").alias("cid")))
-    cells = scored.groupBy("vec_id").agg(pick.alias("m")).select(
-        "vec_id", F.col("m.cid").alias("cell")
-    )
-    wprobe = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
-    probes = (
-        scored.where(F.col("vec_id") < N_QUERY_VECS)
-        .select("vec_id", "cid", F.row_number().over(wprobe).alias("rn"))
-        .where(F.col("rn") <= V9_MAX_PROBE)
-        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"), "rn")
-    )
+    _, cells, probes = _ivf_cells_probes(spark, sf_dir, V9_MAX_PROBE)
     exact = QUERIES["v1_cosine_topk"].build(spark, sf_dir).select("qid", "vec_id")
     hit = (
         exact.join(cells, "vec_id")
