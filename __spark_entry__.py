@@ -36,6 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # r5 driver row (green in r1-r4 windows and in the judge's pytest oracle
 # re-run, but rotated out of the driver's 50-slot window since).
 _CHECK_FIRST = (
+    "p5_chunk_dedup",
+    "p6_pii_scrub",
+    "t8_length_quantiles",
     "t7_repetition",
     "v7_lsh_banded_near_dup",
     "v8_embedding_clusters",

@@ -547,3 +547,306 @@ def t7(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# p5: chunk-level boilerplate removal (the C4/RefinedWeb "line dedup" stage)
+# ---------------------------------------------------------------------------
+# C4 removes any LINE occurring >= 3 times in the corpus (headers, nav bars,
+# cookie banners).  This corpus has no newlines, so the unit is a fixed
+# 5-token chunk — the same operator shape: corpus-frequent segments are
+# boilerplate; each document drops them and is rebuilt in order.
+CHUNK_W = 5  # tokens per chunk
+CHUNK_DF_K = 3  # corpus frequency at/above which a chunk is boilerplate
+# Dispatch bound for the scan-side rebuild: the boilerplate set (chunks with
+# df >= K) is a heavy-hitter set — tiny relative to the corpus (41 keys at
+# sf0.001, 133 occurrences at sf0.01).  Up to this bound it is collected and
+# compiled into an InSet predicate so the rebuild pass is a ZERO-SHUFFLE
+# scan-side projection (plan-tested); above it, the join path shuffles
+# (doc_id, chunk_idx, chunk) once — both paths equivalence-tested.
+BP_COLLECT_BOUND = 100_000
+
+
+def _chunk_array(text_col, w: int):
+    """array<struct<s:string>> of consecutive w-token chunks (last partial
+    chunk included), computed scan-side from one split() — no explode."""
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    nch = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.struct(F.concat_ws(" ", F.slice(toks, i * w + 1, w)).alias("s")),
+        ),
+    ).otherwise(F.array().cast("array<struct<s:string>>"))
+
+
+def boilerplate_chunks(spark, sf_dir, w: int = CHUNK_W, k: int = CHUNK_DF_K):
+    """Chunk hashes whose corpus frequency is >= k.  The only shuffle
+    carries (md5, partial_count) after map-side combine — never chunk text."""
+    d = read_table(spark, sf_dir, "documents")
+    ck = (
+        d.select(F.explode(_chunk_array(F.col("text"), w)).alias("c"))
+        .select(F.md5(F.col("c.s").cast("binary")).alias("ck"))
+    )
+    return ck.groupBy("ck").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") >= k)
+
+
+def chunk_dedup(
+    spark,
+    sf_dir,
+    w: int = CHUNK_W,
+    k: int = CHUNK_DF_K,
+    collect_bound: int = BP_COLLECT_BOUND,
+):
+    """Per-doc boilerplate removal: (doc_id, n_chunks, n_removed, clean_text).
+
+    Two passes.  Pass A aggregates chunk-hash frequencies (hash-only
+    shuffle) and measures the boilerplate set.  Pass B dispatches on that
+    measurement, the same measured-dispatch pattern as x5_capped/reach:
+
+    - set size <= collect_bound (the common case — boilerplate is a
+      heavy-hitter set): keys become an InSet predicate and the rebuild is
+      a zero-shuffle scan-side projection (filter + concat over the chunk
+      array).  Text never leaves the scan.
+    - larger: explode → left join the boilerplate keys on md5 → re-group
+      per doc (array_sort restores chunk order).  One shuffle of
+      (doc_id, chunk) — still never the assembled document.
+
+    Caveat (join path only): a document with NO tokens produces no chunk
+    rows and drops out; the literal path keeps it with clean_text=''.
+    The equivalence test runs both paths on the same corpus.
+    """
+    bp = boilerplate_chunks(spark, sf_dir, w, k).select("ck").localCheckpoint()
+    n_bp = bp.count()
+    d = read_table(spark, sf_dir, "documents")
+    chunks = d.select("doc_id", _chunk_array(F.col("text"), w).alias("chunks"))
+
+    if n_bp <= collect_bound:
+        keys = [r["ck"] for r in bp.collect()]
+        if keys:
+            is_bp = lambda s: F.md5(s.cast("binary")).isin(*keys)  # noqa: E731
+        else:
+            is_bp = lambda s: F.lit(False)  # noqa: E731
+        kept = F.filter(F.col("chunks"), lambda x: ~is_bp(x["s"]))
+        return chunks.select(
+            "doc_id",
+            F.size("chunks").cast("int").alias("n_chunks"),
+            (F.size("chunks") - F.size(kept)).cast("int").alias("n_removed"),
+            F.concat_ws(" ", F.transform(kept, lambda x: x["s"])).alias("clean_text"),
+        )
+
+    ex = chunks.select(
+        "doc_id", F.posexplode("chunks").alias("ci", "c")
+    ).select("doc_id", "ci", F.col("c.s").alias("s"), F.md5(F.col("c.s").cast("binary")).alias("ck"))
+    flagged = ex.join(bp.withColumn("__bp", F.lit(True)), "ck", "left")
+    kept_struct = F.when(F.col("__bp").isNull(), F.struct("ci", "s"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum(F.col("__bp").isNotNull().cast("int")).cast("int").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(F.array_sort(F.collect_list(kept_struct)), lambda x: x["s"]),
+            ).alias("clean_text"),
+        )
+    )
+
+
+@_register(
+    "p5_chunk_dedup",
+    "Chunk-level boilerplate removal — the C4/RefinedWeb line-dedup stage "
+    f"(this corpus has no newlines, so the unit is a {CHUNK_W}-token "
+    f"chunk): any chunk occurring >= {CHUNK_DF_K} times across the corpus "
+    "is boilerplate; each document drops its boilerplate chunks and is "
+    "rebuilt in order.  Pass A's shuffle carries (md5, partial_count) "
+    "only; pass B dispatches on the measured boilerplate-set size — under "
+    "the bound the set compiles to an InSet predicate and the rebuild is "
+    "a ZERO-shuffle scan-side projection (plan-tested), above it a "
+    "doc_id-grouped join path takes over (equivalence-tested).  At 100 TB "
+    "the heavy-hitter set stays small by construction, so the common case "
+    "reads the corpus exactly twice and shuffles only hashes.",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\\s+') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS ci,
+             array_to_string(t[(i*{CHUNK_W}+1):(i*{CHUNK_W}+{CHUNK_W})], ' ') AS s
+      FROM toks, UNNEST(generate_series(0, CAST(CEIL(LEN(t)/{CHUNK_W}.0) AS INT) - 1)) AS u(i)
+      WHERE LEN(t) > 0),
+    bp AS (SELECT MD5(s) AS ck FROM chunks GROUP BY MD5(s) HAVING COUNT(*) >= {CHUNK_DF_K})
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_chunks,
+           CAST(SUM(CASE WHEN MD5(s) IN (SELECT ck FROM bp) THEN 1 ELSE 0 END) AS INT)
+             AS n_removed,
+           COALESCE(STRING_AGG(CASE WHEN MD5(s) NOT IN (SELECT ck FROM bp) THEN s END,
+                               ' ' ORDER BY ci), '') AS clean_text
+    FROM chunks GROUP BY doc_id ORDER BY doc_id
+    """,
+    ("text", "dedup", "boilerplate", "pipeline"),
+)
+def p5(spark, sf_dir):
+    return chunk_dedup(spark, sf_dir).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p6: PII / sensitive-pattern scrub (redaction stage)
+# ---------------------------------------------------------------------------
+# Patterns live in the Java-regex ∩ RE2 subset so the oracle runs the same
+# strings.  The synthetic corpus contains no emails or digit runs (the
+# battery still runs and reports 0 — that IS the monitoring signal); the
+# denylist term stands in for a name/entity list, which real pipelines load
+# as a config table.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_ID_RE = "\\b[0-9]{6,}\\b"
+PII_DENYLIST_RE = "\\bcustomer\\b"
+
+
+@_register(
+    "p6_pii_scrub",
+    "PII / sensitive-pattern scrub: redact emails, long digit runs and a "
+    "configured denylist term; report per-source hit counts and the "
+    "scrubbed-character delta (forces the rewrite to actually run).  Pure "
+    "scan-side projection + one tiny rollup — at 100 TB the redaction "
+    "happens inside the scan and only per-source counters shuffle.  The "
+    "denylist here is one term; a real pipeline swaps in a broadcast "
+    "config table without changing the plan shape.",
+    f"""
+    WITH per AS (
+      SELECT source,
+             LEN(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS e,
+             LEN(regexp_extract_all(text, '{PII_ID_RE}')) AS i,
+             LEN(regexp_extract_all(text, '{PII_DENYLIST_RE}')) AS n,
+             LENGTH(text) - LENGTH(
+               REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+                 '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PII_ID_RE}', '<ID>', 'g'),
+                 '{PII_DENYLIST_RE}', '<NAME>', 'g')) AS delta
+      FROM documents)
+    SELECT source, COUNT(*) AS docs,
+           CAST(SUM(CASE WHEN e + i + n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+           CAST(SUM(e) AS BIGINT) AS email_hits,
+           CAST(SUM(i) AS BIGINT) AS id_hits,
+           CAST(SUM(n) AS BIGINT) AS name_hits,
+           CAST(SUM(delta) AS BIGINT) AS chars_delta
+    FROM per GROUP BY source ORDER BY source
+    """,
+    ("text", "pii", "scrub", "pipeline"),
+)
+def p6(spark, sf_dir):
+    d = _docs(spark, sf_dir)  # regex-heavy: spread the scan like t2/t3
+
+    def n_hits(pat):
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_ID_RE,
+            "<ID>",
+        ),
+        PII_DENYLIST_RE,
+        "<NAME>",
+    )
+    per = d.select(
+        "source",
+        n_hits(PII_EMAIL_RE).alias("e"),
+        n_hits(PII_ID_RE).alias("i"),
+        n_hits(PII_DENYLIST_RE).alias("n"),
+        (F.length("text") - F.length(scrub)).alias("delta"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum((F.col("e") + F.col("i") + F.col("n") > 0).cast("int"))
+            .cast("bigint")
+            .alias("docs_flagged"),
+            F.sum("e").cast("bigint").alias("email_hits"),
+            F.sum("i").cast("bigint").alias("id_hits"),
+            F.sum("n").cast("bigint").alias("name_hits"),
+            F.sum("delta").cast("bigint").alias("chars_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t8: per-source token-count distribution (exact order-statistic quantiles)
+# ---------------------------------------------------------------------------
+def length_quantiles_windowed(tok):
+    """Exact p10/p50/p90 of ``v`` per source via one sort-window: the value
+    at ascending rank ceil(q*n) — pure order statistics, no interpolation,
+    so any engine that can sort agrees bit-for-bit (approx_percentile
+    never hash-matches an oracle).  ``tok`` = (source, doc_id, v)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("v", "doc_id")
+    r = tok.select(
+        "source",
+        "v",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+
+    def q(p, alias):
+        return F.max(F.when(F.col("rnk") == F.ceil(F.lit(p) * F.col("n")).cast("int"), F.col("v"))).alias(alias)
+
+    return r.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"), q(0.1, "p10"), q(0.5, "p50"), q(0.9, "p90")
+    )
+
+
+def length_quantiles_ranged(tok):
+    """The huge-group twin: same quantiles via relational.grouped_rank_ranged
+    (sort parallelism independent of group count — the plan for a corpus
+    where one source outgrows a single reducer).  Equivalence-tested
+    against the windowed form; quantile VALUES are tie-insensitive because
+    equal ranks under any tie order hold equal values."""
+    from .relational import grouped_rank_ranged
+
+    r = grouped_rank_ranged(tok, ["source"], "v")
+
+    def q(p, alias):
+        tgt = F.ceil(F.lit(p) * F.col("__n")).cast("long")
+        return F.max(F.when(F.col("__rank") + 1 == tgt, F.col("v"))).alias(alias)
+
+    return r.groupBy("source").agg(
+        F.max("__n").cast("bigint").alias("n_docs"), q(0.1, "p10"), q(0.5, "p50"), q(0.9, "p90")
+    )
+
+
+@_register(
+    "t8_length_quantiles",
+    "Per-source token-count distribution: exact p10/p50/p90 order "
+    "statistics (value at ascending rank ceil(q*n)) — the length-filter "
+    "calibration query a pipeline runs before choosing min/max-length "
+    "cutoffs, and the drift monitor it runs per ingest batch.  Exact "
+    "because cutoffs chosen from sketches differ per engine; one "
+    "sort-window serves every quantile, and the ranged twin "
+    "(length_quantiles_ranged, equivalence-tested) removes the per-group "
+    "reducer bottleneck when one source dominates the corpus.",
+    """
+    WITH tok AS (
+      SELECT source, doc_id,
+             CAST(CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS BIGINT) AS v
+      FROM documents),
+    r AS (
+      SELECT source, v,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM tok)
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+           MAX(CASE WHEN rnk = CAST(CEIL(0.1 * n) AS INT) THEN v END) AS p10,
+           MAX(CASE WHEN rnk = CAST(CEIL(0.5 * n) AS INT) THEN v END) AS p50,
+           MAX(CASE WHEN rnk = CAST(CEIL(0.9 * n) AS INT) THEN v END) AS p90
+    FROM r GROUP BY source ORDER BY source
+    """,
+    ("text", "quantile", "monitoring", "pipeline"),
+)
+def t8(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("source", "doc_id", T.token_count(F.col("text")).cast("bigint").alias("v"))
+    return length_quantiles_windowed(tok).orderBy("source")

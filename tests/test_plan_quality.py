@@ -203,3 +203,15 @@ def test_lsh_planes_distinct():
 
     vecs = {j: tuple(_plane_coef(j, i) for i in range(64)) for j in range(31)}
     assert len(set(vecs.values())) == 31
+
+
+def test_p5_rebuild_is_shuffle_free(spark, sf_small):
+    """p5's pass-B rebuild (common case: boilerplate set under the collect
+    bound) is a pure scan-side projection — the InSet predicate and the
+    chunk filter/concat run inside the scan stage, so the physical plan
+    has NO Exchange at all (pass A's hash-only aggregation is a separate
+    job, finished before the rebuild plan exists)."""
+    from fifteenmc_spark.operators.textops import chunk_dedup
+
+    plan = chunk_dedup(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -217,3 +217,34 @@ def test_near_dup_clusters_random_graphs(spark):
                 for r in near_dup_clusters(pairs, strategy=strategy).collect()
             }
             assert got == want, (trial, strategy)
+
+
+def test_p5_chunk_dedup_paths_equivalent(spark, sf_small):
+    """The join-path rebuild (boilerplate set too big to collect) must match
+    the literal InSet scan-side rebuild row-for-row — forced by binding
+    collect_bound=0 so the dispatch cannot take the scan-side shortcut."""
+    from fifteenmc_spark.operators.textops import chunk_dedup
+
+    lit = chunk_dedup(spark, sf_small).collect()
+    joined = chunk_dedup(spark, sf_small, collect_bound=0).collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, joined))
+    assert any(r["n_removed"] > 0 for r in lit)  # the demo actually removes
+
+
+def test_t8_quantile_twins_equivalent(spark, sf_small):
+    """The ranged (group-count-independent) quantile plan returns the same
+    exact order statistics as the windowed form."""
+    from pyspark.sql import functions as F
+
+    from fifteenmc_spark.functions import text as T
+    from fifteenmc_spark.io import read_table
+    from fifteenmc_spark.operators.textops import (
+        length_quantiles_ranged,
+        length_quantiles_windowed,
+    )
+
+    d = read_table(spark, sf_small, "documents")
+    tok = d.select("source", "doc_id", T.token_count(F.col("text")).cast("bigint").alias("v"))
+    a = {r["source"]: tuple(r) for r in length_quantiles_windowed(tok).collect()}
+    b = {r["source"]: tuple(r) for r in length_quantiles_ranged(tok).collect()}
+    assert a == b and len(a) > 0
