@@ -508,7 +508,9 @@ def t6(spark, sf_dir):
     "(operators/dedup.shingle_rows, distinct=False) so the quality signal "
     "and the dedup surface can never disagree on tokenization; one "
     "groupBy(doc_id) computes total + distinct in a single pass, and the "
-    "shuffle carries (doc_id, shingle) — never document text.",
+    "shuffle carries (doc_id, shingle) — never document text.  NULL-text "
+    "docs have no shingles and no repetition row (pinned in the oracle "
+    "and by the edge-corpus test).",
     f"""
     WITH ex AS (
       SELECT doc_id, UNNEST(
@@ -518,7 +520,8 @@ def t6(spark, sf_dir):
         ELSE [norm] END) AS s
       FROM (SELECT doc_id, REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm,
                    string_split(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS toks
-            FROM documents))
+            FROM documents
+            WHERE text IS NOT NULL))
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_shingles,
            CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct,
@@ -613,9 +616,11 @@ def chunk_dedup(
       per doc (array_sort restores chunk order).  One shuffle of
       (doc_id, chunk) — still never the assembled document.
 
-    Caveat (join path only): a document with NO tokens produces no chunk
-    rows and drops out; the literal path keeps it with clean_text=''.
-    The equivalence test runs both paths on the same corpus.
+    Every document survives the rebuild on BOTH paths — a doc whose text
+    is NULL (zero chunks) or whose chunks are all boilerplate comes back
+    with clean_text='' rather than silently dropping (the join path
+    re-anchors on the documents scan for this; pinned by the edge-corpus
+    test and the path-equivalence test).
     """
     bp = boilerplate_chunks(spark, sf_dir, w, k).select("ck").localCheckpoint()
     n_bp = bp.count()
@@ -641,7 +646,7 @@ def chunk_dedup(
     ).select("doc_id", "ci", F.col("c.s").alias("s"), F.md5(F.col("c.s").cast("binary")).alias("ck"))
     flagged = ex.join(bp.withColumn("__bp", F.lit(True)), "ck", "left")
     kept_struct = F.when(F.col("__bp").isNull(), F.struct("ci", "s"))
-    return (
+    agg = (
         flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_chunks"),
@@ -651,6 +656,14 @@ def chunk_dedup(
                 F.transform(F.array_sort(F.collect_list(kept_struct)), lambda x: x["s"]),
             ).alias("clean_text"),
         )
+    )
+    # re-anchor on the documents scan: a zero-chunk doc (NULL text) has no
+    # exploded rows, but a rebuild must never lose documents
+    return chunks.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_chunks", F.lit(0)).cast("int").alias("n_chunks"),
+        F.coalesce("n_removed", F.lit(0)).cast("int").alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
 
 
@@ -675,14 +688,21 @@ def chunk_dedup(
              array_to_string(t[(i*{CHUNK_W}+1):(i*{CHUNK_W}+{CHUNK_W})], ' ') AS s
       FROM toks, UNNEST(generate_series(0, CAST(CEIL(LEN(t)/{CHUNK_W}.0) AS INT) - 1)) AS u(i)
       WHERE LEN(t) > 0),
-    bp AS (SELECT MD5(s) AS ck FROM chunks GROUP BY MD5(s) HAVING COUNT(*) >= {CHUNK_DF_K})
-    SELECT doc_id,
-           CAST(COUNT(*) AS INT) AS n_chunks,
-           CAST(SUM(CASE WHEN MD5(s) IN (SELECT ck FROM bp) THEN 1 ELSE 0 END) AS INT)
-             AS n_removed,
-           COALESCE(STRING_AGG(CASE WHEN MD5(s) NOT IN (SELECT ck FROM bp) THEN s END,
-                               ' ' ORDER BY ci), '') AS clean_text
-    FROM chunks GROUP BY doc_id ORDER BY doc_id
+    bp AS (SELECT MD5(s) AS ck FROM chunks GROUP BY MD5(s) HAVING COUNT(*) >= {CHUNK_DF_K}),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS INT) AS n_chunks,
+             CAST(SUM(CASE WHEN MD5(s) IN (SELECT ck FROM bp) THEN 1 ELSE 0 END) AS INT)
+               AS n_removed,
+             COALESCE(STRING_AGG(CASE WHEN MD5(s) NOT IN (SELECT ck FROM bp) THEN s END,
+                                 ' ' ORDER BY ci), '') AS clean_text
+      FROM chunks GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_chunks, 0) AS INT) AS n_chunks,
+           CAST(COALESCE(a.n_removed, 0) AS INT) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    ORDER BY d.doc_id
     """,
     ("text", "dedup", "boilerplate", "pipeline"),
 )
@@ -830,8 +850,8 @@ def length_quantiles_ranged(tok):
     """
     WITH tok AS (
       SELECT source, doc_id,
-             CAST(CASE WHEN TRIM(text) = '' THEN 0
-                  ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS BIGINT) AS v
+             CAST(COALESCE(CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END, 0) AS BIGINT) AS v
       FROM documents),
     r AS (
       SELECT source, v,
@@ -847,6 +867,14 @@ def length_quantiles_ranged(tok):
     ("text", "quantile", "monitoring", "pipeline"),
 )
 def t8(spark, sf_dir):
+    # COALESCE pins NULL text to 0 tokens (same as empty text) — otherwise
+    # Spark windows sort NULL first and DuckDB last, shifting every rank,
+    # and the ranged twin's repartitionByRange would order NULLs a third
+    # way.  Pinned by the edge-corpus test.
     d = read_table(spark, sf_dir, "documents")
-    tok = d.select("source", "doc_id", T.token_count(F.col("text")).cast("bigint").alias("v"))
+    tok = d.select(
+        "source",
+        "doc_id",
+        F.coalesce(T.token_count(F.col("text")).cast("bigint"), F.lit(0)).alias("v"),
+    )
     return length_quantiles_windowed(tok).orderBy("source")

@@ -1,0 +1,107 @@
+"""Edge-corpus hardening: the text/pipeline surface vs its DuckDB oracles
+on a corpus of pathological documents — NULL text, empty string,
+whitespace-only, below-shingle-width, unicode (accents/CJK/emoji), mixed
+tab/newline whitespace, exact duplicates, single-token repetition.
+
+The driver only ever checks the well-formed synthetic testdata; this pins
+the NULL/empty/unicode semantics both engines must share:
+
+- NULL text → no shingle rows (t7 emits no row), 0 tokens for the length
+  monitor (t8), and a kept-but-empty rebuild in p5 (a dedup rebuild must
+  never lose documents — both dispatch paths).
+- empty/whitespace-only text → 0 tokens (t1/t8), one empty-string chunk
+  in p5 on both engines (split('') == ['']).
+- unicode survives md5 fingerprints, tokenization and rebuilds unchanged.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fifteenmc_spark.operators.relational import QUERIES
+
+from .oracle_util import compare
+
+EDGE_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en", "srcA"),
+    (1, "", "en", "srcA"),
+    (2, "   ", "en", "srcA"),
+    (3, "solo", "en", "srcB"),
+    (4, "two tokens", "en", "srcB"),
+    (5, "café naïve 中文 \U0001f600 tokens", "fr", "srcB"),
+    (6, "the quick brown fox jumps over the lazy dog", "en", "srcC"),
+    (7, "a a a a a a a a a a a a", "en", "srcC"),
+    (8, "tab\tand\nnewline  mixed   whitespace", "en", "srcC"),
+    (9, None, "en", "srcC"),
+    (10, "the quick brown fox jumps over the lazy dog", "en", "srcC"),
+    (11, " lead and trail space ", "en", "srcD"),
+]
+
+EDGE_QUERIES = [
+    "t1_token_count",
+    "t2_quality_score",
+    "t3_lang_id",
+    "t4_fingerprint",
+    "t5_corpus_stats",
+    "t6_vocab_topk",
+    "t7_repetition",
+    "t8_length_quantiles",
+    "p2_hash_split",
+    "p4_stratified_sample",
+    "p5_chunk_dedup",
+    "p6_pii_scrub",
+    "x1_dedup_exact",
+    "x4_simhash",
+    "x5_ngram_jaccard",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_sf")
+    tb = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in EDGE_DOCS], pa.int64()),
+            "text": pa.array([r[1] for r in EDGE_DOCS], pa.string()),
+            "lang": pa.array([r[2] for r in EDGE_DOCS], pa.string()),
+            "source": pa.array([r[3] for r in EDGE_DOCS], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] is not None else None for r in EDGE_DOCS], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tb, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_oracle(edge_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{edge_dir}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_corpus_matches_oracle(name, spark, edge_dir, edge_oracle):
+    q = QUERIES[name]
+    sdf = q.build(spark, edge_dir)
+    pdf = edge_oracle.execute(q.oracle).fetchdf()
+    compare(sdf, pdf, f"edge:{name}")
+
+
+def test_edge_null_doc_survives_p5_both_paths(spark, edge_dir):
+    """The rebuild keeps the NULL-text doc with clean_text='' on the InSet
+    path AND the join path (which must re-anchor on the documents scan)."""
+    from fifteenmc_spark.operators.textops import chunk_dedup
+
+    for bound in (None, 0):  # None → literal path; 0 → forced join path
+        kwargs = {} if bound is None else {"collect_bound": bound}
+        rows = {r["doc_id"]: r for r in chunk_dedup(spark, edge_dir, **kwargs).collect()}
+        assert rows[9]["n_chunks"] == 0 and rows[9]["clean_text"] == ""
+        assert len(rows) == len(EDGE_DOCS)
