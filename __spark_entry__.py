@@ -39,6 +39,7 @@ _CHECK_FIRST = (
     "p5_chunk_dedup",
     "p6_pii_scrub",
     "t8_length_quantiles",
+    "v10_embedding_validity",
     "t7_repetition",
     "v7_lsh_banded_near_dup",
     "v8_embedding_clusters",

@@ -33,10 +33,13 @@ def _emb(spark, sf_dir):
     vec_id so the exploded signature groupBy (lsh_bucket_table) and any
     vec_id join downstream reuse this ONE exchange.  At corpus scale the
     scan is already partitioned and this repartition is a no-op
-    design-wise (one narrow shuffle of the vectors)."""
-    return read_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    design-wise (one narrow shuffle of the vectors).
+
+    Applies the validity gate — every similarity query sees only vectors
+    that can participate in cosine math (see valid_embeddings)."""
+    return valid_embeddings(
+        read_table(spark, sf_dir, "embeddings")
+    ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
 
 N_QUERY_VECS = 3  # vec_id < 3 are the demo query vectors
 TOP_K = 5
@@ -62,6 +65,59 @@ _COS_SQL = (
     " / (SQRT(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
     " * SQRT(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
 )
+
+
+# ---------------------------------------------------------------------------
+# validity gate: the embeddings-table data contract
+# ---------------------------------------------------------------------------
+EMB_DIM = 64  # contract dimension of the embeddings table (TESTDATA.md)
+
+
+def valid_embeddings(df):
+    """Rows that can participate in cosine math: embedding non-NULL, the
+    contract dimension, no NULL elements, and a finite strictly-positive
+    squared norm.  A real ingest WILL contain violations (NULL rows,
+    truncated arrays, zero vectors from failed encoders) and an ungated
+    cosine either crashes (ANSI divide-by-zero on a zero norm) or poisons
+    every score downstream with NaN/NULL — gating at the scan keeps the
+    pushed-down filter next to the read.  In Spark a NULL element or NULL
+    array makes the self-dot NULL, so `ss > 0` alone excludes those rows;
+    the explicit isNotNull/size conjuncts keep the predicate readable and
+    let Catalyst push the cheap checks ahead of the HOF."""
+    ss = dot_double(F.col("embedding"), F.col("embedding"))
+    return df.where(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMB_DIM)
+        & ~F.isnan(ss)
+        & (ss < float("inf"))
+        & (ss > 0)
+    )
+
+
+_DOT_SELF = "list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))"
+# CASE (not WHERE conjuncts) because DuckDB does not guarantee conjunct
+# order and list_dot_product RAISES on NULL lists / NULL elements rather
+# than returning NULL.
+_VALID_EMB_SQL = f"""SELECT * FROM embeddings
+      WHERE CASE WHEN embedding IS NULL THEN FALSE
+                 WHEN LEN(embedding) <> {EMB_DIM} THEN FALSE
+                 WHEN LEN(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
+                 ELSE isfinite({_DOT_SELF}) AND {_DOT_SELF} > 0 END"""
+
+
+def _gate_oracle(sql: str) -> str:
+    """Mirror the valid_embeddings gate into an oracle string: prepend a
+    `ve` CTE and point every `FROM embeddings` at it."""
+    cte = f"ve AS ({_VALID_EMB_SQL})"
+    # rewrite the query body FIRST so the gate CTE's own scan of the raw
+    # table is not self-rewritten to `FROM ve`
+    body = sql.replace("FROM embeddings", "FROM ve")
+    s = body.lstrip()
+    if s.startswith("WITH RECURSIVE"):
+        return body.replace("WITH RECURSIVE", f"WITH RECURSIVE {cte},", 1)
+    if s.startswith("WITH"):
+        return body.replace("WITH", f"WITH {cte},", 1)
+    return f"WITH {cte}\n{body}"
 
 
 # ---------------------------------------------------------------------------
@@ -738,3 +794,84 @@ def v9(spark, sf_dir):
         )
         .orderBy("qid", "nprobe")
     )
+
+
+# ---------------------------------------------------------------------------
+# v10: embedding ingest validity monitor (the query BEFORE the gate)
+# ---------------------------------------------------------------------------
+@_register(
+    "v10_embedding_validity",
+    "Ingest-QA monitor over the RAW embeddings table: per-label counts of "
+    "NULL embeddings, wrong-dimension arrays, NULL elements, zero/"
+    "non-finite norms, and valid rows — the exact partition the "
+    "valid_embeddings gate applies, reported instead of silently dropped.  "
+    "A 100 TB vector pipeline runs this per ingest batch and alerts on "
+    "any non-valid count; one scan, per-row CASE in codegen (the self-dot "
+    "only evaluates on rows that pass the cheap shape checks), map-side "
+    "combinable rollup.",
+    f"""
+    WITH c AS (
+      SELECT label,
+             CASE WHEN embedding IS NULL THEN 'null'
+                  WHEN LEN(embedding) <> {EMB_DIM} THEN 'wrong_dim'
+                  WHEN LEN(list_filter(embedding, x -> x IS NULL)) > 0 THEN 'null_elem'
+                  WHEN NOT (isfinite({_DOT_SELF}) AND {_DOT_SELF} > 0) THEN 'bad_norm'
+                  ELSE 'valid' END AS cat
+      FROM embeddings)
+    SELECT label, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN cat = 'null' THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(SUM(CASE WHEN cat = 'wrong_dim' THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+           CAST(SUM(CASE WHEN cat = 'null_elem' THEN 1 ELSE 0 END) AS BIGINT) AS n_null_elem,
+           CAST(SUM(CASE WHEN cat = 'bad_norm' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_norm,
+           CAST(SUM(CASE WHEN cat = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+    FROM c GROUP BY label ORDER BY label
+    """,
+    ("similarity", "monitoring", "validity", "pipeline"),
+)
+def v10(spark, sf_dir):
+    # RAW scan on purpose — this is the one similarity query that must see
+    # the rows the _emb gate excludes
+    e = read_table(spark, sf_dir, "embeddings")
+    ss = dot_double(F.col("embedding"), F.col("embedding"))
+    cat = (
+        F.when(F.col("embedding").isNull(), "null")
+        .when(F.size("embedding") != EMB_DIM, "wrong_dim")
+        .when(F.exists(F.col("embedding"), lambda x: x.isNull()), "null_elem")
+        .when(~(~F.isnan(ss) & (ss < float("inf")) & (ss > 0)), "bad_norm")
+        .otherwise("valid")
+    )
+    c = e.select("label", cat.alias("cat"))
+    return (
+        c.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            *[
+                F.sum((F.col("cat") == k).cast("int")).cast("bigint").alias(f"n_{k}")
+                for k in ("null", "wrong_dim", "null_elem", "bad_norm", "valid")
+            ],
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# apply the oracle-side validity gate to every similarity query above
+# (the engine side gates once, in _emb; v10 is exempt by design — it is
+# the monitor that reports what the gate excludes)
+# ---------------------------------------------------------------------------
+import dataclasses as _dc  # noqa: E402
+
+for _name in (
+    "v1_cosine_topk",
+    "v2_lsh_bucket",
+    "v2_lsh_bucket_16",
+    "v3_embedding_near_dup",
+    "v4_embedding_stats",
+    "v5_ivf_topk",
+    "v6_lsh_recall",
+    "v7_lsh_banded_near_dup",
+    "v8_embedding_clusters",
+    "v9_ivf_recall",
+):
+    QUERIES[_name] = _dc.replace(QUERIES[_name], oracle=_gate_oracle(QUERIES[_name].oracle))
+del _name
