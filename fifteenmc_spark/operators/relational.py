@@ -644,20 +644,23 @@ def d11b(spark, sf_dir):
 @_register(
     "d12_lag",
     "LAG over event stream — the reference pairs consecutive path nodes "
-    "the same way (G5, test_path.py:312-333).",
+    "the same way (G5, test_path.py:312-333).  NULLS FIRST is written out "
+    "on both sides: it is Spark's default but DuckDB's is NULLS LAST, so "
+    "an event with a NULL ts would otherwise shift every lag/lead in its "
+    "partition (pinned by the edge-events test).",
     """
     SELECT event_id, user_id, event_type,
            LAG(event_type) OVER w AS prev_type,
            LEAD(event_type) OVER w AS next_type
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     ORDER BY user_id, event_id
     """,
     ("window", "lag"),
 )
 def d12(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_first(), "event_id")
     return e.select(
         "event_id",
         "user_id",
@@ -672,11 +675,14 @@ def d12(spark, sf_dir):
     "Dedup preserving first occurrence (ref A7 seen-set scan, "
     "extract_map_from_json.py:31-38): each user's earliest event by "
     "(ts, event_id) via a min-struct aggregate — map-side combinable, "
-    "cheaper than a row_number sort-window.",
+    "cheaper than a row_number sort-window.  Spark's struct MIN orders a "
+    "NULL field first, so the oracle's rank spells NULLS FIRST explicitly "
+    "(DuckDB defaults to NULLS LAST); pinned by the edge-events test.",
     """
     SELECT user_id, first_event_id, first_type FROM (
       SELECT user_id, event_id AS first_event_id, event_type AS first_type,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts NULLS FIRST, event_id) AS rn
       FROM events) t
     WHERE rn = 1 ORDER BY user_id
     """,
@@ -1246,13 +1252,16 @@ def d27(spark, sf_dir):
     "Gap-based sessionization of the event stream (batch twin of the "
     "streaming session_window): a session breaks after 20 idle minutes; "
     "lag + boundary flag + running sum assigns session ids, then one "
-    "aggregate per session.  Two window passes over ONE (user, ts) sort.",
+    "aggregate per session.  Two window passes over ONE (user, ts) sort.  "
+    "Events with a NULL ts are un-sessionizable (no gap can be computed) "
+    "and are excluded on both sides — pinned by the edge-events test.",
     """
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1200 * 1000000
                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, ts, value,
              SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1266,7 +1275,7 @@ def d27(spark, sf_dir):
     ("window", "sessionize", "time-series"),
 )
 def d28(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = 1200 * 1_000_000
     prev = F.lag(F.unix_micros("ts")).over(w)
@@ -1304,10 +1313,17 @@ def d28(spark, sf_dir):
     "d29_json_extract",
     "Semi-structured column: pull a typed field out of the JSON props "
     "string scan-side, aggregate per event type.  At scale the extraction "
-    "runs inside codegen before the only shuffle (the groupBy).",
+    "runs inside codegen before the only shuffle (the groupBy).  Dirty "
+    "props are data, not errors: Spark's get_json_object returns NULL for "
+    "malformed JSON (the oracle mirrors that with a json_valid guard — "
+    "DuckDB's extractor RAISES), and try_cast NULLs a non-numeric field "
+    "value instead of failing the ANSI cast.  Pinned by the edge-events "
+    "test.",
     """
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(TRY_CAST(CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+                                  ELSE json_extract_string(props, '$.k') END AS BIGINT))
+                AS BIGINT) AS sum_k,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -1315,7 +1331,7 @@ def d28(spark, sf_dir):
 )
 def d29(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
     return (
         e.groupBy("event_type")
         .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n"))
