@@ -113,25 +113,38 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
     Fully vectorized inside the batch (no per-row Python): the batch is
     decoded ONCE, codepoints are one uint32 reinterpretation, and per-row
-    sums are prefix-sum differences at the row boundaries."""
+    sums are prefix-sum differences at the row boundaries.
+
+    A NULL payload (missing asset) yields NULL stats — the row survives so
+    ingest QA can count the gap, matching the oracle's NULL propagation
+    (pinned by the edge-corpus test)."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            buf, byte_lens, char_counts = _segment_batch(pdf["payload"])
-            cp = np.frombuffer(
-                buf.decode("utf-8").encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.int64)
-            cpc = np.concatenate(([0], np.cumsum(cp)))
-            cbounds = np.concatenate(([0], np.cumsum(char_counts)))
+            pay = pdf["payload"]
+            valid = pay.notna().to_numpy()
+            n = len(pdf)
+            nb = pd.array([None] * n, dtype="Int32")
+            cs = pd.array([None] * n, dtype="Int64")
+            if valid.any():
+                buf, byte_lens, char_counts = _segment_batch(pay[valid])
+                cp = np.frombuffer(
+                    buf.decode("utf-8").encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                cpc = np.concatenate(([0], np.cumsum(cp)))
+                cbounds = np.concatenate(([0], np.cumsum(char_counts)))
+                idx = np.nonzero(valid)[0]
+                nb[idx] = byte_lens.astype("int32")
+                cs[idx] = cpc[cbounds[1:]] - cpc[cbounds[:-1]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": byte_lens.astype("int32"),
-                    "codepoint_sum": cpc[cbounds[1:]] - cpc[cbounds[:-1]],
-                    "n_batch_rows": len(pdf),
+                    "n_bytes": nb,
+                    "codepoint_sum": cs,
+                    "n_batch_rows": n,
                 }
             )
 

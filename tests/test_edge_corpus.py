@@ -56,6 +56,10 @@ EDGE_QUERIES = [
     "x1_dedup_exact",
     "x4_simhash",
     "x5_ngram_jaccard",
+    "m1_asset_meta",
+    "m2_feature_extract",
+    "m3_frame_sample",
+    "m4_frame_dedup",
 ]
 
 
@@ -93,6 +97,18 @@ def test_edge_corpus_matches_oracle(name, spark, edge_dir, edge_oracle):
     sdf = q.build(spark, edge_dir)
     pdf = edge_oracle.execute(q.oracle).fetchdf()
     compare(sdf, pdf, f"edge:{name}")
+
+
+def test_edge_null_payload_survives_m2_with_null_stats(spark, edge_dir):
+    """A NULL payload (synthesized from the NULL-text doc) must come back
+    from the mapInPandas kernel as a row with NULL stats, not crash the
+    Python worker or silently drop."""
+    rows = {
+        r["asset_id"]: r
+        for r in QUERIES["m2_feature_extract"].build(spark, edge_dir).collect()
+    }
+    assert rows[9]["n_bytes"] is None and rows[9]["codepoint_sum"] is None
+    assert len(rows) == len(EDGE_DOCS)
 
 
 def test_edge_null_doc_survives_p5_both_paths(spark, edge_dir):
