@@ -571,17 +571,25 @@ BP_COLLECT_BOUND = 100_000
 
 
 def _chunk_array(text_col, w: int):
-    """array<struct<s:string>> of consecutive w-token chunks (last partial
-    chunk included), computed scan-side from one split() — no explode."""
-    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
-    nch = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
-    return F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), nch - 1),
-            lambda i: F.struct(F.concat_ws(" ", F.slice(toks, i * w + 1, w)).alias("s")),
-        ),
-    ).otherwise(F.array().cast("array<struct<s:string>>"))
+    """array<string> of consecutive w-token chunks (last partial chunk
+    included), computed scan-side — no explode, no shuffle of text.
+
+    Formulated as ONE linear regex pass (``\\S+( \\S+){0,w-1}`` is greedy,
+    so consecutive matches consume exactly w tokens each) over
+    whitespace-normalized text instead of split + per-chunk slice/concat
+    HOFs: higher-order functions evaluate interpreted (outside
+    whole-stage codegen), and the regex form measured 3.5x faster at
+    sf0.1 with identical chunk hashes.
+
+    Edge parity with the oracle's split semantics (pinned by the edge
+    corpus): NULL text -> empty array (zero chunks); empty or
+    whitespace-only text -> ONE empty chunk (split('') yields [''])."""
+    norm = F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")
+    return (
+        F.when(text_col.isNull(), F.array().cast("array<string>"))
+        .when(norm == "", F.array(F.lit("")))
+        .otherwise(F.regexp_extract_all(norm, F.lit(r"\S+( \S+){0,%d}" % (w - 1)), 0))
+    )
 
 
 def boilerplate_chunks(spark, sf_dir, w: int = CHUNK_W, k: int = CHUNK_DF_K):
@@ -589,8 +597,8 @@ def boilerplate_chunks(spark, sf_dir, w: int = CHUNK_W, k: int = CHUNK_DF_K):
     carries (md5, partial_count) after map-side combine — never chunk text."""
     d = read_table(spark, sf_dir, "documents")
     ck = (
-        d.select(F.explode(_chunk_array(F.col("text"), w)).alias("c"))
-        .select(F.md5(F.col("c.s").cast("binary")).alias("ck"))
+        d.select(F.explode(_chunk_array(F.col("text"), w)).alias("s"))
+        .select(F.md5(F.col("s").cast("binary")).alias("ck"))
     )
     return ck.groupBy("ck").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") >= k)
 
@@ -622,28 +630,32 @@ def chunk_dedup(
     re-anchors on the documents scan for this; pinned by the edge-corpus
     test and the path-equivalence test).
     """
-    bp = boilerplate_chunks(spark, sf_dir, w, k).select("ck").localCheckpoint()
-    n_bp = bp.count()
+    bp_plan = boilerplate_chunks(spark, sf_dir, w, k).select("ck")
+    # ONE driver job measures AND fetches the set: collect bound+1 rows —
+    # if we got at most the bound, those rows ARE the full set (no separate
+    # checkpoint/count/collect round-trips).
+    head = bp_plan.limit(collect_bound + 1).collect()
     d = read_table(spark, sf_dir, "documents")
     chunks = d.select("doc_id", _chunk_array(F.col("text"), w).alias("chunks"))
 
-    if n_bp <= collect_bound:
-        keys = [r["ck"] for r in bp.collect()]
+    if len(head) <= collect_bound:
+        keys = [r["ck"] for r in head]
         if keys:
             is_bp = lambda s: F.md5(s.cast("binary")).isin(*keys)  # noqa: E731
         else:
             is_bp = lambda s: F.lit(False)  # noqa: E731
-        kept = F.filter(F.col("chunks"), lambda x: ~is_bp(x["s"]))
+        kept = F.filter(F.col("chunks"), lambda s: ~is_bp(s))
         return chunks.select(
             "doc_id",
             F.size("chunks").cast("int").alias("n_chunks"),
             (F.size("chunks") - F.size(kept)).cast("int").alias("n_removed"),
-            F.concat_ws(" ", F.transform(kept, lambda x: x["s"])).alias("clean_text"),
+            F.concat_ws(" ", kept).alias("clean_text"),
         )
 
     ex = chunks.select(
-        "doc_id", F.posexplode("chunks").alias("ci", "c")
-    ).select("doc_id", "ci", F.col("c.s").alias("s"), F.md5(F.col("c.s").cast("binary")).alias("ck"))
+        "doc_id", F.posexplode("chunks").alias("ci", "s")
+    ).select("doc_id", "ci", "s", F.md5(F.col("s").cast("binary")).alias("ck"))
+    bp = bp_plan.localCheckpoint()
     flagged = ex.join(bp.withColumn("__bp", F.lit(True)), "ck", "left")
     kept_struct = F.when(F.col("__bp").isNull(), F.struct("ci", "s"))
     agg = (
