@@ -95,14 +95,20 @@ def stream_events(spark, events_dir: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(events_dir)
 
 
-def run_to_memory(stream_df: DataFrame, table_name: str, timeout_s: float = 120.0) -> None:
-    """Drain a (bounded) stream into an in-memory sink with
-    availableNow + complete mode — used by tests to compare streaming
-    results against the batch twin of the same builder."""
+def run_to_memory(
+    stream_df: DataFrame,
+    table_name: str,
+    timeout_s: float = 120.0,
+    output_mode: str = "complete",
+) -> None:
+    """Drain a (bounded) stream into an in-memory sink with availableNow —
+    used by tests to compare streaming results against the batch twin of
+    the same builder.  complete mode for aggregations; append for keyed
+    stateful operators (flag_near_dups) whose emissions are final."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -212,3 +212,73 @@ def test_streaming_dedup_drops_duplicate_in_later_microbatch(spark, tmp_path_fac
     got = spark.table("sink_dedup_late")
     assert got.count() == 5  # the later-micro-batch duplicate was dropped
     assert sorted(r["event_id"] for r in got.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_streaming_near_dup_codes_match_batch_builder(spark, sf_small):
+    # the scan-side simhash64 projection must be bit-identical to the
+    # batch vote-aggregate builder (operators/dedup.py simhash_codes_wide)
+    from fifteenmc_spark.operators.dedup import simhash_codes_wide
+    from fifteenmc_spark.streaming import near_dup as ND
+
+    docs = read_table(spark, sf_small, "documents")
+    got = {
+        r["doc_id"]: r["code"]
+        for r in docs.select("doc_id", ND.simhash64(F.col("text")).alias("code")).collect()
+    }
+    want = {r["doc_id"]: r["simhash64"] for r in simhash_codes_wide(spark, sf_small).collect()}
+    assert got == want
+
+
+def test_streaming_near_dup_equals_batch_x6_64(spark, sf_small, tmp_path_factory):
+    # stream≡batch contract: the distinct flagged pair set over a bounded
+    # stream equals the declared x6_64 pair set over the same corpus, and
+    # the batch path of the same builder agrees too
+    import time
+
+    from fifteenmc_spark.operators.relational import QUERIES
+    from fifteenmc_spark.streaming import near_dup as ND
+
+    want = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in QUERIES["x6_simhash_hamming_64"].build(spark, sf_small).collect()
+    }
+    assert want  # fixture corpus has near-dup pairs
+
+    docs = read_table(spark, sf_small, "documents")
+    got_batch = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in ND.distinct_pairs(ND.flag_near_dups(docs)).collect()
+    }
+    assert got_batch == want
+
+    # three doc_id-ranged chunks, one micro-batch each (maxFilesPerTrigger)
+    out = tmp_path_factory.mktemp("near_dup_stream")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    c1, c2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+
+    def chunk_of(i):
+        return 0 if i < c1 else (1 if i < c2 else 2)
+
+    parts = [
+        docs.where(F.col("doc_id") < c1),
+        docs.where((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        docs.where(F.col("doc_id") >= c2),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(str(out / f"f{i}"))
+        time.sleep(1.1)  # file-source orders micro-batches by mod time
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out) + "/*/")
+    )
+    W.run_to_memory(ND.flag_near_dups(stream), "sink_near_dup", output_mode="append")
+    got_stream = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in ND.distinct_pairs(spark.table("sink_near_dup")).collect()
+    }
+    assert got_stream == want
+    # at least one flagged pair crosses micro-batches — the bucket state
+    # really carried an earlier batch's documents forward
+    assert any(chunk_of(a) != chunk_of(b) for a, b, _ in got_stream)
