@@ -45,11 +45,9 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -58,6 +56,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from ..operators.dedup import simhash64_col as simhash64  # shared batch/stream code builder
 
 SIMHASH_BITS = 64
 HAMMING_K = 3  # k+1 = 4 pigeonhole blocks of 16 bits (matches x6_64)
@@ -80,45 +80,6 @@ STATE_SCHEMA = StructType(
         StructField("codes", ArrayType(LongType())),
     ]
 )
-
-
-def _vote_codes(hashes: pd.Series) -> pd.Series:
-    """array<md5-hex> per doc -> signed int64 SimHash code.
-
-    Pure integer math, so it is EXACTLY the batch builders' vote: token
-    value = first 16 hex chars as a 64-bit int (bit j of that value is
-    the same bit the batch form extracts from its h60/p4 split), code
-    bit j set iff ones_j * 2 > n_tokens (i.e. sum(2*bit-1) > 0)."""
-    out = np.empty(len(hashes), dtype=np.int64)
-    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
-    for i, arr in enumerate(hashes):
-        vals = np.array([int(h[:16], 16) for h in arr], dtype=np.uint64)
-        ones = ((vals[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
-        code = int(((2 * ones > len(vals)).astype(np.uint64) << shifts).sum() & _U64)
-        out[i] = code - (1 << 64) if code >= (1 << 63) else code
-    return pd.Series(out)
-
-
-_code_udf = None  # built lazily: pandas_udf needs an active session
-
-
-def simhash64(text_col) -> "F.Column":
-    """64-bit SimHash of a text column as a scan-side projection (no
-    aggregation operator — composable under downstream keyed state).
-    Normalization + tokenization + md5 run JVM-side, identical to
-    operators/dedup.py's batch builders; the majority vote is exact
-    integer math in one Arrow batch."""
-    global _code_udf
-    if _code_udf is None:
-
-        @pandas_udf("bigint")
-        def _f(hashes: pd.Series) -> pd.Series:
-            return _vote_codes(hashes)
-
-        _code_udf = _f
-    norm = F.regexp_replace(F.lower(F.trim(text_col)), "\\s+", " ")
-    token_hashes = F.transform(F.split(norm, " "), lambda t: F.md5(t.cast("binary")))
-    return _code_udf(token_hashes)
 
 
 def _blocks(df: DataFrame, k: int) -> DataFrame:
@@ -189,7 +150,9 @@ def flag_near_dups(
     than the TTL apart is missed — the documented bounded-state trade).
     Batch input: the same pigeonhole semantics as a self-join; over the
     same corpus the two paths produce the same pair set (tested)."""
-    sigs = docs.select("doc_id", simhash64(F.col("text")).alias("code"))
+    sigs = docs.select("doc_id", simhash64(F.col("text")).alias("code")).where(
+        F.col("code").isNotNull()  # NULL text has no code (batch parity)
+    )
     blocks = _blocks(sigs, k)
     if docs.isStreaming:
         return blocks.groupBy("blk", "bval").applyInPandasWithState(
