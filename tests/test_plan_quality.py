@@ -215,3 +215,13 @@ def test_p5_rebuild_is_shuffle_free(spark, sf_small):
 
     plan = chunk_dedup(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_x4_64_signature_is_scan_side_projection(spark, sf_small):
+    # the 64-bit SimHash code is computed by the vectorized Arrow kernel
+    # as a scan-side projection — the plan must carry the pandas-UDF eval
+    # and NO vote aggregate (the old shape shuffled 64 partial sums per
+    # doc through a HashAggregate exchange)
+    plan = plan_of(QUERIES["x4_simhash_64"].build(spark, sf_small))
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+    assert "HashAggregate" not in plan
