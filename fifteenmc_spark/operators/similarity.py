@@ -231,34 +231,15 @@ def _sig_bit_sql(j: int, emb: str) -> str:
     return f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)"
 
 
-def lsh_bucket(emb, n_planes: int = N_PLANES) -> Column:
-    """n-bit random-hyperplane signature as ONE compact column expression:
-    per-plane dot product via zip_with + left-fold aggregate over a
-    literal coefficient array (index order matches the SQL term order).
-    The naive spelling — 8 planes × 64 element_at terms — compiled to a
-    ~4k-node codegen tree and dominated the query time; this form is a
-    constant-size tree evaluated over the array in one pass per plane.
-    Prefer lsh_bucket_table for whole-table signatures — the fold here is
-    interpreted (HOF lambdas sit outside whole-stage codegen)."""
-    assert 1 <= n_planes <= 31
-    code = F.lit(0)
-    for j in range(n_planes):
-        coefs = F.array(*[F.lit(float(_plane_coef(j, i))) for i in range(64)])
-        dot = F.aggregate(
-            F.zip_with(emb, coefs, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, p: acc + p,
-        )
-        code = code + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return code.cast("int")
-
-
 def lsh_bucket_table(e, n_planes: int = N_PLANES) -> "DataFrame":
     """(vec_id, bucket) for a whole embeddings frame as a ZERO-shuffle
     scan-side projection: an Arrow-batched pandas UDF computes all plane
     dots in ONE BLAS matmul per batch — (batch x 64) @ (64 x n_planes),
     coefficient matrix built from the same _plane_coef Python function
-    the literal/SQL forms use, so formula parity is by construction.
+    the SQL oracle uses, so formula parity is by construction.  (Two
+    Column forms were tried and retired: per-plane literal-term trees
+    compile to ~4k-node codegen and dominate the query; zip_with +
+    aggregate folds evaluate interpreted, outside whole-stage codegen.)
 
     This replaced a posexplode + n_planes-sum groupBy (whole-stage
     codegen, but 64 x n_planes pmod-chain evaluations per vector and one
