@@ -203,3 +203,50 @@ def test_asof_join_nullable_tiebreak(spark, asof_cases):
 
     for (lid, k, t) in lrows:
         assert got[lid] in winners(k, t), (lid, k, t, got[lid], winners(k, t))
+
+
+# ---------------------------------------------------------------------------
+# vectorized cosine vs an independent per-element reference
+# ---------------------------------------------------------------------------
+def test_cosine_batch_matches_scalar_reference(spark):
+    """The Arrow-batched einsum cosine must agree with a left-to-right
+    per-element double accumulation (the oracle SQL's term order) to well
+    inside the 4-decimal compare, across magnitude extremes, negatives,
+    and near-orthogonal pairs."""
+    import math
+    import random
+
+    import numpy as np
+
+    from fifteenmc_spark.operators.similarity import EMB_DIM, cosine
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        scale_a = 10.0 ** rng.randint(-18, 18)
+        scale_b = 10.0 ** rng.randint(-18, 18)
+        a = [rng.uniform(-1, 1) * scale_a for _ in range(EMB_DIM)]
+        b = [rng.uniform(-1, 1) * scale_b for _ in range(EMB_DIM)]
+        if i % 7 == 0:  # exactly-identical pair: cosine must be ~1
+            b = list(a)
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "pair_id long, a array<double>, b array<double>")
+    got = {
+        r["pair_id"]: r["sim"]
+        for r in df.select("pair_id", cosine(F.col("a"), F.col("b")).alias("sim")).collect()
+    }
+
+    def scalar_cos(a, b):
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    for pid, a, b in rows:
+        assert abs(got[pid] - scalar_cos(a, b)) < 1e-9, pid
