@@ -670,14 +670,19 @@ def x4_64(spark, sf_dir):
     # aggregate: same codes (parity-tested), no vote exchange.  The
     # repartition spreads the single-file testdata scan across cores; a
     # real multi-file corpus skips it and the plan is pure scan+project.
-    d = read_table(spark, sf_dir, "documents").repartition(
-        d_spark_parallelism(spark), "doc_id"
+    # NULL-text docs are dropped at the SCAN (text IS NOT NULL pushes into
+    # the parquet read; NULL code <=> NULL text, so this equals the
+    # aggregate builder's drop-at-explode) — filtering on the code column
+    # instead would let Catalyst push the predicate through the project
+    # and evaluate the UDF twice, once single-threaded below the spread.
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .repartition(d_spark_parallelism(spark), "doc_id")
     )
-    return (
-        d.select("doc_id", simhash64_col(F.col("text")).alias("simhash64"))
-        .where(F.col("simhash64").isNotNull())
-        .orderBy("doc_id")
-    )
+    return d.select(
+        "doc_id", simhash64_col(F.col("text")).alias("simhash64")
+    ).orderBy("doc_id")
 
 
 @_register(
@@ -708,9 +713,9 @@ def x4_64(spark, sf_dir):
 def x6_64(spark, sf_dir):
     sig = (
         read_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())  # scan-side; see x4_64
         .repartition(d_spark_parallelism(spark), "doc_id")
         .select("doc_id", simhash64_col(F.col("text")).alias("simhash64"))
-        .where(F.col("simhash64").isNotNull())
         .localCheckpoint()
     )
     block_bits = SIMHASH_WIDE_BITS // (X6_64_HAMMING_K + 1)

@@ -150,8 +150,12 @@ def flag_near_dups(
     than the TTL apart is missed — the documented bounded-state trade).
     Batch input: the same pigeonhole semantics as a self-join; over the
     same corpus the two paths produce the same pair set (tested)."""
-    sigs = docs.select("doc_id", simhash64(F.col("text")).alias("code")).where(
-        F.col("code").isNotNull()  # NULL text has no code (batch parity)
+    # NULL-text docs dropped at the scan (batch parity: the aggregate
+    # builder drops them at the explode); filtering on the code column
+    # would duplicate the UDF when Catalyst pushes the predicate through
+    # the projection
+    sigs = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", simhash64(F.col("text")).alias("code")
     )
     blocks = _blocks(sigs, k)
     if docs.isStreaming:

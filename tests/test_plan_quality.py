@@ -222,6 +222,14 @@ def test_x4_64_signature_is_scan_side_projection(spark, sf_small):
     # as a scan-side projection — the plan must carry the pandas-UDF eval
     # and NO vote aggregate (the old shape shuffled 64 partial sums per
     # doc through a HashAggregate exchange)
-    plan = plan_of(QUERIES["x4_simhash_64"].build(spark, sf_small))
-    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+    df = QUERIES["x4_simhash_64"].build(spark, sf_small)
+    plan = plan_of(df)
     assert "HashAggregate" not in plan
+    assert "IsNotNull(text)" in plan  # NULL-text drop pushed into the scan
+    # the kernel must run exactly once: a NULL-code filter would let
+    # Catalyst push the predicate through the projection and evaluate the
+    # UDF twice (once single-threaded below the spread).  Count on the
+    # tree rendering — the formatted explain lists every node twice
+    # (tree + details).
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("ArrowEvalPython") == 1
