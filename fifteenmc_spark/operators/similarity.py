@@ -88,7 +88,16 @@ def cosine(a, b) -> Column:
             )
             return pd.Series(num / den)
 
-        _cosine_batch = _f
+        # asNondeterministic is a plan barrier, not a semantic claim: the
+        # kernel IS deterministic, but a deterministic UDF lets Catalyst
+        # push a sim-threshold filter through the projection and evaluate
+        # the kernel twice (observed on v3/v7: two ArrowEvalPython nodes
+        # for one cosine).  Nondeterministic expressions are never pushed
+        # through, so the filter references the projected column and the
+        # kernel runs once.  All call sites use cosine in projections
+        # only (never join conditions/aggregates, where nondeterministic
+        # expressions are rejected).
+        _cosine_batch = _f.asNondeterministic()
     return _cosine_batch(a, b)
 
 
