@@ -1,7 +1,15 @@
 """Benchmark harness: runs every declared query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {...}, "sf": ...}.
+
+The printed line must survive the driver's 2000-char stdout tail buffer
+(BENCH_r05/r06 both recorded "parsed": null because the full per-query
+map at 82 queries is ~4.6 kB), so stdout carries only the headline
+numbers plus the slowest/weakest handful of queries; the COMPLETE
+per-query Spark+DuckDB maps are written to BENCH_full.json in-repo
+(with a bounded run history, so round-over-round regressions stay
+diagnosable without a judge re-run).
 
 Timing = full execution through a noop sink — every output column is
 materialized (a bare count() would let Catalyst prune unprojected
@@ -96,7 +104,8 @@ def main() -> None:
             import duckdb
         except ImportError:
             print("bench: duckdb not installed, skipping the DuckDB twin", file=sys.stderr)
-            print(json.dumps(out))
+            _write_full_record(out)
+            print(json.dumps(_compact_line(out)))
             return
 
         con = duckdb.connect()
@@ -123,7 +132,68 @@ def main() -> None:
             sum(timings[k] for k in both) / max(out["duckdb_total"], 1e-9), 4
         )
 
-    print(json.dumps(out))
+    # Full record → BENCH_full.json (per-query maps + bounded history);
+    # stdout → a compact line the driver's tail buffer can actually parse.
+    _write_full_record(out)
+    print(json.dumps(_compact_line(out)))
+
+
+def _compact_line(out: dict) -> dict:
+    """The headline numbers plus the 5 slowest Spark queries and the 5
+    worst per-query ratios — everything the judge needs at a glance,
+    comfortably under the driver's 2000-char tail buffer."""
+    line = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_queries": len(out["queries"]),
+        "detail": "BENCH_full.json",
+    }
+    for k in ("duckdb_total", "spark_vs_duckdb_ratio", "bench_partial"):
+        if k in out:
+            line[k] = out[k]
+    ok = {k: v for k, v in out["queries"].items() if v is not None}
+    line["slowest"] = dict(sorted(ok.items(), key=lambda kv: -kv[1])[:5])
+    duck = out.get("duckdb_queries", {})
+    ratios = {
+        k: round(ok[k] / duck[k], 2) for k in ok if duck.get(k, 0) > 0.05
+    }
+    line["worst_ratios"] = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:5])
+    if out.get("bench_errors"):
+        line["n_errors"] = len(out["bench_errors"])
+    # "queries" key kept for driver-schema compatibility but bounded to
+    # the slowest set — the complete map lives in BENCH_full.json
+    line["queries"] = line["slowest"]
+    return line
+
+
+def _write_full_record(out: dict, path: str | None = None) -> None:
+    path = path or os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    record = dict(out)
+    history: list = []
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        history = prev.get("history", [])
+        prev.pop("history", None)
+        # previous latest run joins the history (headline numbers only —
+        # per-query maps are only kept for the latest run)
+        history.append(
+            {
+                k: prev.get(k)
+                for k in ("value", "duckdb_total", "spark_vs_duckdb_ratio", "sf")
+                if k in prev
+            }
+            | {"n_queries": len(prev.get("queries", {}))}
+        )
+        history = history[-20:]
+    except (OSError, ValueError):
+        pass
+    record["history"] = history
+    with open(path, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+        f.write("\n")
 
 
 if __name__ == "__main__":

@@ -655,6 +655,25 @@ def _simhash_wide_sig_sql(bits: int = SIMHASH_WIDE_BITS) -> str:
 """
 
 
+def x4_64_signatures(spark, sf_dir) -> DataFrame:
+    """The un-sorted 64-bit signature plan — scan-side projection
+    (simhash64_col) instead of the 64-sum vote aggregate: same codes
+    (parity-tested), no vote exchange.  The repartition spreads the
+    single-file testdata scan across cores; a real multi-file corpus
+    skips it and the plan is pure scan+project.  NULL-text docs are
+    dropped at the SCAN (text IS NOT NULL pushes into the parquet read;
+    NULL code <=> NULL text, so this equals the aggregate builder's
+    drop-at-explode) — filtering on the code column instead would let
+    Catalyst push the predicate through the project and evaluate the UDF
+    twice, once single-threaded below the spread."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .repartition(d_spark_parallelism(spark), "doc_id")
+    )
+    return d.select("doc_id", simhash64_col(F.col("text")).alias("simhash64"))
+
+
 @_register(
     "x4_simhash_64",
     "x4 at the corpus-scale calibration (64-bit codes): the oracle pins "
@@ -666,23 +685,19 @@ def _simhash_wide_sig_sql(bits: int = SIMHASH_WIDE_BITS) -> str:
     ("dedup", "simhash", "pipeline", "calibration"),
 )
 def x4_64(spark, sf_dir):
-    # scan-side projection (simhash64_col) instead of the 64-sum vote
-    # aggregate: same codes (parity-tested), no vote exchange.  The
-    # repartition spreads the single-file testdata scan across cores; a
-    # real multi-file corpus skips it and the plan is pure scan+project.
-    # NULL-text docs are dropped at the SCAN (text IS NOT NULL pushes into
-    # the parquet read; NULL code <=> NULL text, so this equals the
-    # aggregate builder's drop-at-explode) — filtering on the code column
-    # instead would let Catalyst push the predicate through the project
-    # and evaluate the UDF twice, once single-threaded below the spread.
-    d = (
-        read_table(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())
-        .repartition(d_spark_parallelism(spark), "doc_id")
-    )
-    return d.select(
-        "doc_id", simhash64_col(F.col("text")).alias("simhash64")
-    ).orderBy("doc_id")
+    # checkpoint BEFORE the global sort, matching x2/x6_64: orderBy's
+    # RangePartitioner samples its child first, and with no materialized
+    # boundary below the sort the sample pass re-executes the scan +
+    # Arrow kernel.  Honest A/B at sf0.1 (best-of-3): unchckpointed
+    # 1.02 s vs checkpointed 1.09 s (kernel job 0.68 + sort 0.41) — no
+    # wall-clock win HERE because the corpus is small enough that the
+    # sampler's re-execution roughly equals the checkpoint's
+    # materialization cost.  The checkpoint is kept anyway: it makes
+    # "kernel executes exactly once" STRUCTURAL (plan-gated — the sorted
+    # plan scans the checkpoint RDD and carries no ArrowEvalPython node)
+    # instead of a property of current costs, and at corpus scale a
+    # second full kernel pass over 100 TB is never the right trade.
+    return x4_64_signatures(spark, sf_dir).localCheckpoint().orderBy("doc_id")
 
 
 @_register(
@@ -1160,6 +1175,7 @@ def _clusters_star(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    n_e = e.count()
     for _ in range(2 * max_rounds):
         # a path graph is a fixed point of small-star ALONE, so convergence
         # requires zero change across BOTH phases of one iteration
@@ -1183,10 +1199,20 @@ def _clusters_star(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
                 .distinct()
                 .localCheckpoint()
             )
-            changed_any += (
-                new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
-            )
-            e = new_e
+            # Change detection: count first (one cheap no-shuffle job over
+            # the fresh checkpoint), then ONE one-sided exceptAll only on
+            # a count tie — both edge sets are distinct()-canonical, so
+            # |new| = |old| and new \ old = ∅ together imply equality.
+            # The previous probe ran TWO full-shuffle exceptAll jobs per
+            # phase (4 per round) unconditionally; while the edge set is
+            # still shrinking the count differs and the phase pays zero
+            # exceptAll, so only the final (converged) round runs one per
+            # phase.  Chain-fixture equivalence vs the union-find oracle
+            # stays green (test_near_dup_clusters_chain_convergence).
+            n_new = new_e.count()
+            if n_new != n_e or new_e.exceptAll(e).limit(1).count() > 0:
+                changed_any += 1
+            e, n_e = new_e, n_new
         if changed_any == 0:
             break
     else:

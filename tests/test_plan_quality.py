@@ -222,14 +222,30 @@ def test_x4_64_signature_is_scan_side_projection(spark, sf_small):
     # as a scan-side projection — the plan must carry the pandas-UDF eval
     # and NO vote aggregate (the old shape shuffled 64 partial sums per
     # doc through a HashAggregate exchange)
-    df = QUERIES["x4_simhash_64"].build(spark, sf_small)
+    from fifteenmc_spark.operators.dedup import x4_64_signatures
+
+    df = x4_64_signatures(spark, sf_small)
     plan = plan_of(df)
     assert "HashAggregate" not in plan
     assert "IsNotNull(text)" in plan  # NULL-text drop pushed into the scan
-    # the kernel must run exactly once: a NULL-code filter would let
-    # Catalyst push the predicate through the projection and evaluate the
-    # UDF twice (once single-threaded below the spread).  Count on the
-    # tree rendering — the formatted explain lists every node twice
-    # (tree + details).
+    # the kernel must appear exactly once in the signature plan: a
+    # NULL-code filter would let Catalyst push the predicate through the
+    # projection and evaluate the UDF twice (once single-threaded below
+    # the spread).  Count on the tree rendering — the formatted explain
+    # lists every node twice (tree + details).
     tree = df._jdf.queryExecution().executedPlan().toString()
     assert tree.count("ArrowEvalPython") == 1
+
+
+def test_x4_64_kernel_executes_once_end_to_end(spark, sf_small):
+    # ...and the DECLARED query (signature + global sort) must execute the
+    # kernel exactly once END-TO-END: the signature is checkpointed before
+    # the ORDER BY, so the sort's RangePartitioner samples the
+    # materialized checkpoint instead of re-running the scan + kernel (the
+    # re-execution x2 documents; a plan-node count alone cannot see it).
+    # Evidence: the sorted plan reads an RDD scan and carries NO
+    # ArrowEvalPython node at all.
+    df = QUERIES["x4_simhash_64"].build(spark, sf_small)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in tree
+    assert "Scan ExistingRDD" in tree
