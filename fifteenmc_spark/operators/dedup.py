@@ -1284,6 +1284,40 @@ def x7_hamming(spark, sf_dir):
     return near_dup_clusters(pairs).orderBy("doc_id")
 
 
+@_register(
+    "x7_jaccard_clusters",
+    "x7 over the THIRD pair source — the exact n-gram-Jaccard pairs from "
+    "x5_capped (the pair set a quality-first pipeline trusts most, since "
+    "it carries no LSH/SimHash recall loss).  Completes the pair-source x "
+    "cluster matrix: x3 (MinHash-LSH), x5 (exact Jaccard), x6_64 "
+    "(Hamming), v7 (embedding LSH) all compose with the same "
+    "pair-source-generic near_dup_clusters step, so choosing a pair "
+    "generator never changes the clustering contract.  Inherits "
+    "x5_capped's measured max-df dispatch, so the pair generation stays "
+    "linear under a viral-shingle tail.  Oracle: the same recursive-CTE "
+    "transitive closure over x5's exact oracle.",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({QUERIES["x5_ngram_jaccard"].oracle})),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    r(n, m) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM e)
+      UNION
+      SELECT e.b, r.m FROM r JOIN e ON e.a = r.n
+    )
+    SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id
+    FROM r GROUP BY n ORDER BY doc_id
+    """,
+    ("dedup", "clustering", "jaccard", "graph", "pipeline"),
+)
+def x7_jaccard(spark, sf_dir):
+    pairs = QUERIES["x5_ngram_jaccard_capped"].build(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    return near_dup_clusters(pairs).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # x8: eval-set decontamination (train/test n-gram overlap)
 # ---------------------------------------------------------------------------

@@ -148,11 +148,25 @@ _VALID_EMB_SQL = f"""SELECT * FROM embeddings
 
 def _gate_oracle(sql: str) -> str:
     """Mirror the valid_embeddings gate into an oracle string: prepend a
-    `ve` CTE and point every `FROM embeddings` at it."""
+    `ve` CTE and point EVERY reference to the raw table at it — FROM,
+    JOIN, and comma-list forms alike (a `JOIN embeddings ea` that kept
+    scanning the raw table would bypass the gate silently the moment an
+    oracle sourced candidate rows through the join instead of re-fetching
+    already-gated vec_ids).  Asserts no raw reference survives the
+    rewrite, so a future oracle spelling the table a new way fails loudly
+    at registration instead of diverging quietly."""
+    import re
+
     cte = f"ve AS ({_VALID_EMB_SQL})"
     # rewrite the query body FIRST so the gate CTE's own scan of the raw
     # table is not self-rewritten to `FROM ve`
-    body = sql.replace("FROM embeddings", "FROM ve")
+    body = re.sub(r"\b(FROM|JOIN)\s+embeddings\b", r"\1 ve", sql)
+    body = re.sub(r",\s*embeddings\b", ", ve", body)
+    leftover = re.search(r"\bembeddings\b", body)
+    assert leftover is None, (
+        "raw `embeddings` reference survived the validity-gate rewrite: "
+        f"...{body[max(0, leftover.start() - 60):leftover.end() + 20]}..."
+    )
     s = body.lstrip()
     if s.startswith("WITH RECURSIVE"):
         return body.replace("WITH RECURSIVE", f"WITH RECURSIVE {cte},", 1)

@@ -897,11 +897,19 @@ def length_quantiles_windowed(tok):
         F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
     )
 
-    def q(p, alias):
-        return F.max(F.when(F.col("rnk") == F.ceil(F.lit(p) * F.col("n")).cast("int"), F.col("v"))).alias(alias)
+    def q(k, alias):
+        # target rank ceil(k/10 * n) in EXACT integer arithmetic:
+        # (k*n + 9) div 10 == ceil(k*n/10) for positive ints.  Float
+        # ceil(0.1*n) agrees for every n <= 100k (checked exhaustively)
+        # but only incidentally — 0.1 has no exact binary representation,
+        # so a huge per-source n could in principle round across the ceil
+        # boundary; integer div is exact at any n and the oracle spells
+        # the identical expression (DuckDB `//`).
+        tgt = F.expr(f"(n * {k} + 9) div 10")
+        return F.max(F.when(F.col("rnk") == tgt, F.col("v"))).alias(alias)
 
     return r.groupBy("source").agg(
-        F.max("n").cast("bigint").alias("n_docs"), q(0.1, "p10"), q(0.5, "p50"), q(0.9, "p90")
+        F.max("n").cast("bigint").alias("n_docs"), q(1, "p10"), q(5, "p50"), q(9, "p90")
     )
 
 
@@ -915,12 +923,13 @@ def length_quantiles_ranged(tok):
 
     r = grouped_rank_ranged(tok, ["source"], "v")
 
-    def q(p, alias):
-        tgt = F.ceil(F.lit(p) * F.col("__n")).cast("long")
+    def q(k, alias):
+        # same exact integer rank arithmetic as the windowed form
+        tgt = F.expr(f"(__n * {k} + 9) div 10")
         return F.max(F.when(F.col("__rank") + 1 == tgt, F.col("v"))).alias(alias)
 
     return r.groupBy("source").agg(
-        F.max("__n").cast("bigint").alias("n_docs"), q(0.1, "p10"), q(0.5, "p50"), q(0.9, "p90")
+        F.max("__n").cast("bigint").alias("n_docs"), q(1, "p10"), q(5, "p50"), q(9, "p90")
     )
 
 
@@ -946,9 +955,9 @@ def length_quantiles_ranged(tok):
              COUNT(*) OVER (PARTITION BY source) AS n
       FROM tok)
     SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
-           MAX(CASE WHEN rnk = CAST(CEIL(0.1 * n) AS INT) THEN v END) AS p10,
-           MAX(CASE WHEN rnk = CAST(CEIL(0.5 * n) AS INT) THEN v END) AS p50,
-           MAX(CASE WHEN rnk = CAST(CEIL(0.9 * n) AS INT) THEN v END) AS p90
+           MAX(CASE WHEN rnk = (n * 1 + 9) // 10 THEN v END) AS p10,
+           MAX(CASE WHEN rnk = (n * 5 + 9) // 10 THEN v END) AS p50,
+           MAX(CASE WHEN rnk = (n * 9 + 9) // 10 THEN v END) AS p90
     FROM r GROUP BY source ORDER BY source
     """,
     ("text", "quantile", "monitoring", "pipeline"),

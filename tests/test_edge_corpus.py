@@ -55,6 +55,11 @@ EDGE_QUERIES = [
     "p6_pii_scrub",
     "x1_dedup_exact",
     "x4_simhash",
+    # the 64-bit family drops NULL text at the SCAN (IsNotNull pushed into
+    # the parquet read) — pin that this equals the oracle's drop-at-UNNEST
+    # on the pathological corpus, not just on well-formed data
+    "x4_simhash_64",
+    "x6_simhash_hamming_64",
     "x5_ngram_jaccard",
     "m1_asset_meta",
     "m2_feature_extract",

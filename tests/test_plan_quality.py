@@ -205,6 +205,22 @@ def test_lsh_planes_distinct():
     assert len(set(vecs.values())) == 31
 
 
+@pytest.mark.parametrize("name", ["v3_embedding_near_dup", "v7_lsh_banded_near_dup"])
+def test_cosine_kernel_evaluates_once_under_threshold_filter(name, spark, sf_small):
+    """cosine() is marked asNondeterministic purely as an optimizer
+    barrier: a deterministic UDF lets Catalyst push the sim-threshold
+    filter through the projection and evaluate the Arrow kernel TWICE
+    (observed on v3/v7 before the barrier).  The kernel itself is
+    deterministic — the marking's only job is this plan shape, so pin it:
+    exactly one ArrowEvalPython node in each threshold-filtered query.
+    (Corollary of the barrier: cosine must only ever be used in
+    projections — join conditions/aggregates reject nondeterministic
+    expressions at analysis time.)"""
+    df = QUERIES[name].build(spark, sf_small)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("ArrowEvalPython") == 1
+
+
 def test_p5_rebuild_is_shuffle_free(spark, sf_small):
     """p5's pass-B rebuild (common case: boilerplate set under the collect
     bound) is a pure scan-side projection — the InSet predicate and the
