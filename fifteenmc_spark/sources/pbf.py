@@ -27,13 +27,15 @@ container has no osmium/pyrosm/protobuf):
    At 100 TB-scale extracts this is the part that must be distributed —
    ref lists and coords shuffle by node_id/way_id, never whole blocks.
 
-Relations resolve node- and way-members, plus ONE round of
-relation-in-relation members (depth 2 — e.g. a multipolygon whose member
-is itself a multipolygon).  Deeper nesting degrades to the resolved
-depth-2 prefix rather than recursing unboundedly: real OSM nesting is
-shallow, and the reference itself drops relation geometry entirely when
-its tag pass fails (keep_relations=False fallback,
-snap_poi_to_nodes.py:127-141), so two levels strictly dominates parity.
+Relations resolve node- and way-members, plus relation-in-relation
+members to a PARAMETERIZED fixpoint bound (``max_rel_depth``, default 2
+— e.g. a multipolygon whose member is itself a multipolygon).  Nesting
+beyond the bound degrades to the resolved prefix rather than recursing
+unboundedly: real OSM nesting is shallow, and the reference itself drops
+relation geometry entirely when its tag pass fails
+(keep_relations=False fallback, snap_poi_to_nodes.py:127-141), so even
+the default strictly dominates parity; raise the bound for rare
+site→multipolygon→multipolygon nests.
 """
 
 from __future__ import annotations
@@ -261,14 +263,30 @@ def _pt(lon, lat):
     return F.struct(lon.alias("lon"), lat.alias("lat"))
 
 
-def read_pbf_elements(spark: SparkSession, path: str, keep_untagged: bool = False) -> DataFrame:
+def read_pbf_elements(
+    spark: SparkSession,
+    path: str,
+    keep_untagged: bool = False,
+    max_rel_depth: int = 2,
+) -> DataFrame:
     """S1 end-to-end: .pbf → the `elements` contract, geometry resolved.
 
     Way geometry = ordered node coordinates (posexplode refs ⋈ coords,
     array_sort(collect_list)); relation geometry = node-member points ++
     way-member vertex runs, in member order.  ``keep_untagged=False``
     (default) drops tagless elements from the OUTPUT — they still feed
-    geometry resolution — matching the osmium tags-filter front door."""
+    geometry resolution — matching the osmium tags-filter front door.
+
+    ``max_rel_depth`` bounds relation-in-relation resolution: each extra
+    level re-assembles relation geometry against the previous level's
+    child geometries (a bounded fixpoint — depth d resolves members whose
+    own nesting is < d).  Members nested deeper than the bound contribute
+    no geometry (the resolved prefix is kept), mirroring the reference's
+    own degrade — it drops relation geometry entirely when its tag pass
+    fails (snap_poi_to_nodes.py:127-141 keep_relations fallback).  The
+    default 2 covers real OSM (multipolygon-in-multipolygon); rare
+    site→multipolygon→multipolygon nests need ``max_rel_depth=3``
+    (fixture-tested both ways)."""
     raw = read_pbf_raw(spark, path)
     # node coords are joined twice (way refs, relation members); at real
     # scale this frame is the big dimension — cache only the 3 columns.
@@ -324,19 +342,25 @@ def read_pbf_elements(spark: SparkSession, path: str, keep_untagged: bool = Fals
         )
 
     base_pts = node_pts.unionAll(way_pts)
-    # depth-1 pass: node/way members only; a second pass resolves
-    # relation-in-relation members against the depth-1 geometries (cap at
-    # depth 2 — see module docstring).
-    rgeo1 = _assemble(base_pts)
-    rel_pts = (
-        mem.where(F.col("mtype") == "relation")
-        .join(
-            rgeo1.select(F.col("elem_id").alias("child_id"), F.col("geometry").alias("pts")),
-            mem["mid"] == F.col("child_id"),
+    # bounded fixpoint: depth-1 resolves node/way members; each further
+    # round re-assembles against the previous round's relation geometries,
+    # so round d resolves relation members nested < d deep.  Lineage grows
+    # linearly in max_rel_depth — fine for the single-digit depths real
+    # OSM needs; localCheckpoint between rounds if a pathological bound is
+    # ever required.
+    rel_mem = mem.where(F.col("mtype") == "relation")
+    rgeo = _assemble(base_pts)
+    for _ in range(max(0, max_rel_depth - 1)):
+        rel_pts = (
+            rel_mem.join(
+                rgeo.select(
+                    F.col("elem_id").alias("child_id"), F.col("geometry").alias("pts")
+                ),
+                rel_mem["mid"] == F.col("child_id"),
+            )
+            .select("elem_id", "pos", "pts")
         )
-        .select("elem_id", "pos", "pts")
-    )
-    rgeo = _assemble(base_pts.unionAll(rel_pts))
+        rgeo = _assemble(base_pts.unionAll(rel_pts))
     relations = (
         rels.select("elem_id", "elem_type", "tag_keys", "tag_vals")
         .join(rgeo, "elem_id", "left")

@@ -92,6 +92,32 @@ def test_pbf_nested_relation_geometry(elements):
     assert g901 == [(round(lo, 6), round(la, 6)) for lo, la in want]
 
 
+def test_pbf_relation_depth_bound(spark, tmp_path_factory):
+    """max_rel_depth is a true fixpoint bound: a site→multipolygon→
+    multipolygon nest (902→901→900) resolves fully at max_rel_depth=3,
+    while the default 2 keeps the resolved prefix — 902 sees member 901's
+    depth-1 geometry (its direct node member) and the depth-3 leaf's
+    point drops."""
+    p = tmp_path_factory.mktemp("pbf_deep") / "deep.osm.pbf"
+    nodes = [(100, 18.0, 54.0, {}), (101, 18.1, 54.1, {}), (102, 18.2, 54.2, {})]
+    rels = [
+        (900, [("node", 100, "")], {"type": "multipolygon"}),
+        (901, [("relation", 900, "outer"), ("node", 101, "")], {"type": "multipolygon"}),
+        (902, [("relation", 901, "outer"), ("node", 102, "")], {"type": "site"}),
+    ]
+    path = write_pbf(str(p), nodes=nodes, relations=rels)
+
+    def geo(df, eid):
+        rows = {r["elem_id"]: r for r in df.where(F.col("elem_type") == "relation").collect()}
+        return [(round(pt["lon"], 6), round(pt["lat"], 6)) for pt in rows[eid]["geometry"]]
+
+    d2 = pbf.read_pbf_elements(spark, path, keep_untagged=True)
+    assert geo(d2, 901) == [(18.0, 54.0), (18.1, 54.1)]  # depth 2 suffices here
+    assert geo(d2, 902) == [(18.1, 54.1), (18.2, 54.2)]  # leaf 100 dropped
+    d3 = pbf.read_pbf_elements(spark, path, keep_untagged=True, max_rel_depth=3)
+    assert geo(d3, 902) == [(18.0, 54.0), (18.1, 54.1), (18.2, 54.2)]
+
+
 def test_pbf_feeds_classify_pois(elements):
     pois = poi.classify_pois(elements)
     got = {(r["poi_id"], r["category"]): r for r in pois.collect()}
