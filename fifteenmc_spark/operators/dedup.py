@@ -275,17 +275,25 @@ def lsh_jaccard_pairs(
     r, rem = divmod(n_hashes, n_bands)
     assert rem == 0 and n_hashes <= len(_MH_A), "n_hashes must be n_bands*r, <= seed count"
     sig = minhash_signatures(ex, n=n_hashes)
-    parts = [
-        sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.concat_ws("|", *[f"mh{band * r + i}" for i in range(r)]).alias("bkey"),
-        )
-        for band in range(n_bands)
-    ]
-    bands = parts[0]
-    for p in parts[1:]:
-        bands = bands.unionAll(p)
+    # ONE band table via explode, NOT a unionAll of per-band projections:
+    # the signature aggregate sits directly on the checkpointed shingle
+    # partitioning (no exchange of its own), so a b-way union would
+    # re-execute the n-MIN aggregate once PER BAND (measured 0.24 s per
+    # execution at n=16/sf0.1 — the dominant avoidable cost of the x3_16
+    # calibration, and exactly what the r6 verdict's profiling ask
+    # uncovered).  The explode is a narrow op over one aggregate pass.
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws("|", *[f"mh{band * r + i}" for i in range(r)]).alias("bkey"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
