@@ -229,6 +229,82 @@ def test_streaming_near_dup_codes_match_batch_builder(spark, sf_small):
     assert got == want
 
 
+def test_streaming_lsh_bkeys_match_batch_signatures(spark, sf_small):
+    # the scan-side minhash features must reproduce the batch banding
+    # bit-for-bit: same bkey string per (doc, band) as lsh_jaccard_pairs
+    # derives from minhash_signatures over shingle rows
+    from fifteenmc_spark.operators.dedup import minhash_signatures, shingle_rows
+    from fifteenmc_spark.streaming import minhash_lsh as ML
+
+    docs = read_table(spark, sf_small, "documents")
+    got = {
+        (r["doc_id"], r["band"]): r["bkey"]
+        for r in ML.minhash_features(docs).collect()
+    }
+    sig = minhash_signatures(shingle_rows(spark, sf_small))
+    want = {}
+    for r in sig.collect():
+        want[(r["doc_id"], 0)] = f"{r['mh0']}|{r['mh1']}"
+        want[(r["doc_id"], 1)] = f"{r['mh2']}|{r['mh3']}"
+    assert got == want
+
+
+def test_streaming_lsh_equals_batch_x3(spark, sf_small, tmp_path_factory):
+    # stream≡batch contract for the MinHash-LSH registry: the distinct
+    # flagged pair set over a bounded stream equals the declared x3 pair
+    # set over the same corpus, and the batch path of the same builder
+    # agrees too
+    import time
+
+    from fifteenmc_spark.operators.relational import QUERIES
+    from fifteenmc_spark.streaming import minhash_lsh as ML
+
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in QUERIES["x3_minhash_lsh_pairs"].build(spark, sf_small).collect()
+    }
+    assert want  # fixture corpus has near-dup pairs
+
+    docs = read_table(spark, sf_small, "documents")
+    got_batch = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ML.distinct_lsh_pairs(ML.flag_lsh_near_dups(docs)).collect()
+    }
+    assert got_batch == want
+
+    # three doc_id-ranged chunks, one micro-batch each (maxFilesPerTrigger)
+    out = tmp_path_factory.mktemp("lsh_stream")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    c1, c2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+
+    def chunk_of(i):
+        return 0 if i < c1 else (1 if i < c2 else 2)
+
+    parts = [
+        docs.where(F.col("doc_id") < c1),
+        docs.where((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        docs.where(F.col("doc_id") >= c2),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(str(out / f"f{i}"))
+        time.sleep(1.1)  # file-source orders micro-batches by mod time
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out) + "/*/")
+    )
+    W.run_to_memory(ML.flag_lsh_near_dups(stream), "sink_lsh_near_dup", output_mode="append")
+    got_stream = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ML.distinct_lsh_pairs(spark.table("sink_lsh_near_dup")).collect()
+    }
+    assert got_stream == want
+    # at least one flagged pair crosses micro-batches — the bucket state
+    # really carried an earlier batch's documents forward
+    assert any(chunk_of(a) != chunk_of(b) for a, b, _ in got_stream)
+
+
 def test_streaming_near_dup_equals_batch_x6_64(spark, sf_small, tmp_path_factory):
     # stream≡batch contract: the distinct flagged pair set over a bounded
     # stream equals the declared x6_64 pair set over the same corpus, and
