@@ -57,6 +57,30 @@ def _dsum(col, alias: str, scale: int = 4):
     return F.round(F.sum(col.cast("decimal(25,6)")).cast("double"), scale).alias(alias)
 
 
+def _i4(col):
+    """10^4-scaled BIGINT of a value with <= 4 true decimal digits."""
+    return F.round(col * 10000).cast("bigint")
+
+
+def _isum4(col, alias: str, scale: int = 4):
+    """Exact cross-engine sum for values with <= 4 DECIMAL DIGITS (TPC-H
+    money/quantity: prices and discounts carry 2, their product 4 —
+    verified max |x*1e4 - round(x*1e4)| ~ 2e-7 on the testdata): scale to
+    BIGINT at the scan, ONE codegen long sum, descale to double.
+
+    Why not _dsum here: DECIMAL(25,6) aggregation buffers exceed the
+    long-backed precision-18 fast path, so every row updates an
+    object-backed Decimal — measured 0.99 s vs 0.49 s on d6 at sf0.1.
+    The integer sum is exact AND vectorized; both engines compute the
+    identical ROUND(x*10000) on the same IEEE doubles, so parity is
+    structural.  Bounds: the scaled sum must fit BIGINT (~9.2e14 of
+    summed value mass); beyond that — sf ~1000 in one group — route
+    through _dsum's DECIMAL instead.  Use ONLY for <=4-decimal-digit
+    values: arbitrary doubles (events.value) stay on _dsum, where
+    DECIMAL is the point, not a cost."""
+    return F.round(F.sum(_i4(col)) / 10000.0, scale).alias(alias)
+
+
 # ---------------------------------------------------------------------------
 # D1 scan + filter + project (P2-style predicate algebra)
 # ---------------------------------------------------------------------------
@@ -215,14 +239,14 @@ def d5b(spark, sf_dir):
     "d6_groupby_agg",
     "Hash aggregation with partial (map-side) combine — replaces the "
     "reference's hand-rolled lexsort+reduceat sort-agg "
-    "(graph_construction.py:139-148).  Double sums go through DECIMAL for "
-    "cross-engine exactness.",
+    "(graph_construction.py:139-148).  Money sums go through 1e4-scaled "
+    "BIGINT (_isum4) for cross-engine exactness inside codegen.",
     """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS cnt,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6))), 4) AS DOUBLE) AS sum_qty,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 4) AS DOUBLE) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty
+           CAST(ROUND(SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) / 10000.0, 4) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 4) AS DOUBLE) AS sum_disc_price,
+           ROUND((SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) / 10000.0) / COUNT(*), 4) AS avg_qty
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
@@ -231,18 +255,15 @@ def d5b(spark, sf_dir):
 )
 def d6(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    qty_dec = F.col("l_quantity").cast("decimal(25,6)")
+    qty_i = _i4(F.col("l_quantity"))
+    disc_i = _i4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum(qty_dec), 4).cast("double").alias("sum_qty"),
-            F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")), 4
-            )
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.round(F.sum(qty_dec).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(F.sum(qty_i) / 10000.0, 4).alias("sum_qty"),
+            F.round(F.sum(disc_i) / 10000.0, 4).alias("sum_disc_price"),
+            F.round((F.sum(qty_i) / 10000.0) / F.count(F.lit(1)), 4).alias("avg_qty"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -460,7 +481,7 @@ def d9(spark, sf_dir):
     "reach cube's full materialization shape).",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 4) AS DOUBLE) AS total
+           CAST(ROUND(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) / 10000.0, 4) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -471,7 +492,7 @@ def d9b(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("cnt"), _dsum(F.col("o_totalprice"), "total"))
+        .agg(F.count(F.lit(1)).alias("cnt"), _isum4(F.col("o_totalprice"), "total"))
         .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
     )
 
@@ -976,9 +997,9 @@ def d20(spark, sf_dir):
     "groupBy().pivot(); spelled as portable CASE WHEN sums.",
     """
     SELECT o_custkey,
-           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(25,6)) END), 4) AS DOUBLE) AS total_f,
-           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(25,6)) END), 4) AS DOUBLE) AS total_o,
-           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(25,6)) END), 4) AS DOUBLE) AS total_p
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(ROUND(o_totalprice * 10000) AS BIGINT) END) / 10000.0, 4) AS DOUBLE) AS total_f,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(ROUND(o_totalprice * 10000) AS BIGINT) END) / 10000.0, 4) AS DOUBLE) AS total_o,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(ROUND(o_totalprice * 10000) AS BIGINT) END) / 10000.0, 4) AS DOUBLE) AS total_p
     FROM orders GROUP BY o_custkey ORDER BY o_custkey
     """,
     ("pivot", "aggregate"),
@@ -987,12 +1008,14 @@ def d21(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
 
     def piv(status, alias):
+        # scaled-BIGINT conditional sum (see _isum4); an all-NULL group
+        # stays NULL through the descale, matching the CASE-without-ELSE
         return (
             F.round(
-                F.sum(F.when(F.col("o_orderstatus") == status, F.col("o_totalprice").cast("decimal(25,6)"))), 4
-            )
-            .cast("double")
-            .alias(alias)
+                F.sum(F.when(F.col("o_orderstatus") == status, _i4(F.col("o_totalprice"))))
+                / 10000.0,
+                4,
+            ).alias(alias)
         )
 
     return (
