@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotated out of the driver's 50-slot window since).
 _CHECK_FIRST = (
     "x7_jaccard_clusters",  # new in r7
+    "p7_dedup_apply",  # new in r7
     "p5_chunk_dedup",  # kernel rewritten in r7
     "t8_length_quantiles",  # rank arithmetic aligned in r7
     "d23_first_occurrence",

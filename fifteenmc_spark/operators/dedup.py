@@ -1410,3 +1410,57 @@ def x8(spark, sf_dir):
         .select("train_doc", "eval_doc", F.round(jac, 4).alias("jaccard"))
         .orderBy("train_doc", "eval_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# p7: keep-one-per-cluster dedup APPLY (the step that materializes the
+# corpus surviving near-dup removal)
+# ---------------------------------------------------------------------------
+@_register(
+    "p7_dedup_apply",
+    "Keep-one-per-cluster dedup APPLY: every doc mapped to its near-dup "
+    "canonical (x7 clusters over the x3 pair graph — cluster_id = min "
+    "doc_id; unclustered docs are their own canonical) with a kept flag. "
+    "The operational step between pair/cluster generation and training: "
+    "x1/p1 only remove byte-identical copies, this removes the near-dup "
+    "mass, and filtering kept=TRUE IS the deduplicated corpus.  Keeping "
+    "the non-canonical rows (rather than dropping them here) preserves "
+    "the doc->canonical mapping real pipelines need for provenance and "
+    "for routing downstream signals to the surviving doc.  Scale shape: "
+    "the cluster labels are the only join input; the corpus scan never "
+    "shuffles text.",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({QUERIES["x3_minhash_lsh_pairs"].oracle})),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    r(n, m) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM e)
+      UNION
+      SELECT e.b, r.m FROM r JOIN e ON e.a = r.n
+    ),
+    cl AS (SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id
+           FROM r GROUP BY n)
+    SELECT d.doc_id,
+           COALESCE(cl.cluster_id, d.doc_id) AS canonical_id,
+           d.doc_id = COALESCE(cl.cluster_id, d.doc_id) AS kept
+    FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    ("dedup", "clustering", "pipeline", "apply"),
+)
+def p7(spark, sf_dir):
+    ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    pairs = lsh_jaccard_pairs(ex).select("doc_a", "doc_b")
+    clusters = near_dup_clusters(pairs)
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    canonical = F.coalesce("cluster_id", "doc_id")
+    return (
+        d.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            canonical.alias("canonical_id"),
+            (F.col("doc_id") == canonical).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
