@@ -1374,13 +1374,19 @@ def x8(spark, sf_dir):
     from ..functions import text as T
 
     ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    # split membership is a PURE projection of doc_id (split_bucket =
+    # md5-derived — the same column p2 computes), so the train/eval sides
+    # are direct filters over the shingle rows: no documents re-scan and
+    # no id joins (the previous shape joined two id tables built from a
+    # second corpus scan).  Wall-clock at sf0.1 is unchanged (~1.7 s —
+    # the shingle checkpoint and per-stage floors dominate, as the r6
+    # audit noted), but the plan drops a scan and two joins, which is
+    # the part that matters at corpus scale.  Every ex doc_id came
+    # through the corpus scan, so the filter admits exactly the rows
+    # the id join did.
     bucket = T.split_bucket(F.col("doc_id"))
-    ids = read_table(spark, sf_dir, "documents").select("doc_id", bucket.alias("b"))
-    train_ids = ids.where(F.col("b") < 80).select("doc_id")
-    eval_ids = ids.where(F.col("b") >= 90).select("doc_id")
-
-    tr = ex.join(train_ids, "doc_id").select(F.col("doc_id").alias("train_doc"), "s")
-    ev = ex.join(eval_ids, "doc_id").select(F.col("doc_id").alias("eval_doc"), "s")
+    tr = ex.where(bucket < 80).select(F.col("doc_id").alias("train_doc"), "s")
+    ev = ex.where(bucket >= 90).select(F.col("doc_id").alias("eval_doc"), "s")
     inter = (
         # eval side broadcast: the train index never shuffles — at corpus
         # scale this is a map-side hash join over the streaming train scan.
@@ -1398,9 +1404,8 @@ def x8(spark, sf_dir):
     sa = sizes.select(F.col("doc_id").alias("train_doc"), F.col("n").alias("na"))
     # only the EVAL docs' sizes broadcast (bounded like ev itself); the
     # full-corpus sizes table stays a regular join on the train side
-    sb = (
-        sizes.join(eval_ids, "doc_id")
-        .select(F.col("doc_id").alias("eval_doc"), F.col("n").alias("nb"))
+    sb = sizes.where(T.split_bucket(F.col("doc_id")) >= 90).select(
+        F.col("doc_id").alias("eval_doc"), F.col("n").alias("nb")
     )
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
