@@ -250,3 +250,41 @@ def test_cosine_batch_matches_scalar_reference(spark):
 
     for pid, a, b in rows:
         assert abs(got[pid] - scalar_cos(a, b)) < 1e-9, pid
+
+
+# ---------------------------------------------------------------------------
+# p5 chunk kernel vs a straightforward reference (pure Python — no Spark)
+# ---------------------------------------------------------------------------
+def test_chunk_batch_matches_reference():
+    """The Arrow chunk+hash kernel must (a) partition its input exactly —
+    joining the chunks back with single spaces reproduces the normalized
+    text, every chunk has <= w tokens and all but the last exactly w —
+    and (b) key each chunk with the md5 both engines compute.  Randomized
+    over token counts 0..37, w in {1,2,5,7}, plus the NULL/empty edge
+    rows the edge corpus pins."""
+    import hashlib
+    import random
+
+    import pandas as pd
+
+    from fifteenmc_spark.operators.textops import _chunk_batch
+
+    rng = random.Random(11)
+    texts = [None, "", "solo"]
+    for _ in range(120):
+        n = rng.randint(0, 37)
+        texts.append(" ".join(f"t{rng.randint(0, 9)}" for _ in range(n)) if n else "")
+    for w in (1, 2, 5, 7):
+        out = _chunk_batch(pd.Series(texts, dtype="object"), w)
+        for t, chunks, cks in zip(texts, out["chunks"], out["cks"]):
+            if t is None:
+                assert chunks == [] and cks == []
+                continue
+            # partition property: rebuild == input (already normalized)
+            assert " ".join(chunks) == t, (w, t, chunks)
+            toks = t.split(" ")
+            assert len(chunks) == (len(toks) + w - 1) // w
+            for i, c in enumerate(chunks):
+                want_w = w if i < len(chunks) - 1 else len(toks) - w * i
+                assert len(c.split(" ")) == want_w
+            assert cks == [hashlib.md5(c.encode("utf-8")).hexdigest() for c in chunks]
