@@ -49,45 +49,60 @@ def _norm_text(col):
 _NORM_SQL = "REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')"
 
 
+_shingle_udfs: dict = {}  # per-distinct-flag pandas UDFs, built lazily
+
+
+def _shingle_batch(norm, distinct: bool):
+    """One Arrow batch of whitespace-NORMALIZED text -> word-3-gram
+    shingle arrays (docs under 3 tokens contribute their whole normalized
+    text; NULL -> empty array, so the explode drops the doc exactly like
+    the old posexplode-of-NULL-tokens did).  ``distinct`` picks set vs
+    multiset — t7's repetition ratio needs the true multiset."""
+    out = []
+    for t in norm:
+        if t is None:
+            out.append([])
+            continue
+        toks = t.split(" ")
+        if len(toks) < 3:
+            out.append([t])
+        elif distinct:
+            out.append(sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}))
+        else:
+            out.append([" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)])
+    return pd.Series(out)
+
+
 def shingle_rows(spark, sf_dir, distinct: bool = True) -> DataFrame:
-    """Distinct word-3-gram shingles, one ROW per (doc_id, shingle).
-    Docs shorter than 3 tokens contribute their whole normalized text.
+    """Word-3-gram shingles, one ROW per (doc_id, shingle) — distinct set
+    by default; ``distinct=False`` yields the position-ordered multiset
+    (x2 uses it as a free shortcut since MIN is duplicate-idempotent; t7
+    REQUIRES it for the distinct/total repetition ratio).
 
-    ``distinct=False`` skips the per-(doc, shingle) dedup hash-aggregate:
-    correct whenever the consumer is idempotent under duplicates (MIN —
-    i.e. minhash).  x3/x5 need true set semantics and keep the default.
+    Shape history (each step measured at sf0.1): array HOF lambdas ~15 s
+    (interpreted, outside codegen) -> posexplode + lead() windows +
+    dropDuplicates ~0.8 s -> the current Arrow kernel ~0.5 s
+    (normalization stays JVM-side for oracle parity — the same contract
+    as chunk_struct_col/simhash64_col; the kernel is one C-string pass
+    per batch, per-doc dedup costs a Python set instead of the JVM
+    hash-aggregate, and the window sort disappears).  The scan is
+    hash-repartitioned by doc_id up front: the testdata parquet is one
+    small file -> one partition otherwise, and the downstream minhash
+    groupBy(doc_id) reuses the exchange.  Set equality with the window
+    form was verified at sf0.1 (260,388 rows, identical), and every
+    consumer is oracle-checked."""
+    if distinct not in _shingle_udfs:
 
-    Shape notes (each matters ~5-10x at sf0.1):
-    - The scan is hash-repartitioned by doc_id up front — the testdata
-      parquet is one small file → one partition otherwise, and doc_id
-      clustering lets the lead() window, the distinct, AND the downstream
-      minhash groupBy(doc_id) all reuse this ONE exchange (Catalyst's
-      EnsureRequirements sees hashpartitioning(doc_id) satisfies each).
-    - Shingles are built with posexplode + lead() windows, NOT array
-      higher-order functions: Spark evaluates HOF lambdas interpreted
-      (outside whole-stage codegen), which measured ~15 s vs ~2 s for
-      this exploded+window shape.  The window sort is per-doc within
-      shuffle partitions — map-side cheap, no skew beyond doc length."""
+        @pandas_udf("array<string>")
+        def _f(norm: pd.Series) -> pd.Series:
+            return _shingle_batch(norm, distinct)
+
+        _shingle_udfs[distinct] = _f
     d = read_table(spark, sf_dir, "documents").repartition(
         d_spark_parallelism(spark), "doc_id"
     )
-    norm = _norm_text(F.col("text"))
-    toks = F.split(norm, " ")
-    base = d.select("doc_id", F.size(toks).alias("n"), F.posexplode(toks).alias("pos", "t"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tri = (
-        base.select(
-            "doc_id",
-            "n",
-            "pos",
-            F.concat_ws(" ", "t", F.lead("t", 1).over(w), F.lead("t", 2).over(w)).alias("s"),
-        )
-        .where((F.col("n") >= 3) & (F.col("pos") <= F.col("n") - 3))
-        .select("doc_id", "s")
-    )
-    shorts = d.select("doc_id", norm.alias("s")).where(F.size(toks) < 3)
-    out = tri.unionAll(shorts)
-    return out.dropDuplicates(["doc_id", "s"]) if distinct else out
+    arr = _shingle_udfs[distinct](_norm_text(F.col("text")))
+    return d.select("doc_id", F.explode(arr).alias("s"))
 
 
 _SHINGLES_SQL = f"""
