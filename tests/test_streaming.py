@@ -305,6 +305,44 @@ def test_streaming_lsh_equals_batch_x3(spark, sf_small, tmp_path_factory):
     assert any(chunk_of(a) != chunk_of(b) for a, b, _ in got_stream)
 
 
+def test_streaming_lsh_redelivery_emits_no_duplicate_pairs(spark, sf_small, tmp_path_factory):
+    # at-least-once delivery: the same documents arriving again in a later
+    # micro-batch must be recognized as already admitted (bucket state
+    # keeps doc_ids) — no duplicate pair emissions, no self-pairs
+    import time
+
+    from fifteenmc_spark.operators.relational import QUERIES
+    from fifteenmc_spark.streaming import minhash_lsh as ML
+
+    docs = read_table(spark, sf_small, "documents")
+    out = tmp_path_factory.mktemp("lsh_redeliver")
+    docs.coalesce(1).write.mode("overwrite").parquet(str(out / "f0"))
+    time.sleep(1.1)
+    docs.coalesce(1).write.mode("overwrite").parquet(str(out / "f1"))  # re-delivery
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out) + "/*/")
+    )
+    W.run_to_memory(ML.flag_lsh_near_dups(stream), "sink_lsh_redeliver", output_mode="append")
+    rows = spark.table("sink_lsh_redeliver").collect()
+    assert all(r["doc_id"] != r["matched_id"] for r in rows)
+    # raw per-band emissions are already unique — the second delivery
+    # added nothing (without the seen-guard every pair would re-emit)
+    raw = [(r["doc_id"], r["matched_id"]) for r in rows]
+    assert len(raw) == len(set(raw))
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in QUERIES["x3_minhash_lsh_pairs"].build(spark, sf_small).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ML.distinct_lsh_pairs(spark.table("sink_lsh_redeliver")).collect()
+    }
+    assert got == want
+
+
 def test_streaming_near_dup_equals_batch_x6_64(spark, sf_small, tmp_path_factory):
     # stream≡batch contract: the distinct flagged pair set over a bounded
     # stream equals the declared x6_64 pair set over the same corpus, and
