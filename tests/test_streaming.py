@@ -328,10 +328,20 @@ def test_streaming_lsh_redelivery_emits_no_duplicate_pairs(spark, sf_small, tmp_
     W.run_to_memory(ML.flag_lsh_near_dups(stream), "sink_lsh_redeliver", output_mode="append")
     rows = spark.table("sink_lsh_redeliver").collect()
     assert all(r["doc_id"] != r["matched_id"] for r in rows)
-    # raw per-band emissions are already unique — the second delivery
-    # added nothing (without the seen-guard every pair would re-emit)
-    raw = [(r["doc_id"], r["matched_id"]) for r in rows]
-    assert len(raw) == len(set(raw))
+    # the raw emission MULTISET (a pair legitimately emits once per
+    # shared band) equals the batch path's — i.e. the second delivery
+    # added zero emissions (without the seen-guard every pair would
+    # re-emit and the multisets would differ)
+    from collections import Counter
+
+    raw = Counter(
+        (min(r["doc_id"], r["matched_id"]), max(r["doc_id"], r["matched_id"])) for r in rows
+    )
+    batch_raw = Counter(
+        (min(r["doc_id"], r["matched_id"]), max(r["doc_id"], r["matched_id"]))
+        for r in ML.flag_lsh_near_dups(docs).collect()
+    )
+    assert raw == batch_raw
     want = {
         (r["doc_a"], r["doc_b"], r["jaccard"])
         for r in QUERIES["x3_minhash_lsh_pairs"].build(spark, sf_small).collect()
