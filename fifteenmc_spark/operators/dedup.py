@@ -6,8 +6,10 @@ Scale design
 ------------
 - Exact dedup: one hash per doc (fingerprint), group on the 16-byte key —
   the shuffle carries doc_id+hash only, never text.
-- MinHash: signatures are computed scan-side with array expressions (no
-  explode, no shuffle); LSH banding turns the O(n²) pair space into
+- MinHash: shingle arrays come from an Arrow kernel (shingle_rows — one
+  C-string pass per batch, JVM-side normalization for oracle parity);
+  signatures are n MIN aggregates with map-side combine, so the shuffle
+  carries n BIGINTs per doc; LSH banding turns the O(n²) pair space into
   per-bucket joins.  Buckets are the shuffle key; skewed buckets are
   AQE-splittable.
 - Jaccard verify runs only on LSH candidates, never all pairs.
@@ -19,8 +21,10 @@ Scale design
   16-bit x4/x6 rows are the oracle-parity demo; x4_64/x6_64 pin the
   corpus-scale 64-bit calibration (sizing rule at SIMHASH_WIDE_BITS).
 
-Portability: hashes are md5-hex (identical in Spark and DuckDB), minhash =
-lexicographic min of seeded md5 strings — a valid uniform minhash family.
+Portability: hashes are md5-hex (identical in Spark and DuckDB); minhash =
+MIN over a classic (a·h + b) mod p universal family applied to one
+md5-derived 60-bit integer per shingle — one digest per shingle, per-seed
+values derived arithmetically.
 """
 
 from __future__ import annotations
