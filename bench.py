@@ -56,6 +56,17 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # measured scheduling floor: the cheapest possible Spark action on
+    # this session (32-partition noop).  Recorded so per-query ratios can
+    # be read honestly — a 0.4 s query vs a 0.05 s DuckDB time is the
+    # floor, not a plan problem (the r6 audit's x1 analysis, now a
+    # first-class number in the record).
+    floor = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(par).repartition(par).write.format("noop").mode("overwrite").save()
+        floor = min(floor, time.perf_counter() - t0)
+
     # best-of-N absorbs host-load noise (measured ±2x swings on the same
     # code within an hour); 3 runs ≈ +45s wall for a much stabler minimum
     runs = int(os.environ.get("BENCH_RUNS", "3"))
@@ -88,6 +99,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "action_floor_s": round(floor, 4),
     }
     if errors:
         out["bench_errors"] = errors
@@ -150,7 +162,7 @@ def _compact_line(out: dict) -> dict:
         "n_queries": len(out["queries"]),
         "detail": "BENCH_full.json",
     }
-    for k in ("duckdb_total", "spark_vs_duckdb_ratio", "bench_partial"):
+    for k in ("duckdb_total", "spark_vs_duckdb_ratio", "bench_partial", "action_floor_s"):
         if k in out:
             line[k] = out[k]
     ok = {k: v for k, v in out["queries"].items() if v is not None}
