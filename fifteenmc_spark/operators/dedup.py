@@ -1101,13 +1101,18 @@ def near_dup_clusters(
     if strategy in ("local", "auto"):
         bound = LOCAL_CLUSTER_MAX_PAIRS if local_max_pairs is None else local_max_pairs
         p = pairs.select("doc_a", "doc_b").localCheckpoint()
-        n_pairs = p.count()
-        if n_pairs <= bound:
-            return _clusters_local(p)
+        # ONE driver job measures AND fetches (the p5 bounded-collect
+        # pattern): collecting bound+1 rows both decides the dispatch and,
+        # in the common under-bound case, IS the union-find input — the
+        # previous count()-then-collect() shape paid a second job over the
+        # checkpoint for the same rows.
+        head = p.limit(bound + 1).collect()
+        if len(head) <= bound:
+            return _clusters_local_rows(head, p.sparkSession)
         if strategy == "local":
             raise RuntimeError(
-                f"near_dup_clusters(local): {n_pairs} pairs exceeds the "
-                f"local bound {bound}; use a distributed strategy"
+                f"near_dup_clusters(local): over {bound} pairs exceeds the "
+                f"local bound; use a distributed strategy"
             )
         pairs = p  # auto over the bound: fall through, reuse materialization
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -1146,13 +1151,17 @@ def near_dup_clusters(
 
 
 def _clusters_local(pairs: DataFrame) -> DataFrame:
-    """Driver-side union-find over a BOUNDED pair list (collect is gated
-    by LOCAL_CLUSTER_MAX_PAIRS in near_dup_clusters — PySpark Rows cost
-    ~100+ bytes each, so the 200k bound is ~100-200 MB driver-side
-    including the parent dict; same class of bounded collect as the reach
-    prev-map backtrack).  Union-by-min + path compression: the final root
-    of every tree is the component's minimum doc_id."""
-    rows = pairs.collect()
+    """Driver-side union-find over a BOUNDED pair DataFrame (collect is
+    gated by LOCAL_CLUSTER_MAX_PAIRS in near_dup_clusters)."""
+    return _clusters_local_rows(pairs.collect(), pairs.sparkSession)
+
+
+def _clusters_local_rows(rows, spark) -> DataFrame:
+    """Union-find over an ALREADY-COLLECTED bounded pair list (PySpark
+    Rows cost ~100+ bytes each, so the 200k bound is ~100-200 MB
+    driver-side including the parent dict; same class of bounded collect
+    as the reach prev-map backtrack).  Union-by-min + path compression:
+    the final root of every tree is the component's minimum doc_id."""
     parent: dict = {}
 
     def find(x):
@@ -1169,7 +1178,7 @@ def _clusters_local(pairs: DataFrame) -> DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     labels = [(x, find(x)) for x in parent]
-    return pairs.sparkSession.createDataFrame(labels, "doc_id BIGINT, cluster_id BIGINT")
+    return spark.createDataFrame(labels, "doc_id BIGINT, cluster_id BIGINT")
 
 
 # Driver-memory bound for the local strategy: collect() materializes
