@@ -1,0 +1,87 @@
+"""Bench-scale geo smoke: the G2 reach kernel at 9x the golden fixture's
+node count (60x60 lattice -> 3,600 nodes, ~14k canonical directed edges),
+BOTH strategies checked against the independent numpy heap oracle.
+
+The golden suite (test_geo_pipeline) pins correctness at k=20; this file
+is the "would it survive a scale-up" guard the 100 TB brief asks for on
+the geospatial side, mirroring the streaming surface's sf0.1 smoke: the
+one-task solver must stay correct when the graph is an order of magnitude
+past the fixture, and the frontier loop (the distributed path a
+150k+-edge graph dispatches to) must produce the identical bounded
+distances over multiple relaxation rounds at this size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fifteenmc_spark.plans import graph_build, reach
+
+from . import geo_fixtures as gf
+
+K_BENCH = 60
+LIMIT_M = 300.0  # ~5-9 lattice hops: several frontier rounds, bounded wall
+
+
+@pytest.fixture(scope="module")
+def bfx(spark):
+    nodes_pdf = gf.lattice_nodes(k=K_BENCH)
+    edges_pdf = gf.lattice_edges_raw(nodes_pdf, k=K_BENCH)
+    pois_pdf = gf.poi_fixture(nodes_pdf, k=K_BENCH)
+    gnodes_pdf, gedges_pdf = gf.golden_canonical_graph(nodes_pdf, edges_pdf)
+
+    gnodes, gedges = graph_build.build_graph(
+        spark.createDataFrame(nodes_pdf),
+        graph_build.clean_walkable_edges(spark.createDataFrame(edges_pdf)),
+    )
+    gnodes, gedges = gnodes.cache(), gedges.cache()
+    assert gnodes.count() == K_BENCH * K_BENCH
+
+    snapped = gf.golden_snap(pois_pdf, gnodes_pdf, max_snap_m=300.0)
+    snapped = snapped[snapped["node_idx"] >= 0].copy()
+    pois_sdf = spark.createDataFrame(
+        snapped[["poi_id", "category", "node_idx"]].astype({"node_idx": "int32"})
+    )
+    return {
+        "gnodes": gnodes,
+        "gedges": gedges,
+        "gnodes_pdf": gnodes_pdf,
+        "gedges_pdf": gedges_pdf,
+        "snapped": snapped,
+        "pois_sdf": pois_sdf,
+    }
+
+
+@pytest.mark.parametrize("strategy", ["local", "frontier"])
+def test_bench_scale_reach_matches_golden(bfx, strategy):
+    got_all = (
+        reach.compute_reach(
+            bfx["gnodes"], bfx["gedges"], bfx["pois_sdf"], limit_m=LIMIT_M, strategy=strategy
+        )
+        .cache()
+    )
+    n_nodes = K_BENCH * K_BENCH
+    for cat in ("supermarket", "pharmacy"):
+        sub = bfx["snapped"][bfx["snapped"]["category"] == cat]
+        assert len(sub) > 0
+        dist, winners = gf.golden_reach(
+            bfx["gnodes_pdf"], bfx["gedges_pdf"], sub, LIMIT_M
+        )
+        got = got_all.where(F.col("category") == cat).orderBy("node_idx").toPandas()
+        assert len(got) == n_nodes
+        n_reach = 0
+        for r in got.itertuples():
+            want_d = dist[r.node_idx]
+            if not np.isfinite(want_d):
+                assert pd.isna(r.dist_m), f"node {r.node_idx} should be unreachable"
+            else:
+                n_reach += 1
+                assert abs(r.dist_m - want_d) < 1e-2, f"node {r.node_idx} ({strategy})"
+                assert r.poi_id in winners[r.node_idx], f"node {r.node_idx} winner"
+        # the bounded region is a real neighborhood: non-trivial but far
+        # from the whole lattice (the limit_m bound actually bit)
+        assert 0 < n_reach < n_nodes
+    got_all.unpersist()
