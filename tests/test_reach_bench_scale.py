@@ -55,6 +55,43 @@ def bfx(spark):
     }
 
 
+def test_bench_scale_snap_matches_golden(spark, bfx):
+    """J2 at point volume: 2,000 query points bucket-snapped against the
+    3,600-node lattice must agree with the exact full-distance-matrix
+    oracle (nearest node, tie -> smaller node_idx, max-snap rejection).
+    Exercises the 3x3-ring candidate join where most cells hold multiple
+    nodes AND many points fall outside the snap radius."""
+    rng = np.random.RandomState(77)
+    g = bfx["gnodes_pdf"]
+    lon0, lon1 = float(g["lon"].min()), float(g["lon"].max())
+    lat0, lat1 = float(g["lat"].min()), float(g["lat"].max())
+    # spread beyond the lattice so a margin of points gets rejected
+    pts = pd.DataFrame(
+        {
+            "poi_id": np.arange(2000, dtype=np.int64),
+            "lon": rng.uniform(lon0 - 0.01, lon1 + 0.01, 2000),
+            "lat": rng.uniform(lat0 - 0.006, lat1 + 0.006, 2000),
+        }
+    )
+    from fifteenmc_spark.plans import snap
+
+    got = (
+        snap.snap_points_to_nodes(spark.createDataFrame(pts), bfx["gnodes"], max_snap_m=120.0)
+        .orderBy("poi_id")
+        .toPandas()
+    )
+    want = gf.golden_snap(pts, g, max_snap_m=120.0)
+    n_rej = 0
+    for gr, wr in zip(got.itertuples(), want.itertuples()):
+        if wr.node_idx == -1:
+            n_rej += 1
+            assert gr.node_idx is None or pd.isna(gr.node_idx), f"point {gr.poi_id}"
+        else:
+            assert gr.node_idx == wr.node_idx, f"point {gr.poi_id}"
+            assert abs(gr.dist_to_node_m - wr.dist_to_node_m) < 1e-2
+    assert 0 < n_rej < len(pts)  # both regimes really exercised
+
+
 @pytest.mark.parametrize("strategy", ["local", "frontier"])
 def test_bench_scale_reach_matches_golden(bfx, strategy):
     got_all = (
