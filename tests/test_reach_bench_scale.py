@@ -55,6 +55,62 @@ def bfx(spark):
     }
 
 
+def test_bench_scale_halo_assignment_matches_golden(spark):
+    """Q1 at point volume: 10,000 random points against a 20x16-ish tile
+    grid — the broadcast bbox join must reproduce a vectorized numpy
+    containment oracle exactly, in both buffer (1-to-many halo) and
+    strict (partition) modes; strict mode must assign every in-bbox point
+    exactly once."""
+    from fifteenmc_spark.plans import grid
+
+    bbox = (18.40, 54.20, 18.90, 54.60)
+    tiles = grid.generate_tiles(spark, bbox, tile_km=2.0, buffer_km=0.5).cache()
+    tp = tiles.select("grid_id", "tile_bbox", "buffer_bbox").toPandas()
+    rng = np.random.RandomState(5)
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(10_000, dtype=np.int64),
+            "lon": rng.uniform(bbox[0] - 0.02, bbox[2] + 0.02, 10_000),
+            "lat": rng.uniform(bbox[1] - 0.02, bbox[3] + 0.02, 10_000),
+        }
+    )
+    pts_sdf = spark.createDataFrame(pts).cache()
+
+    def golden(use_buffer):
+        key = "buffer_bbox" if use_buffer else "tile_bbox"
+        out = set()
+        lon, lat = pts["lon"].to_numpy(), pts["lat"].to_numpy()
+        for t in tp.itertuples():
+            b = getattr(t, key)
+            hit = (
+                (lon >= b["minlon"]) & (lon < b["maxlon"])
+                & (lat >= b["minlat"]) & (lat < b["maxlat"])
+            )
+            out.update((int(p), t.grid_id) for p in pts["pid"].to_numpy()[hit])
+        return out
+
+    for use_buffer in (True, False):
+        got = {
+            (r["pid"], r["grid_id"])
+            for r in grid.assign_points_to_tiles(pts_sdf, tiles, use_buffer=use_buffer)
+            .select("pid", "grid_id")
+            .collect()
+        }
+        want = golden(use_buffer)
+        assert got == want
+        if use_buffer:
+            # halo mode is genuinely 1-to-many somewhere
+            assert len(want) > len({p for p, _ in want})
+        else:
+            # strict tile bboxes partition the plane: one tile per point
+            per_point: dict = {}
+            for p, g in want:
+                per_point.setdefault(p, []).append(g)
+            assert all(len(v) == 1 for v in per_point.values())
+    pts_sdf.unpersist()
+    tiles.unpersist()
+
+
 def test_bench_scale_snap_matches_golden(spark, bfx):
     """J2 at point volume: 2,000 query points bucket-snapped against the
     3,600-node lattice must agree with the exact full-distance-matrix
