@@ -226,7 +226,9 @@ def x2(spark, sf_dir):
     # shingle pipeline — measured 2x the query.
     # distinct=False: MIN is idempotent under duplicate shingles, so the
     # per-(doc, shingle) dedup aggregate is pure overhead for minhash.
-    sig = minhash_signatures(shingle_rows(spark, sf_dir, distinct=False)).localCheckpoint()
+    sig = minhash_signatures(shingle_rows(spark, sf_dir, distinct=False)).localCheckpoint(
+        eager=False
+    )
     return sig.orderBy("doc_id")
 
 
@@ -267,7 +269,7 @@ def x2(spark, sf_dir):
 def x3(spark, sf_dir):
     # shingle rows checkpointed once (small: one string row per distinct
     # shingle) and reused by signatures, sizes, and the pair intersection
-    ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    ex = shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
     return lsh_jaccard_pairs(ex).orderBy("doc_a", "doc_b")
 
 
@@ -391,7 +393,7 @@ X3_WIDE_BANDS = 4
     ("dedup", "minhash", "lsh", "jaccard", "pipeline", "calibration"),
 )
 def x3_16(spark, sf_dir):
-    ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    ex = shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
     return lsh_jaccard_pairs(
         ex, n_hashes=X3_WIDE_HASHES, n_bands=X3_WIDE_BANDS
     ).orderBy("doc_a", "doc_b")
@@ -502,7 +504,7 @@ X6_HAMMING_K = 1  # block count = k+1; 2 blocks of 8 bits over the 16-bit code
 def x6(spark, sf_dir):
     # one small row per doc; checkpoint so the two block projections and the
     # self-join don't recompute the token pipeline
-    sig = simhash_codes(spark, sf_dir).localCheckpoint()
+    sig = simhash_codes(spark, sf_dir).localCheckpoint(eager=False)
     blocks = sig.select(
         "doc_id", "simhash", F.lit(0).alias("blk"), F.col("simhash").bitwiseAND(F.lit(255)).alias("bval")
     ).unionAll(
@@ -724,7 +726,7 @@ def x4_64(spark, sf_dir):
     # plan scans the checkpoint RDD and carries no ArrowEvalPython node)
     # instead of a property of current costs, and at corpus scale a
     # second full kernel pass over 100 TB is never the right trade.
-    return x4_64_signatures(spark, sf_dir).localCheckpoint().orderBy("doc_id")
+    return x4_64_signatures(spark, sf_dir).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 @_register(
@@ -758,7 +760,7 @@ def x6_64(spark, sf_dir):
         .where(F.col("text").isNotNull())  # scan-side; see x4_64
         .repartition(d_spark_parallelism(spark), "doc_id")
         .select("doc_id", simhash64_col(F.col("text")).alias("simhash64"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     block_bits = SIMHASH_WIDE_BITS // (X6_64_HAMMING_K + 1)
     mask = (1 << block_bits) - 1
@@ -828,7 +830,7 @@ X5_THRESHOLD = 0.5
     ("dedup", "jaccard", "prefix-filter", "pipeline"),
 )
 def x5(spark, sf_dir):
-    ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    ex = shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
     return _jaccard_from_intersections(ex, _index_join_intersections(ex))
 
 
@@ -909,7 +911,7 @@ def _jaccard_from_intersections(ex: DataFrame, inter: DataFrame, t: float = X5_T
 
 def ngram_jaccard_prefix_filtered(spark, sf_dir, t: float = X5_THRESHOLD) -> DataFrame:
     """x5's scale-path twin (see _prefix_filtered_intersections)."""
-    ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    ex = shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
     return _jaccard_from_intersections(ex, _prefix_filtered_intersections(ex, t), t)
 
 
@@ -962,7 +964,7 @@ def _capped_intersections(ex: DataFrame, t: float, max_df: int) -> DataFrame:
     # exd feeds three consumers (low self-join, prefix window, high slice);
     # checkpointing materializes the shingle⋈df join once instead of three
     # times (A/B: −0.8s at sf0.1)
-    exd = ex.join(dfreq, "s").localCheckpoint()
+    exd = ex.join(dfreq, "s").localCheckpoint(eager=False)
 
     low = exd.where(F.col("df") <= max_df)
     la = low.select(F.col("doc_id").alias("doc_a"), "s")
@@ -1040,7 +1042,7 @@ def x5_capped(spark, sf_dir, cap: int = X5_MAX_DF):
     # ``cap`` is parameterized so tests can bind it below the corpus max
     # and exercise THIS function's capped branch, not just the helper
     # (test_x5_capped_dispatch_capped_branch).
-    ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    ex = shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
     max_df = (
         ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).agg(F.max("df")).first()[0]
     )
@@ -1100,7 +1102,7 @@ def near_dup_clusters(
         return _clusters_star(pairs, max_rounds)
     if strategy in ("local", "auto"):
         bound = LOCAL_CLUSTER_MAX_PAIRS if local_max_pairs is None else local_max_pairs
-        p = pairs.select("doc_a", "doc_b").localCheckpoint()
+        p = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
         # ONE driver job measures AND fetches (the p5 bounded-collect
         # pattern): collecting bound+1 rows both decides the dispatch and,
         # in the common under-bound case, IS the union-find input — the
@@ -1284,7 +1286,7 @@ def _clusters_star(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     ("dedup", "clustering", "graph", "pipeline"),
 )
 def x7(spark, sf_dir):
-    ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    ex = shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
     pairs = lsh_jaccard_pairs(ex).select("doc_a", "doc_b")
     return near_dup_clusters(pairs).orderBy("doc_id")
 
@@ -1401,7 +1403,7 @@ X8_THRESHOLD = X5_THRESHOLD
 def x8(spark, sf_dir):
     from ..functions import text as T
 
-    ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    ex = shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
     # split membership is a PURE projection of doc_id (split_bucket =
     # md5-derived — the same column p2 computes), so the train/eval sides
     # are direct filters over the shingle rows: no documents re-scan and
@@ -1483,7 +1485,7 @@ def x8(spark, sf_dir):
     ("dedup", "clustering", "pipeline", "apply"),
 )
 def p7(spark, sf_dir):
-    ex = shingle_rows(spark, sf_dir).localCheckpoint()
+    ex = shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
     pairs = lsh_jaccard_pairs(ex).select("doc_a", "doc_b")
     clusters = near_dup_clusters(pairs)
     d = read_table(spark, sf_dir, "documents").select("doc_id")

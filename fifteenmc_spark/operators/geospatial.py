@@ -205,7 +205,7 @@ def g3(spark, sf_dir):
     # one-task Dijkstra (a Python worker round-trip) a second time
     return (
         sp.select("node_idx", F.round(F.col("dist_m"), 4).alias("dist_m"), "poi_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
         .orderBy("node_idx")
     )
 

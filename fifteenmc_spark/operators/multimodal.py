@@ -292,7 +292,7 @@ def m3(spark, sf_dir):
     )
     # checkpoint before the global sort: the range sampler would otherwise
     # re-execute the whole mapInPandas (Python workers) a second time
-    return sample_frames(video).localCheckpoint().orderBy("asset_id", "frame_idx")
+    return sample_frames(video).localCheckpoint(eager=False).orderBy("asset_id", "frame_idx")
 
 
 # ---------------------------------------------------------------------------

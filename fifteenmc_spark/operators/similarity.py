@@ -395,7 +395,7 @@ def embedding_near_dup(spark, sf_dir, n_planes: int) -> "DataFrame":
     # checkpoint: the signature table would be recomputed by BOTH sides of
     # the self-join and by the sort sampler; the vec_id join reuses the
     # _emb exchange on one side and the signature groupBy's on the other
-    sig = e.join(lsh_bucket_table(e, n_planes), "vec_id").localCheckpoint()
+    sig = e.join(lsh_bucket_table(e, n_planes), "vec_id").localCheckpoint(eager=False)
     a, b = sig.alias("a"), sig.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
@@ -683,7 +683,7 @@ def v7(spark, sf_dir):
     e = _emb(spark, sf_dir)
     # checkpoint before slicing: the union's branches would otherwise each
     # re-run the 16-sum signature aggregation (x6_64 does the same)
-    sig = lsh_bucket_table(e, V7_TOTAL_PLANES).localCheckpoint()
+    sig = lsh_bucket_table(e, V7_TOTAL_PLANES).localCheckpoint(eager=False)
     mask = (1 << r) - 1
     parts = [
         sig.select(
@@ -696,7 +696,7 @@ def v7(spark, sf_dir):
     bands = parts[0]
     for p in parts[1:]:
         bands = bands.unionAll(p)
-    bands = bands.localCheckpoint()
+    bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bval") == F.col("b.bval")))

@@ -727,7 +727,7 @@ def chunk_dedup(
     ex = cc.select(
         "doc_id", F.posexplode(F.arrays_zip("chunks", "cks")).alias("ci", "z")
     ).select("doc_id", "ci", F.col("z.chunks").alias("s"), F.col("z.cks").alias("ck"))
-    bp = bp_plan.localCheckpoint()
+    bp = bp_plan.localCheckpoint(eager=False)
     flagged = ex.join(bp.withColumn("__bp", F.lit(True)), "ck", "left")
     kept_struct = F.when(F.col("__bp").isNull(), F.struct("ci", "s"))
     agg = (
