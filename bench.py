@@ -187,6 +187,11 @@ def _write_full_record(out: dict, path: str | None = None) -> None:
     try:
         with open(path) as f:
             prev = json.load(f)
+        if not isinstance(prev, dict):
+            # valid-JSON-but-not-a-record (truncation repaired to [], bad
+            # merge): start history fresh rather than raising AFTER the
+            # whole suite has run — the r4 losing-the-record failure mode
+            raise ValueError("BENCH_full.json is not a JSON object")
         history = prev.get("history", [])
         prev.pop("history", None)
         # previous latest run joins the history (headline numbers only —

@@ -139,11 +139,18 @@ _MH_B = (
 )
 
 
+def _shingle_hash60(s) -> "F.Column":
+    """md5 → first 15 hex chars → 60-bit BIGINT.  The full-width shingle
+    value: collision space ~2^60, used wherever hash equality stands in
+    for shingle-string equality (the streaming registry's exact verify)."""
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+
 def _shingle_hash(s) -> "F.Column":
-    """md5 → first 15 hex chars → BIGINT → mod P.  ONE digest per shingle;
-    the per-seed values derive arithmetically (classic (a*h+b) mod p
-    universal family) instead of re-hashing per seed."""
-    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("bigint") % _MH_P
+    """_shingle_hash60 reduced mod P — the minhash domain.  ONE digest per
+    shingle; the per-seed values derive arithmetically (classic (a*h+b)
+    mod p universal family) instead of re-hashing per seed."""
+    return _shingle_hash60(s) % _MH_P
 
 
 def minhash_signatures(ex: DataFrame, n: int = N_MINHASH) -> DataFrame:
@@ -755,13 +762,10 @@ def x4_64(spark, sf_dir):
     ("dedup", "simhash", "hamming", "pipeline", "calibration"),
 )
 def x6_64(spark, sf_dir):
-    sig = (
-        read_table(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())  # scan-side; see x4_64
-        .repartition(d_spark_parallelism(spark), "doc_id")
-        .select("doc_id", simhash64_col(F.col("text")).alias("simhash64"))
-        .localCheckpoint(eager=False)
-    )
+    # ONE definition of the 64-bit signature plan (scan-side kernel,
+    # NULL-drop at the scan, spread repartition): x4_64_signatures — so
+    # the two 64-bit queries and their plan gates can never diverge
+    sig = x4_64_signatures(spark, sf_dir).localCheckpoint(eager=False)
     block_bits = SIMHASH_WIDE_BITS // (X6_64_HAMMING_K + 1)
     mask = (1 << block_bits) - 1
     parts = [
@@ -1103,14 +1107,15 @@ def near_dup_clusters(
     if strategy in ("local", "auto"):
         bound = LOCAL_CLUSTER_MAX_PAIRS if local_max_pairs is None else local_max_pairs
         p = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
-        # ONE driver job measures AND fetches (the p5 bounded-collect
-        # pattern): collecting bound+1 rows both decides the dispatch and,
-        # in the common under-bound case, IS the union-find input — the
-        # previous count()-then-collect() shape paid a second job over the
-        # checkpoint for the same rows.
-        head = p.limit(bound + 1).collect()
-        if len(head) <= bound:
-            return _clusters_local_rows(head, p.sparkSession)
+        # Dispatch probe: limit(bound+1).count() ships ONE number to the
+        # driver — never the rows — so the over-bound (corpus-scale) path
+        # pays no 100-200 MB Row transfer just to learn it is over bound;
+        # the under-bound path then collects from the cache the probe
+        # materialized (lazy checkpoint).  A plain count() would scan the
+        # full pair set even when bound+1 rows already decide.
+        n_probe = p.limit(bound + 1).count()
+        if n_probe <= bound:
+            return _clusters_local_rows(p.collect(), p.sparkSession)
         if strategy == "local":
             raise RuntimeError(
                 f"near_dup_clusters(local): over {bound} pairs exceeds the "
@@ -1264,6 +1269,27 @@ def _clusters_star(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     return labels.select(F.col("a").alias("doc_id"), F.col("m").alias("cluster_id"))
 
 
+def _closure_cte(pairs_oracle: str) -> str:
+    """The transitive-closure prelude every cluster-query oracle shares
+    (ONE definition, parameterized on the pair source — the SQL-side
+    mirror of near_dup_clusters being pair-source-generic): symmetrize
+    the pair list, then r(n, m) reaches every label m transitively."""
+    return f"""WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({pairs_oracle})),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    r(n, m) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM e)
+      UNION
+      SELECT e.b, r.m FROM r JOIN e ON e.a = r.n
+    )"""
+
+
+_CLUSTER_LABELS = (
+    "SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id FROM r GROUP BY n"
+)
+
+
 @_register(
     "x7_near_dup_clusters",
     "Near-dup CLUSTERS from the x3 pair list: connected components via "
@@ -1272,16 +1298,8 @@ def _clusters_star(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     "canonicals when A~B and B~C but A~C was never emitted.  Oracle: "
     "recursive-CTE transitive label closure + MIN.",
     f"""
-    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({QUERIES["x3_minhash_lsh_pairs"].oracle})),
-    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-    r(n, m) AS (
-      SELECT a, a FROM (SELECT DISTINCT a FROM e)
-      UNION
-      SELECT e.b, r.m FROM r JOIN e ON e.a = r.n
-    )
-    SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id
-    FROM r GROUP BY n ORDER BY doc_id
+    {_closure_cte(QUERIES["x3_minhash_lsh_pairs"].oracle)}
+    {_CLUSTER_LABELS} ORDER BY doc_id
     """,
     ("dedup", "clustering", "graph", "pipeline"),
 )
@@ -1303,17 +1321,8 @@ def x7(spark, sf_dir):
     "vs ~1 s over the 64-bit pair set.  Oracle: the same recursive-CTE "
     "transitive closure over the x6_64 oracle.",
     f"""
-    WITH RECURSIVE pairs AS (
-      SELECT doc_a, doc_b FROM ({QUERIES["x6_simhash_hamming_64"].oracle})),
-    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-    r(n, m) AS (
-      SELECT a, a FROM (SELECT DISTINCT a FROM e)
-      UNION
-      SELECT e.b, r.m FROM r JOIN e ON e.a = r.n
-    )
-    SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id
-    FROM r GROUP BY n ORDER BY doc_id
+    {_closure_cte(QUERIES["x6_simhash_hamming_64"].oracle)}
+    {_CLUSTER_LABELS} ORDER BY doc_id
     """,
     ("dedup", "clustering", "simhash", "graph", "pipeline"),
 )
@@ -1335,17 +1344,8 @@ def x7_hamming(spark, sf_dir):
     "linear under a viral-shingle tail.  Oracle: the same recursive-CTE "
     "transitive closure over x5's exact oracle.",
     f"""
-    WITH RECURSIVE pairs AS (
-      SELECT doc_a, doc_b FROM ({QUERIES["x5_ngram_jaccard"].oracle})),
-    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-    r(n, m) AS (
-      SELECT a, a FROM (SELECT DISTINCT a FROM e)
-      UNION
-      SELECT e.b, r.m FROM r JOIN e ON e.a = r.n
-    )
-    SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id
-    FROM r GROUP BY n ORDER BY doc_id
+    {_closure_cte(QUERIES["x5_ngram_jaccard"].oracle)}
+    {_CLUSTER_LABELS} ORDER BY doc_id
     """,
     ("dedup", "clustering", "jaccard", "graph", "pipeline"),
 )
@@ -1465,17 +1465,8 @@ def x8(spark, sf_dir):
     "the cluster labels are the only join input; the corpus scan never "
     "shuffles text.",
     f"""
-    WITH RECURSIVE pairs AS (
-      SELECT doc_a, doc_b FROM ({QUERIES["x3_minhash_lsh_pairs"].oracle})),
-    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-    r(n, m) AS (
-      SELECT a, a FROM (SELECT DISTINCT a FROM e)
-      UNION
-      SELECT e.b, r.m FROM r JOIN e ON e.a = r.n
-    ),
-    cl AS (SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id
-           FROM r GROUP BY n)
+    {_closure_cte(QUERIES["x3_minhash_lsh_pairs"].oracle)},
+    cl AS ({_CLUSTER_LABELS})
     SELECT d.doc_id,
            COALESCE(cl.cluster_id, d.doc_id) AS canonical_id,
            d.doc_id = COALESCE(cl.cluster_id, d.doc_id) AS kept

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..io import read_table
+from .dedup import _CLUSTER_LABELS, _closure_cte
 from .relational import QUERIES, _register
 
 
@@ -729,17 +730,12 @@ def v7(spark, sf_dir):
     "pair-source-generic across both modalities).  Oracle: recursive-CTE "
     "transitive closure over the v7 oracle.",
     f"""
-    WITH RECURSIVE pairs AS (
-      SELECT vec_a, vec_b FROM ({QUERIES["v7_lsh_banded_near_dup"].oracle})),
-    e AS (SELECT vec_a AS a, vec_b AS b FROM pairs
-          UNION ALL SELECT vec_b, vec_a FROM pairs),
-    r(n, m) AS (
-      SELECT a, a FROM (SELECT DISTINCT a FROM e)
-      UNION
-      SELECT e.b, r.m FROM r JOIN e ON e.a = r.n
-    )
-    SELECT n AS vec_id, CAST(MIN(m) AS BIGINT) AS cluster_id
-    FROM r GROUP BY n ORDER BY vec_id
+    {_closure_cte(
+        "SELECT vec_a AS doc_a, vec_b AS doc_b FROM ("
+        + QUERIES["v7_lsh_banded_near_dup"].oracle
+        + ")"
+    )}
+    SELECT doc_id AS vec_id, cluster_id FROM ({_CLUSTER_LABELS}) ORDER BY vec_id
     """,
     ("similarity", "dedup", "clustering", "pipeline"),
 )

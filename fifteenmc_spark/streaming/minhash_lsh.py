@@ -75,6 +75,7 @@ from ..operators.dedup import (
     JACCARD_THRESHOLD,
     N_MINHASH,
     _norm_text,
+    _shingle_hash60,
 )
 
 STATE_TTL_MS = 3600 * 1000  # evict buckets idle for an hour
@@ -97,10 +98,17 @@ STATE_SCHEMA = StructType(
 
 
 def _shingle_hashes(text_col) -> "F.Column":
-    """array<bigint> of the doc's DISTINCT word-3-gram shingle hashes —
-    the scan-side twin of shingle_rows + _shingle_hash: same
-    normalization, same 3-gram window (docs under 3 tokens contribute
-    their whole normalized text), same md5→60-bit→mod-P value."""
+    """array<bigint> of the doc's DISTINCT word-3-gram shingle hashes at
+    FULL 60-bit width — the scan-side twin of shingle_rows +
+    _shingle_hash60: same normalization, same 3-gram window (docs under 3
+    tokens contribute their whole normalized text), same md5→60-bit
+    value.  Width matters: these hashes stand in for shingle STRINGS in
+    the exact Jaccard verify, so they stay at ~2^60 collision space; the
+    mod-P reduction happens only inside the per-seed minhash maps
+    (minhash_features), matching the batch family exactly.  The
+    array_distinct runs AFTER hashing so a (cosmically rare) within-doc
+    hash collision shrinks the set identically for the batch
+    array-intersect path and the streaming Python-set path."""
     norm = _norm_text(text_col)
     toks = F.split(norm, " ")
     n = F.size(toks)
@@ -114,13 +122,7 @@ def _shingle_hashes(text_col) -> "F.Column":
         ),
     )
     shingles = F.array_distinct(F.when(n >= 3, tri).otherwise(F.array(norm)))
-    return F.transform(
-        shingles,
-        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast(
-            "bigint"
-        )
-        % _MH_P,
-    )
+    return F.array_distinct(F.transform(shingles, _shingle_hash60))
 
 
 def minhash_features(
@@ -136,8 +138,13 @@ def minhash_features(
 
     def _affine_min(j: int):
         # helper (not a default-arg lambda): a two-parameter lambda would
-        # be read by pyspark as an (element, index) HOF signature
-        return F.array_min(F.transform(F.col("sh"), lambda h: (_MH_A[j] * h + _MH_B[j]) % _MH_P))
+        # be read by pyspark as an (element, index) HOF signature.  The
+        # 60-bit hash reduces mod P HERE (h % P is the batch
+        # _shingle_hash value), keeping the stored verify hashes at full
+        # width while the banding stays bit-identical to batch.
+        return F.array_min(
+            F.transform(F.col("sh"), lambda h: (_MH_A[j] * (h % _MH_P) + _MH_B[j]) % _MH_P)
+        )
 
     mins = [_affine_min(j) for j in range(n_hashes)]
     band_arr = F.array(
