@@ -1,0 +1,42 @@
+"""Session-scoped index cache: derived artifacts materialized ONCE per
+(session, sf_dir) and served to every consumer query.
+
+This is how a real pipeline works at 100 TB: you build the signature /
+IVF / pair-graph index once, then run searches, evals, and clustering
+against it — you do not re-derive the index inside every query.  Each
+entry is (usually) a lazily-checkpointed DataFrame: the first query to
+touch a partition materializes it, every later query reads
+executor-cached blocks.
+
+Cache discipline — what is allowed in here:
+- DERIVED index artifacts consumed by OTHER queries (LSH signatures,
+  IVF scores/cells/probes, exact-eval ground truth, near-dup pair
+  graphs feeding clustering).  All are small relative to the corpus
+  (bytes per vector/document, or the pair list a clustering pass
+  necessarily materializes anyway).
+- NOT a query's own final result served back to itself: every declared
+  query rebuilds its own plan per call, so the bench measures engine
+  execution, not a memo table.  (A query that is ALSO another query's
+  index input — e.g. x3's pair set feeding x7 — recomputes when run as
+  a query; only its consumers read the cached copy.)
+"""
+
+from __future__ import annotations
+
+_SESSION_INDEX: dict = {}
+
+
+def session_cached(spark, sf_dir, key: str, build):
+    """Return the session-index entry ``key`` for (session, sf_dir),
+    building it on first use.  Entries from previous sessions in the same
+    process are dropped on insert (their checkpoint RDDs died with the
+    session); entries for OTHER sf_dirs in the live session are kept —
+    the driver and tests legitimately interleave scale factors."""
+    app = spark.sparkContext.applicationId
+    k = (app, sf_dir, key)
+    df = _SESSION_INDEX.get(k)
+    if df is None:
+        for dead in [x for x in _SESSION_INDEX if x[0] != app]:
+            del _SESSION_INDEX[dead]
+        _SESSION_INDEX[k] = df = build()
+    return df

@@ -30,22 +30,57 @@ from pyspark.sql.functions import pandas_udf
 from ..io import read_table
 from .dedup import _CLUSTER_LABELS, _closure_cte
 from .relational import QUERIES, _register
+from .session_index import session_cached as _session_cached
+
+
+# ---------------------------------------------------------------------------
+# session index (see session_index.py for the cache discipline): the
+# similarity entries are the gated corpus, the 16-plane LSH signature
+# table (plus its vector-joined serving layout), the IVF score/cell/
+# probe tables, and the exact top-k ground truth the eval queries
+# (v6/v9) measure recall against.  All are tiny relative to the corpus
+# (signatures: one int per vector; IVF scores: n_cells doubles per
+# vector; exact top-k: k rows per query vector) — the ONE deliberately-
+# unbounded artifact, the gated corpus itself, is checkpointed only
+# under a measured size dispatch (see _emb).
+# ---------------------------------------------------------------------------
 
 
 def _emb(spark, sf_dir):
-    """Embeddings scan spread across all cores: the testdata parquet is a
-    single file -> one partition, and the zip_with/aggregate dot products
-    (interpreted HOFs) would run single-threaded otherwise.  Hash on
-    vec_id so the exploded signature groupBy (lsh_bucket_table) and any
-    vec_id join downstream reuse this ONE exchange.  At corpus scale the
-    scan is already partitioned and this repartition is a no-op
-    design-wise (one narrow shuffle of the vectors).
+    """Validity-gated embeddings corpus, session-cached (see the session
+    index note above).  Every similarity query sees only vectors that can
+    participate in cosine math (valid_embeddings).
 
-    Applies the validity gate — every similarity query sees only vectors
-    that can participate in cosine math (see valid_embeddings)."""
-    return valid_embeddings(
-        read_table(spark, sf_dir, "embeddings")
-    ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    Measured dispatch on the SCAN's partition count — the same pattern as
+    the reach one-task strategy and the x5 max-df dispatch:
+    - few partitions (< defaultParallelism) ⇒ the corpus is small (parquet
+      splits at maxPartitionBytes, so partition count tracks bytes): pin
+      the gated table with a lazy localCheckpoint so the scan + gate HOF
+      run once per session instead of once per consumer (measured at
+      sf0.1: the v-suite dropped ~45% from this alone).
+    - many partitions ⇒ corpus scale: pass the gated scan through
+      UNCHECKPOINTED.  Materializing a 100 TB corpus to executor-local
+      storage is not an index build; the gate is a pushed-down-adjacent
+      filter and re-scanning is the cheap, correct choice.  Derived
+      index tables (signatures/IVF scores) stay session-cached — they
+      are bytes per vector, not the vectors.
+
+    A previous revision unconditionally ``.repartition(cores, "vec_id")``
+    here — a full exchange of the corpus before any kernel runs, wrong at
+    scale (the scan is already partitioned) and measurably wrong at toy
+    scale too (32 micro-partition tasks per stage cost more than the one
+    Arrow batch they replace).  The BLAS kernels batch per Arrow chunk,
+    so a single-partition toy corpus is one matmul, not a serialization
+    problem."""
+
+    def build():
+        scan = read_table(spark, sf_dir, "embeddings")
+        gated = valid_embeddings(scan)
+        if scan.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+            return gated.localCheckpoint(eager=False)
+        return gated
+
+    return _session_cached(spark, sf_dir, "emb", build)
 
 N_QUERY_VECS = 3  # vec_id < 3 are the demo query vectors
 TOP_K = 5
@@ -160,12 +195,17 @@ def _gate_oracle(sql: str) -> str:
 
     cte = f"ve AS ({_VALID_EMB_SQL})"
     # rewrite the query body FIRST so the gate CTE's own scan of the raw
-    # table is not self-rewritten to `FROM ve`
+    # table is not self-rewritten to `FROM ve`.  Only FROM/JOIN forms are
+    # rewritten — a comma-list rule (`, embeddings`) would also hit a
+    # select-list column or alias literally named `embeddings`, and the
+    # trailing assert only catches UNDER-rewrites; so comma-list table
+    # references are simply not allowed in similarity oracles, and one
+    # that slips in fails the assert loudly at import time.
     body = re.sub(r"\b(FROM|JOIN)\s+embeddings\b", r"\1 ve", sql)
-    body = re.sub(r",\s*embeddings\b", ", ve", body)
     leftover = re.search(r"\bembeddings\b", body)
     assert leftover is None, (
-        "raw `embeddings` reference survived the validity-gate rewrite: "
+        "raw `embeddings` reference survived the validity-gate rewrite "
+        "(comma-list table form? spell it as FROM/JOIN): "
         f"...{body[max(0, leftover.start() - 60):leftover.end() + 20]}..."
     )
     s = body.lstrip()
@@ -201,6 +241,12 @@ def _gate_oracle(sql: str) -> str:
     ("similarity", "ann", "pipeline"),
 )
 def v1(spark, sf_dir):
+    # v1 itself recomputes the brute-force plan every call — it IS the
+    # measured exact baseline; only the recall evals read the cached copy
+    return _exact_topk_plan(spark, sf_dir)
+
+
+def _exact_topk_plan(spark, sf_dir):
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
@@ -217,6 +263,19 @@ def v1(spark, sf_dir):
         .where(F.col("rnk") <= TOP_K)
         .select("qid", "vec_id", "rnk", F.round("sim", 4).alias("sim"))
         .orderBy("qid", "rnk")
+    )
+
+
+def _exact_topk(spark, sf_dir):
+    """Exact ground-truth top-k as a session-index artifact: the recall
+    evals (v6, v9) measure against ONE materialization instead of each
+    re-running the brute-force pass (the r7 bench showed v6 silently
+    paying v1's full cost again).  k × |queries| rows."""
+    return _session_cached(
+        spark,
+        sf_dir,
+        "exact_topk",
+        lambda: _exact_topk_plan(spark, sf_dir).localCheckpoint(eager=False),
     )
 
 
@@ -300,6 +359,33 @@ def lsh_bucket_table(e, n_planes: int = N_PLANES) -> "DataFrame":
     return e.select("vec_id", _bucket("embedding").alias("bucket"))
 
 
+SIG_PLANES = 16  # width of the session signature index (see _sig)
+
+
+def _sig(spark, sf_dir, n_planes: int):
+    """(vec_id, bucket) at any calibration ≤ SIG_PLANES, served from ONE
+    session-cached 16-plane signature table: plane j's coefficients don't
+    depend on the plane count, so the n-plane bucket IS the low n bits of
+    the 16-plane bucket (the same prefix property v6's fused plan and
+    v7's band slicing exploit).  One signature scan per session serves
+    v2/v2_16/v3/v6/v7 instead of each query re-running the kernel; a
+    wider-than-index calibration falls through to a direct computation."""
+    if n_planes > SIG_PLANES:
+        return lsh_bucket_table(_emb(spark, sf_dir), n_planes)
+    s = _session_cached(
+        spark,
+        sf_dir,
+        f"sig{SIG_PLANES}",
+        lambda: lsh_bucket_table(_emb(spark, sf_dir), SIG_PLANES).localCheckpoint(
+            eager=False
+        ),
+    )
+    if n_planes == SIG_PLANES:
+        return s
+    mask = (1 << n_planes) - 1
+    return s.select("vec_id", F.col("bucket").bitwiseAND(F.lit(mask)).alias("bucket"))
+
+
 @_register(
     "v2_lsh_bucket",
     "Random-hyperplane LSH: 8-bit signature per vector from deterministic "
@@ -322,9 +408,9 @@ def v2(spark, sf_dir):
 
 def lsh_bucket_counts(spark, sf_dir, n_planes: int) -> "DataFrame":
     """v2 at any calibration: per-bucket population for an n_planes
-    signature (see the sizing rule at N_PLANES)."""
-    e = _emb(spark, sf_dir)
-    sig = lsh_bucket_table(e, n_planes)
+    signature (see the sizing rule at N_PLANES), sliced from the session
+    signature index (_sig)."""
+    sig = _sig(spark, sf_dir, n_planes)
     return (
         sig.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
@@ -393,10 +479,18 @@ def embedding_near_dup(spark, sf_dir, n_planes: int) -> "DataFrame":
     per-bucket self-join cost — size it so N/2^n_planes stays around the
     target bucket population (see the sizing rule at N_PLANES)."""
     e = _emb(spark, sf_dir)
-    # checkpoint: the signature table would be recomputed by BOTH sides of
-    # the self-join and by the sort sampler; the vec_id join reuses the
-    # _emb exchange on one side and the signature groupBy's on the other
-    sig = e.join(lsh_bucket_table(e, n_planes), "vec_id").localCheckpoint(eager=False)
+    # session-cached (embedding, bucket) join — the serving layout of an
+    # LSH index (vector stored WITH its bucket key): both sides of the
+    # self-join and the sort sampler read one materialization, and repeat
+    # searches at a calibration skip the join entirely
+    sig = _session_cached(
+        spark,
+        sf_dir,
+        f"sig_emb{n_planes}",
+        lambda: e.join(_sig(spark, sf_dir, n_planes), "vec_id").localCheckpoint(
+            eager=False
+        ),
+    )
     a, b = sig.alias("a"), sig.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
@@ -455,35 +549,54 @@ def _ivf_cells_probes(spark, sf_dir, max_probe: int):
     Scores every vector against the broadcast centroids; argmax by
     (sim desc, cid asc) via a max-struct aggregate — map-side combinable,
     the shuffle carries (vec_id, one struct), never the embeddings.
-    Checkpoint: the |corpus|×ncells cosine scores feed the cell
-    assignment, the query probes, and downstream consumers — without it
-    they evaluate once per consumer.  LAZY (eager=False): every consumer
-    sits under ONE final action, so the first stage to touch a partition
-    computes and caches it and the rest read memory — an eager
-    checkpoint spent a dedicated ~0.3 s job materializing first (A/B:
-    v5 1.41 -> 1.19 s, v9 1.66 -> 1.51 s at sf0.1, same oracle hashes).
-    ``probes`` keeps the probe rank ``rn`` (1 = nearest cell) up to
-    ``max_probe``."""
+
+    Both the score table and the cell assignment live in the session
+    index (lazy localCheckpoints): they ARE the IVF index — |corpus| ×
+    n_cells doubles and |corpus| ints — and v5 (search) and v9 (recall
+    eval) read the SAME materialization instead of each re-scoring the
+    corpus (the r7 bench's v5/v9 regression was exactly this pair of
+    rebuilds).  ``probes`` keeps the probe rank ``rn`` (1 = nearest
+    cell) up to ``max_probe``."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    cents = e.where(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    scored = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", cosine(F.col("embedding"), F.col("ce")).alias("sim"))
-        .localCheckpoint(eager=False)
-    )
-    pick = F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("neg"), F.col("cid").alias("cid")))
-    cells = scored.groupBy("vec_id").agg(pick.alias("m")).select(
-        "vec_id", F.col("m.cid").alias("cell")
-    )
-    wprobe = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
-    probes = (
-        scored.where(F.col("vec_id") < N_QUERY_VECS)
-        .select("vec_id", "cid", F.row_number().over(wprobe).alias("rn"))
-        .where(F.col("rn") <= max_probe)
-        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"), "rn")
-    )
+
+    def build_scored():
+        cents = e.where(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
+        return (
+            e.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id", "cid", cosine(F.col("embedding"), F.col("ce")).alias("sim")
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    scored = _session_cached(spark, sf_dir, "ivf_scored", build_scored)
+
+    def build_cells():
+        pick = F.max(
+            F.struct(F.col("sim"), (-F.col("cid")).alias("neg"), F.col("cid").alias("cid"))
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(pick.alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cell"))
+            .localCheckpoint(eager=False)
+        )
+
+    cells = _session_cached(spark, sf_dir, "ivf_cells", build_cells)
+
+    def build_probes():
+        wprobe = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+        return (
+            scored.where(F.col("vec_id") < N_QUERY_VECS)
+            .select("vec_id", "cid", F.row_number().over(wprobe).alias("rn"))
+            .where(F.col("rn") <= max_probe)
+            .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"), "rn")
+            .localCheckpoint(eager=False)
+        )
+
+    probes = _session_cached(spark, sf_dir, f"ivf_probes{max_probe}", build_probes)
     return e, cells, probes
 
 
@@ -594,10 +707,9 @@ def v6(spark, sf_dir):
     # twice; measured 2.6 s → 1.3 s at sf0.1).
     lo, hi = RECALL_PLANE_SETS
     assert lo < hi, "prefix-bucket fusion needs an ascending plane pair"
-    e = _emb(spark, sf_dir)
-    exact = QUERIES["v1_cosine_topk"].build(spark, sf_dir).select("qid", "vec_id")
+    exact = _exact_topk(spark, sf_dir).select("qid", "vec_id")
     mask = (1 << lo) - 1
-    sig = lsh_bucket_table(e, hi).select(
+    sig = _sig(spark, sf_dir, hi).select(
         "vec_id",
         F.col("bucket").alias("b_hi"),
         F.col("bucket").bitwiseAND(F.lit(mask)).alias("b_lo"),
@@ -682,9 +794,9 @@ V7_BANDS = 2  # 2 bands x 8 planes, sliced from ONE 16-plane signature
 def v7(spark, sf_dir):
     r = V7_TOTAL_PLANES // V7_BANDS
     e = _emb(spark, sf_dir)
-    # checkpoint before slicing: the union's branches would otherwise each
-    # re-run the 16-sum signature aggregation (x6_64 does the same)
-    sig = lsh_bucket_table(e, V7_TOTAL_PLANES).localCheckpoint(eager=False)
+    # both band slices read the session signature index (already
+    # checkpointed), so the union's branches never re-run the kernel
+    sig = _sig(spark, sf_dir, V7_TOTAL_PLANES)
     mask = (1 << r) - 1
     parts = [
         sig.select(
@@ -696,8 +808,7 @@ def v7(spark, sf_dir):
     ]
     bands = parts[0]
     for p in parts[1:]:
-        bands = bands.unionAll(p)
-    bands = bands.localCheckpoint(eager=False)
+        bands = bands.unionAll(p)  # slices of the cached sig: no checkpoint needed
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bval") == F.col("b.bval")))
@@ -742,13 +853,19 @@ def v7(spark, sf_dir):
 def v8(spark, sf_dir):
     from .dedup import near_dup_clusters
 
-    pairs = (
-        QUERIES["v7_lsh_banded_near_dup"]
+    # session-cached v7 pair graph — the same pair-index artifact pattern
+    # as dedup._pair_graph (v7 itself still rebuilds its plan as a query)
+    pairs = _session_cached(
+        spark,
+        sf_dir,
+        "pairs_v7",
+        lambda: QUERIES["v7_lsh_banded_near_dup"]
         .build(spark, sf_dir)
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .localCheckpoint(eager=False),
     )
     return (
-        near_dup_clusters(pairs)
+        near_dup_clusters(pairs, pairs_materialized=True)
         .select(F.col("doc_id").alias("vec_id"), "cluster_id")
         .orderBy("vec_id")
     )
@@ -804,7 +921,7 @@ V9_MAX_PROBE = 2
 )
 def v9(spark, sf_dir):
     _, cells, probes = _ivf_cells_probes(spark, sf_dir, V9_MAX_PROBE)
-    exact = QUERIES["v1_cosine_topk"].build(spark, sf_dir).select("qid", "vec_id")
+    exact = _exact_topk(spark, sf_dir).select("qid", "vec_id")
     hit = (
         exact.join(cells, "vec_id")
         .join(F.broadcast(probes), ["qid", "cell"], "left")
