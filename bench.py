@@ -13,7 +13,10 @@ diagnosable without a judge re-run).
 
 Timing = full execution through a noop sink — every output column is
 materialized (a bare count() would let Catalyst prune unprojected
-columns and under-measure).  A warm-up pass touches every table first
+columns and under-measure).  Per-query numbers are MEDIANS of
+$BENCH_RUNS (default 3) runs on BOTH engines, with [min, max] spreads
+recorded in BENCH_full.json — single-run and best-of-N numbers both
+made round-over-round deltas unreadable against ±2x host-load noise.  A warm-up pass touches every table first
 (parquet footers + JVM JIT) so per-query numbers measure the queries,
 matching BASELINE.md's "warm session" definition.  The DuckDB oracle is
 timed on the same queries by default and the line carries duckdb_total +
@@ -67,29 +70,36 @@ def main() -> None:
         spark.range(par).repartition(par).write.format("noop").mode("overwrite").save()
         floor = min(floor, time.perf_counter() - t0)
 
-    # best-of-N absorbs host-load noise (measured ±2x swings on the same
-    # code within an hour); 3 runs ≈ +45s wall for a much stabler minimum
+    # median-of-N (not best-of-N): host-load noise swings ±2x on the same
+    # code within an hour, and a best-of can't distinguish a real
+    # regression from one lucky run — the r6→r7 per-query comparison was
+    # polluted by exactly that.  The per-query median is the recorded
+    # number; the [min, max] spread goes to BENCH_full.json so a
+    # round-over-round delta can be read against the run's own noise band.
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     # Per-query error isolation: one broken query must never lose the whole
     # round's perf recording (r4 lost BENCH entirely to a single exception).
     # Failures record null and the line carries bench_partial + the errors.
     timings: dict[str, float | None] = {}
+    spreads: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name, q in QUERIES.items():
-        best = float("inf")
+        samples: list[float] = []
         # try/except PER RUN: a query that succeeds on run 1 but flakes on a
-        # later run keeps its valid best-so-far timing instead of recording
-        # null (the error is still noted for the record)
+        # later run keeps its valid timings instead of recording null (the
+        # error is still noted for the record)
         for _ in range(runs):
             try:
                 t0 = time.perf_counter()
                 df = q.build(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
+                samples.append(time.perf_counter() - t0)
             except Exception as e:  # noqa: BLE001 — record and keep benching
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
                 print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
-        timings[name] = round(best, 4) if best != float("inf") else None
+        timings[name] = round(_median(samples), 4) if samples else None
+        if samples:
+            spreads[name] = [round(min(samples), 4), round(max(samples), 4)]
 
     ok = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(ok.values()), 4)
@@ -98,6 +108,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spreads,
         "sf": sf,
         "action_floor_s": round(floor, 4),
     }
@@ -124,17 +135,29 @@ def main() -> None:
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
         duck: dict[str, float] = {}
+        duck_spreads: dict[str, list[float]] = {}
         for name, q in QUERIES.items():
             if q.oracle is None:
                 continue
+            # median-of-N on the oracle side too: the recorded ratio's
+            # denominator was single-run, and DuckDB's run-to-run noise at
+            # sf0.1 measured ±20-40% (the r7 history note)
+            d_samples: list[float] = []
             try:
-                t0 = time.perf_counter()
-                con.execute(q.oracle).fetchall()
-                duck[name] = round(time.perf_counter() - t0, 4)
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    con.execute(q.oracle).fetchall()
+                    d_samples.append(time.perf_counter() - t0)
+                duck[name] = round(_median(d_samples), 4)
+                duck_spreads[name] = [
+                    round(min(d_samples), 4),
+                    round(max(d_samples), 4),
+                ]
             except Exception as e:  # noqa: BLE001
                 errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:300]
                 out["bench_partial"] = True
                 out["bench_errors"] = errors
+        out["duckdb_queries_spread"] = duck_spreads
         # ratio over queries where BOTH sides succeeded, so a one-sided
         # failure can't skew the numerator/denominator mismatch
         both = [k for k in duck if timings.get(k) is not None]
@@ -148,6 +171,12 @@ def main() -> None:
     # stdout → a compact line the driver's tail buffer can actually parse.
     _write_full_record(out)
     print(json.dumps(_compact_line(out)))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def _compact_line(out: dict) -> dict:
@@ -193,6 +222,11 @@ def _write_full_record(out: dict, path: str | None = None) -> None:
             # whole suite has run — the r4 losing-the-record failure mode
             raise ValueError("BENCH_full.json is not a JSON object")
         history = prev.get("history", [])
+        if not isinstance(history, list):
+            # a dict/str under the 'history' key would raise on .append
+            # AFTER the whole suite has run — the exact lose-the-record
+            # failure mode this function defends against
+            history = []
         prev.pop("history", None)
         # previous latest run joins the history (headline numbers only —
         # per-query maps are only kept for the latest run)

@@ -477,7 +477,16 @@ def embedding_near_dup(spark, sf_dir, n_planes: int) -> "DataFrame":
     """v3 at any calibration: same-bucket candidates re-ranked by exact
     cosine.  n_planes controls bucket count (2^n_planes) and therefore the
     per-bucket self-join cost — size it so N/2^n_planes stays around the
-    target bucket population (see the sizing rule at N_PLANES)."""
+    target bucket population (see the sizing rule at N_PLANES).
+
+    sf0.1 floor decomposition (r8, warm session index, best-of-3 per
+    stage): bucket self-join alone 0.14 s, + Arrow cosine verify 0.33 s,
+    + threshold filter 0.33 s, + presentational ORDER BY 0.58 s — four
+    scheduled stages on the measured 0.09 s/action local-mode floor, so
+    ≥0.4 s of the total is scheduling, not plan (the 11.5k-candidate
+    kernel itself is ~0.2 s).  The in-process oracle runs the same query
+    in 0.25 s; the plan — per-bucket join, one kernel eval, no corpus
+    product — is the 100×-scale shape."""
     e = _emb(spark, sf_dir)
     # session-cached (embedding, bucket) join — the serving layout of an
     # LSH index (vector stored WITH its bucket key): both sides of the
@@ -641,6 +650,14 @@ def _ivf_cells_probes(spark, sf_dir, max_probe: int):
     ("similarity", "ann", "ivf", "pipeline"),
 )
 def v5(spark, sf_dir):
+    # sf0.1 floor decomposition (r8, warm session index, best-of-3 per
+    # stage): probe→cell candidate join alone 0.13 s, + corpus/query
+    # joins + Arrow cosine 0.38 s, + rank window + ORDER BY 0.53 s — the
+    # 1.5k-candidate kernel is milliseconds; the remainder is ~5 stages
+    # on the 0.09 s/action scheduling floor.  The 0.07 s in-process
+    # oracle has no scheduler to pay; the plan (broadcast probes/
+    # centroids, cell-pruned candidates, no corpus product — plan-gated)
+    # is the shape that wins at 100×.
     e, cells, probes = _ivf_cells_probes(spark, sf_dir, N_PROBE)
     probes = probes.drop("rn")
     qv = e.where(F.col("vec_id") < N_QUERY_VECS).select(

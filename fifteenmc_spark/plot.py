@@ -182,9 +182,71 @@ def write_path_svg(
     return path
 
 
-def write_grid_svg(tiles: DataFrame, path: str, width: int = 900, height: int = 800) -> str:
+def geojson_outline_rings(spark, path: str) -> DataFrame:
+    """Flatten a GeoJSON FeatureCollection's Polygon/MultiPolygon
+    boundaries to (ring_id, seq, lon, lat) rows — the country-outline
+    layer input of ``write_grid_svg`` (reference: `grid_creation.py:157`
+    reads `data/poland.geojson` and draws `country.boundary` under the
+    grid).  Loads through the S8 ``read_json_records`` source; the
+    inferred nesting depth of `coordinates` distinguishes Polygon
+    (rings→points, depth 3) from MultiPolygon (polygons→rings→points,
+    depth 4).  All flattening is posexplode — distributed, ordered by
+    the explicit ring/seq indices, never a driver-side JSON walk."""
+    from pyspark.sql.types import ArrayType
+
+    from .io import read_json_records
+
+    geom = (
+        read_json_records(spark, path)
+        .select(F.posexplode("features").alias("fid", "f"))
+        .select("fid", F.col("f.geometry.coordinates").alias("coords"))
+    )
+    depth, dt = 0, geom.schema["coords"].dataType
+    while isinstance(dt, ArrayType):
+        depth, dt = depth + 1, dt.elementType
+    if depth == 4:  # MultiPolygon
+        rings = geom.select(
+            "fid", F.posexplode("coords").alias("pi", "polys")
+        ).select("fid", "pi", F.posexplode("polys").alias("ri", "ring"))
+    elif depth == 3:  # Polygon
+        rings = geom.select(
+            "fid", F.lit(0).alias("pi"), F.posexplode("coords").alias("ri", "ring")
+        )
+    else:
+        raise ValueError(
+            f"geojson_outline_rings: coordinates nesting depth {depth} is "
+            "neither Polygon (3) nor MultiPolygon (4)"
+        )
+    return rings.select(
+        F.concat_ws("-", "fid", "pi", "ri").alias("ring_id"),
+        F.posexplode("ring").alias("seq", "pt"),
+    ).select(
+        "ring_id",
+        "seq",
+        F.col("pt")[0].cast("double").alias("lon"),
+        F.col("pt")[1].cast("double").alias("lat"),
+    )
+
+
+def write_grid_svg(
+    tiles: DataFrame,
+    path: str,
+    width: int = 900,
+    height: int = 800,
+    outline: DataFrame | None = None,
+) -> str:
     """Grid overview (K7 twin of `plot_overview`): tile rectangles with
-    dashed buffer halos and grid_id labels at centroids."""
+    dashed buffer halos and grid_id labels at centroids, optionally over a
+    country-outline layer (``outline`` = (ring_id, seq, lon, lat) rows,
+    see ``geojson_outline_rings``) exactly as the reference draws its
+    grid over `country.boundary` (grid_creation.py:145-229).  The outline
+    collect is bounded by nature — a country boundary is thousands of
+    points."""
+    o: list = []
+    if outline is not None:
+        o = outline.select("ring_id", "seq", "lon", "lat").orderBy(
+            "ring_id", "seq"
+        ).collect()
     t = tiles.select(
         "grid_id",
         F.col("tile_bbox.minlon").alias("t0"),
@@ -201,10 +263,10 @@ def write_grid_svg(tiles: DataFrame, path: str, width: int = 900, height: int = 
     if not t:
         raise ValueError("write_grid_svg: empty tile table")
     to_px = _scaler(
-        min(r["b0"] for r in t),
-        max(r["b2"] for r in t),
-        min(r["b1"] for r in t),
-        max(r["b3"] for r in t),
+        min([r["b0"] for r in t] + [r["lon"] for r in o]),
+        max([r["b2"] for r in t] + [r["lon"] for r in o]),
+        min([r["b1"] for r in t] + [r["lat"] for r in o]),
+        max([r["b3"] for r in t] + [r["lat"] for r in o]),
         width,
         height,
         pad=20,
@@ -214,6 +276,20 @@ def write_grid_svg(tiles: DataFrame, path: str, width: int = 900, height: int = 
         f'viewBox="0 0 {width} {height}">',
         f'<rect width="{width}" height="{height}" fill="white"/>',
     ]
+    # country outline UNDER the grid, one polyline per ring (the rings
+    # arrive closed — GeoJSON repeats the first point — so a polyline
+    # draws the full boundary loop)
+    rings: dict[str, list] = {}
+    for r in o:
+        rings.setdefault(r["ring_id"], []).append((r["lon"], r["lat"]))
+    for ring_pts in rings.values():
+        pts = " ".join(
+            f"{x:.1f},{y:.1f}" for x, y in (to_px(lo, la) for lo, la in ring_pts)
+        )
+        parts.append(
+            f'<polyline points="{pts}" fill="none" stroke="#333333" '
+            f'stroke-width="1" class="outline"/>'
+        )
 
     def rect(x0, y0, x1, y1, style):
         (px0, py1), (px1, py0) = to_px(x0, y0), to_px(x1, y1)

@@ -411,6 +411,66 @@ def pbf_graph_inputs(spark: SparkSession, path: str) -> tuple[DataFrame, DataFra
     return nodes_raw, edges_raw
 
 
+# ---------------------------------------------------------------------------
+# Python DataSource registration: spark.read.format("pbf").load(path)
+# ---------------------------------------------------------------------------
+try:  # pyspark >= 4.0
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class PbfDataSource(DataSource):
+        """S1 behind the DataSource API (SURVEY §7.3's last "optional
+        later"): ``spark.read.format("pbf").load(path)`` scans the raw
+        element stream — one InputPartition per OSMData blob, indexed
+        driver-side by header-only reads (index_blobs) and decoded
+        executor-side (_decode_block), the same split/scan layering a
+        parquet source uses.  Yields the _RAW_SCHEMA rows of
+        read_pbf_raw; geometry assembly stays a PLAN on top
+        (read_pbf_elements / pbf_graph_inputs), exactly as joins do not
+        live inside a file source."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "pbf"
+
+        def schema(self) -> str:
+            return _RAW_SCHEMA
+
+        def reader(self, schema):
+            return _PbfReader(self.options)
+
+    class _PbfReader(DataSourceReader):
+        def __init__(self, options):
+            path = options.get("path")
+            if not path:
+                raise ValueError("pbf source: .load(path) is required")
+            self._path = path
+
+        def partitions(self):
+            blobs = [
+                InputPartition((self._path, off, size))
+                for btype, off, size in index_blobs(self._path)
+                if btype == "OSMData"
+            ]
+            if not blobs:
+                raise ValueError(f"no OSMData blobs in {self._path}")
+            return blobs
+
+        def read(self, partition):
+            path, off, size = partition.value
+            yield from _decode_block(_blob_block(path, off, size))
+
+except ImportError:  # pragma: no cover - pyspark < 4 lacks the API
+    PbfDataSource = None
+
+
+def register_pbf_source(spark: SparkSession) -> None:
+    """Register the "pbf" format on a session (idempotent — re-registering
+    replaces the entry)."""
+    if PbfDataSource is None:  # pragma: no cover
+        raise RuntimeError("Python DataSource API requires pyspark >= 4.0")
+    spark.dataSource.register(PbfDataSource)
+
+
 def ingest_pbf(spark: SparkSession, pbf_path: str, out_dir: str) -> None:
     """The S1 utility the reference lacks a Spark twin for: materialize the
     elements contract as parquet, partitioned by elem_type so POI scans

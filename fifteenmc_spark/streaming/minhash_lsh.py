@@ -177,12 +177,19 @@ def _match_factory(threshold: float, ttl_ms: int):
         doc_ids, sets = list(doc_ids), [set(s) for s in sets]
         seen = set(doc_ids)
         out_doc, out_match, out_jac = [], [], []
+        # Concatenate the Arrow chunks FIRST, then sort once over the whole
+        # micro-batch: a per-chunk sort only orders within each chunk, so a
+        # bucket whose batch spans chunks could emit doc_id < matched_id —
+        # breaking the "matched_id is the earlier document" orientation the
+        # docstring promises (and which only distinct_lsh_pairs'
+        # canonicalization happened to mask).
+        rows: list[tuple] = []
         for pdf in pdfs:
+            rows.extend(zip(pdf["doc_id"].tolist(), pdf["sh"].tolist()))
+        if rows:
             # doc_id order within the batch: deterministic, and an
             # intra-batch pair is flagged exactly once (later vs earlier)
-            for doc_id, sh in sorted(
-                zip(pdf["doc_id"].tolist(), pdf["sh"].tolist()), key=lambda t: t[0]
-            ):
+            for doc_id, sh in sorted(rows, key=lambda t: t[0]):
                 if doc_id in seen:  # re-delivery: already admitted
                     continue
                 # plain Python ints: the sh cells arrive as numpy arrays,

@@ -206,3 +206,27 @@ def test_pbf_random_roundtrip(spark, tmp_path):
         for (glon, glat), ref in zip(g, refs):
             assert abs(glon - coords[ref][0]) < 1e-6
             assert abs(glat - coords[ref][1]) < 1e-6
+
+
+def test_pbf_datasource_reader_api(spark, pbf_path):
+    """S1 through the DataSource API: spark.read.format("pbf").load(path)
+    must yield exactly read_pbf_raw's rows (same schema, same elements,
+    same tag/ref payloads) — one InputPartition per OSMData blob, decoded
+    executor-side."""
+    pbf.register_pbf_source(spark)
+    via_api = spark.read.format("pbf").load(pbf_path)
+    via_fn = pbf.read_pbf_raw(spark, pbf_path)
+    assert via_api.schema == via_fn.schema
+
+    def key(df):
+        rows = df.select("elem_type", "elem_id", "tag_keys", "tag_vals", "refs").collect()
+        return sorted(
+            (r["elem_type"], r["elem_id"], tuple(r["tag_keys"] or ()),
+             tuple(r["tag_vals"] or ()), tuple(r["refs"] or ()))
+            for r in rows
+        )
+
+    assert key(via_api) == key(via_fn)
+    # scan parallelism comes from the blob index, not a single-task read
+    n_parts = via_api.rdd.getNumPartitions()
+    assert n_parts >= 1

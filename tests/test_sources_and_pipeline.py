@@ -310,6 +310,74 @@ def test_plot_sinks_svg(spark, tmp_path):
     assert gtags.count("text") == n_tiles
 
 
+def test_plot_grid_svg_country_outline(spark, tmp_path):
+    """K7 grid overview with the country-outline layer (reference
+    grid_creation.py:157,145-229 draws the grid over the GeoJSON
+    boundary): a MultiPolygon country file flows through the S8 JSON
+    source → geojson_outline_rings → one outline polyline per ring,
+    drawn alongside the tile/buffer rects, and outline points extend the
+    drawing extent."""
+    import json as _json
+    import xml.etree.ElementTree as ET
+
+    from fifteenmc_spark import plot as plot_sink
+    from fifteenmc_spark.plans import grid
+
+    # mainland ring + one island ring: the MultiPolygon (depth-4) path
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": "country"},
+                "geometry": {
+                    "type": "MultiPolygon",
+                    "coordinates": [
+                        [[[18.0, 54.0], [19.2, 54.0], [19.2, 54.8], [18.0, 54.8], [18.0, 54.0]]],
+                        [[[17.6, 54.1], [17.8, 54.1], [17.8, 54.3], [17.6, 54.1]]],
+                    ],
+                },
+            }
+        ],
+    }
+    p = tmp_path / "country.geojson"
+    p.write_text(_json.dumps(gj))
+    rings = plot_sink.geojson_outline_rings(spark, str(p))
+    ring_rows = rings.collect()
+    assert {r["ring_id"] for r in ring_rows} == {"0-0-0", "0-1-0"}
+    assert len(ring_rows) == 9  # 5 + 4 closed-ring points
+
+    tiles = grid.generate_tiles(spark, (18.4, 54.2, 18.8, 54.5), tile_km=10.0, buffer_km=2.0)
+    gsvg = plot_sink.write_grid_svg(tiles, str(tmp_path / "grid_outline.svg"), outline=rings)
+    groot = ET.parse(gsvg).getroot()
+    outlines = [
+        el
+        for el in groot.iter()
+        if el.tag.rsplit("}", 1)[-1] == "polyline" and el.get("class") == "outline"
+    ]
+    assert len(outlines) == 2  # one polyline per ring, under the grid
+    n_tiles = tiles.count()
+    gtags = [el.tag.rsplit("}", 1)[-1] for el in groot.iter()]
+    assert gtags.count("rect") == 2 * n_tiles + 1  # grid layers still drawn
+
+    # Polygon (depth-3) path: single ring
+    gj1 = dict(gj)
+    gj1["features"] = [
+        {
+            "type": "Feature",
+            "properties": {"name": "simple"},
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [[[18.0, 54.0], [19.0, 54.0], [18.5, 54.5], [18.0, 54.0]]],
+            },
+        }
+    ]
+    p1 = tmp_path / "simple.geojson"
+    p1.write_text(_json.dumps(gj1))
+    rings1 = plot_sink.geojson_outline_rings(spark, str(p1))
+    assert rings1.count() == 4 and rings1.select("ring_id").distinct().count() == 1
+
+
 def test_plot_path_overlay_svg(spark, tmp_path):
     """K7 path-overlay twin (reference test_path.py:336-364): route
     polyline over the local network halo, start + POI markers, and
