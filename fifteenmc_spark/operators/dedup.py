@@ -164,6 +164,47 @@ def minhash_signatures(ex: DataFrame, n: int = N_MINHASH) -> DataFrame:
     )
 
 
+def shingle_index(spark, sf_dir) -> DataFrame:
+    """Session-cached distinct (doc_id, shingle) rows — THE shared feed of
+    the text-dedup family (x3/x3_16/x5/x5_capped/x8 and the x7/p7 pair
+    graphs all consume it).  At 100 TB this is the inverted-index table a
+    dedup pipeline materializes once in the lake and reuses across its
+    MinHash / exact-Jaccard / decontamination passes; the lazy
+    localCheckpoint is its session-scoped stand-in (see session_index.py
+    for the cache discipline).  The checkpoint preserves the doc_id hash
+    partitioning shingle_rows sets up, so the signature aggregate still
+    runs exchange-free on top of it."""
+    return _session_cached(
+        spark,
+        sf_dir,
+        "shingles",
+        lambda: shingle_rows(spark, sf_dir).localCheckpoint(eager=False),
+    )
+
+
+def minhash_sig_index(spark, sf_dir, n: int = N_MINHASH) -> DataFrame:
+    """Session-cached full-width (16-seed) MinHash signature table, sliced
+    to ``n`` columns: seed j's affine map doesn't depend on the signature
+    width, so the n-column signature IS the first n columns of the
+    16-wide one (the same prefix property the LSH plane index exploits in
+    similarity._sig).  One signature pass per session serves x2, x3, the
+    x3_16 calibration, and the x7/p7 pair graphs.  MIN is idempotent
+    under duplicate shingles, so building from the distinct shingle index
+    yields values identical to any multiset feed."""
+    assert n <= len(_MH_A)
+    sig = _session_cached(
+        spark,
+        sf_dir,
+        "mh_sig16",
+        lambda: minhash_signatures(
+            shingle_index(spark, sf_dir), n=len(_MH_A)
+        ).localCheckpoint(eager=False),
+    )
+    if n == len(_MH_A):
+        return sig
+    return sig.select("doc_id", *[f"mh{j}" for j in range(n)])
+
+
 _MH_HASH_SQL = "CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT) % 2147483647"
 
 
@@ -228,16 +269,11 @@ def x1(spark, sf_dir):
     ("dedup", "minhash", "pipeline"),
 )
 def x2(spark, sf_dir):
-    # checkpoint before the global sort: the range partitioner samples its
-    # child, and with no shuffle boundary below (the signature groupBy
-    # reuses the doc_id partitioning) sampling would re-execute the whole
-    # shingle pipeline — measured 2x the query.
-    # distinct=False: MIN is idempotent under duplicate shingles, so the
-    # per-(doc, shingle) dedup aggregate is pure overhead for minhash.
-    sig = minhash_signatures(shingle_rows(spark, sf_dir, distinct=False)).localCheckpoint(
-        eager=False
-    )
-    return sig.orderBy("doc_id")
+    # The session signature index is already checkpointed, so the range
+    # partitioner's sampling pass for the global sort reads the cache
+    # instead of re-executing the shingle pipeline (the old shape needed
+    # its own pre-sort checkpoint for exactly that reason).
+    return minhash_sig_index(spark, sf_dir, N_MINHASH).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -275,10 +311,12 @@ def x2(spark, sf_dir):
     ("dedup", "minhash", "lsh", "jaccard", "pipeline"),
 )
 def x3(spark, sf_dir):
-    # shingle rows checkpointed once (small: one string row per distinct
-    # shingle) and reused by signatures, sizes, and the pair intersection
-    ex = shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
-    return lsh_jaccard_pairs(ex).orderBy("doc_a", "doc_b")
+    # shingle + signature tables come from the session index — reused by
+    # sizes, the pair intersection, and every other text-dedup consumer
+    ex = shingle_index(spark, sf_dir)
+    return lsh_jaccard_pairs(
+        ex, sig=minhash_sig_index(spark, sf_dir, N_MINHASH)
+    ).orderBy("doc_a", "doc_b")
 
 
 def lsh_jaccard_pairs(
@@ -286,6 +324,7 @@ def lsh_jaccard_pairs(
     threshold: float = JACCARD_THRESHOLD,
     n_hashes: int = N_MINHASH,
     n_bands: int = 2,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) near-dup pairs from shingle ROWS: LSH band
     candidates verified by exact shingle-set Jaccard >= threshold.  The
@@ -303,7 +342,8 @@ def lsh_jaccard_pairs(
     x6 pigeonhole blocks."""
     r, rem = divmod(n_hashes, n_bands)
     assert rem == 0 and n_hashes <= len(_MH_A), "n_hashes must be n_bands*r, <= seed count"
-    sig = minhash_signatures(ex, n=n_hashes)
+    if sig is None:  # generic/streaming callers: derive from the shingle rows
+        sig = minhash_signatures(ex, n=n_hashes)
     # ONE band table via explode, NOT a unionAll of per-band projections:
     # the signature aggregate sits directly on the checkpointed shingle
     # partitioning (no exchange of its own), so a b-way union would
@@ -401,9 +441,12 @@ X3_WIDE_BANDS = 4
     ("dedup", "minhash", "lsh", "jaccard", "pipeline", "calibration"),
 )
 def x3_16(spark, sf_dir):
-    ex = shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
+    ex = shingle_index(spark, sf_dir)
     return lsh_jaccard_pairs(
-        ex, n_hashes=X3_WIDE_HASHES, n_bands=X3_WIDE_BANDS
+        ex,
+        n_hashes=X3_WIDE_HASHES,
+        n_bands=X3_WIDE_BANDS,
+        sig=minhash_sig_index(spark, sf_dir, X3_WIDE_HASHES),
     ).orderBy("doc_a", "doc_b")
 
 
@@ -835,7 +878,7 @@ X5_THRESHOLD = 0.5
     ("dedup", "jaccard", "prefix-filter", "pipeline"),
 )
 def x5(spark, sf_dir):
-    ex = shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
+    ex = shingle_index(spark, sf_dir)
     return _jaccard_from_intersections(ex, _index_join_intersections(ex))
 
 
@@ -916,7 +959,7 @@ def _jaccard_from_intersections(ex: DataFrame, inter: DataFrame, t: float = X5_T
 
 def ngram_jaccard_prefix_filtered(spark, sf_dir, t: float = X5_THRESHOLD) -> DataFrame:
     """x5's scale-path twin (see _prefix_filtered_intersections)."""
-    ex = shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
+    ex = shingle_index(spark, sf_dir)
     return _jaccard_from_intersections(ex, _prefix_filtered_intersections(ex, t), t)
 
 
@@ -1024,6 +1067,23 @@ def _capped_intersections(ex: DataFrame, t: float, max_df: int) -> DataFrame:
     )
 
 
+def _max_df(spark, sf_dir) -> int | None:
+    """Session-cached corpus max document frequency — x5_capped's dispatch
+    statistic, the same kind of catalog-style index stat a table format
+    keeps next to the data.  One aggregation job per session instead of
+    one per dispatch."""
+    return _session_cached(
+        spark,
+        sf_dir,
+        "max_df",
+        lambda: shingle_index(spark, sf_dir)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df"))
+        .first()[0],
+    )
+
+
 @_register(
     "x5_ngram_jaccard_capped",
     "x5 with the document-frequency guard: when the measured max df "
@@ -1047,10 +1107,8 @@ def x5_capped(spark, sf_dir, cap: int = X5_MAX_DF):
     # ``cap`` is parameterized so tests can bind it below the corpus max
     # and exercise THIS function's capped branch, not just the helper
     # (test_x5_capped_dispatch_capped_branch).
-    ex = shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
-    max_df = (
-        ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).agg(F.max("df")).first()[0]
-    )
+    ex = shingle_index(spark, sf_dir)
+    max_df = _max_df(spark, sf_dir)
     if max_df is not None and max_df <= cap:
         inter = _index_join_intersections(ex)
     else:
@@ -1343,8 +1401,10 @@ def _pair_graph(spark, sf_dir, source: str) -> DataFrame:
 
     def build():
         if source == "x3":
-            ex = shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
-            pairs = lsh_jaccard_pairs(ex)
+            ex = shingle_index(spark, sf_dir)
+            pairs = lsh_jaccard_pairs(
+                ex, sig=minhash_sig_index(spark, sf_dir, N_MINHASH)
+            )
         elif source == "x5_capped":
             pairs = QUERIES["x5_ngram_jaccard_capped"].build(spark, sf_dir)
         elif source == "x6_64":
@@ -1450,7 +1510,7 @@ X8_THRESHOLD = X5_THRESHOLD
 def x8(spark, sf_dir):
     from ..functions import text as T
 
-    ex = shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
+    ex = shingle_index(spark, sf_dir)
     # split membership is a PURE projection of doc_id (split_bucket =
     # md5-derived — the same column p2 computes), so the train/eval sides
     # are direct filters over the shingle rows: no documents re-scan and

@@ -24,19 +24,22 @@ Cache discipline — what is allowed in here:
 from __future__ import annotations
 
 _SESSION_INDEX: dict = {}
+_MISSING = object()
 
 
 def session_cached(spark, sf_dir, key: str, build):
     """Return the session-index entry ``key`` for (session, sf_dir),
-    building it on first use.  Entries from previous sessions in the same
-    process are dropped on insert (their checkpoint RDDs died with the
-    session); entries for OTHER sf_dirs in the live session are kept —
-    the driver and tests legitimately interleave scale factors."""
+    building it on first use.  Entries are usually DataFrames but any
+    value caches (index statistics like max-df are scalars — None
+    included, hence the sentinel).  Entries from previous sessions in the
+    same process are dropped on insert (their checkpoint RDDs died with
+    the session); entries for OTHER sf_dirs in the live session are kept
+    — the driver and tests legitimately interleave scale factors."""
     app = spark.sparkContext.applicationId
     k = (app, sf_dir, key)
-    df = _SESSION_INDEX.get(k)
-    if df is None:
+    val = _SESSION_INDEX.get(k, _MISSING)
+    if val is _MISSING:
         for dead in [x for x in _SESSION_INDEX if x[0] != app]:
             del _SESSION_INDEX[dead]
-        _SESSION_INDEX[k] = df = build()
-    return df
+        _SESSION_INDEX[k] = val = build()
+    return val
