@@ -519,7 +519,31 @@ def simhash_codes(spark, sf_dir) -> DataFrame:
     ("dedup", "simhash", "pipeline"),
 )
 def x4(spark, sf_dir):
-    return simhash_codes(spark, sf_dir).orderBy("doc_id")
+    return simhash_code_index(spark, sf_dir).orderBy("doc_id")
+
+
+def simhash_code_index(spark, sf_dir, wide: bool = False) -> DataFrame:
+    """Session-cached SimHash code tables (16-bit demo / 64-bit corpus
+    calibration) — the signature artifacts the Hamming joins (x6/x6_64),
+    the x7_hamming pair graph, and the signature queries themselves
+    consume.  One code pass per width per session; one BIGINT per doc,
+    trivially cacheable.  The two widths are separate artifacts: the
+    16-bit code is per-hex-digit parities, the 64-bit code is md5-prefix
+    bits — no prefix relation between them (unlike the MinHash/LSH seed
+    families)."""
+    if wide:
+        return _session_cached(
+            spark,
+            sf_dir,
+            "simhash64",
+            lambda: x4_64_signatures(spark, sf_dir).localCheckpoint(eager=False),
+        )
+    return _session_cached(
+        spark,
+        sf_dir,
+        "simhash16",
+        lambda: simhash_codes(spark, sf_dir).localCheckpoint(eager=False),
+    )
 
 
 X6_HAMMING_K = 1  # block count = k+1; 2 blocks of 8 bits over the 16-bit code
@@ -553,9 +577,9 @@ X6_HAMMING_K = 1  # block count = k+1; 2 blocks of 8 bits over the 16-bit code
     ("dedup", "simhash", "hamming", "pipeline"),
 )
 def x6(spark, sf_dir):
-    # one small row per doc; checkpoint so the two block projections and the
-    # self-join don't recompute the token pipeline
-    sig = simhash_codes(spark, sf_dir).localCheckpoint(eager=False)
+    # one small row per doc, served by the session code index — the two
+    # block projections and the self-join read one materialization
+    sig = simhash_code_index(spark, sf_dir)
     blocks = sig.select(
         "doc_id", "simhash", F.lit(0).alias("blk"), F.col("simhash").bitwiseAND(F.lit(255)).alias("bval")
     ).unionAll(
@@ -777,7 +801,9 @@ def x4_64(spark, sf_dir):
     # plan scans the checkpoint RDD and carries no ArrowEvalPython node)
     # instead of a property of current costs, and at corpus scale a
     # second full kernel pass over 100 TB is never the right trade.
-    return x4_64_signatures(spark, sf_dir).localCheckpoint(eager=False).orderBy("doc_id")
+    # (The checkpoint now lives in the session code index, shared with
+    # x6_64 and the x7_hamming pair graph.)
+    return simhash_code_index(spark, sf_dir, wide=True).orderBy("doc_id")
 
 
 @_register(
@@ -807,9 +833,10 @@ def x4_64(spark, sf_dir):
 )
 def x6_64(spark, sf_dir):
     # ONE definition of the 64-bit signature plan (scan-side kernel,
-    # NULL-drop at the scan, spread repartition): x4_64_signatures — so
-    # the two 64-bit queries and their plan gates can never diverge
-    sig = x4_64_signatures(spark, sf_dir).localCheckpoint(eager=False)
+    # NULL-drop at the scan, spread repartition): x4_64_signatures via
+    # the session code index — so the two 64-bit queries and their plan
+    # gates can never diverge
+    sig = simhash_code_index(spark, sf_dir, wide=True)
     block_bits = SIMHASH_WIDE_BITS // (X6_64_HAMMING_K + 1)
     mask = (1 << block_bits) - 1
     parts = [

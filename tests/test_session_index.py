@@ -1,0 +1,76 @@
+"""Session-index contract: identity per (session, sf_dir, key), eviction
+of dead sessions, and the prefix-slice equivalences the shared signature
+tables rely on (the oracle suite pins every consumer's END result; these
+pin the sharing mechanism itself, so a cache bug can't hide behind a
+query that happens not to exercise it)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fifteenmc_spark.operators import session_index as SI
+from fifteenmc_spark.operators.dedup import (
+    N_MINHASH,
+    minhash_sig_index,
+    minhash_signatures,
+    shingle_rows,
+)
+from fifteenmc_spark.operators.similarity import _emb, _sig, lsh_bucket_table
+
+
+def test_session_cached_identity_eviction_and_none(spark, sf_small):
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(3)
+
+    a = SI.session_cached(spark, sf_small, "t_identity", build)
+    b = SI.session_cached(spark, sf_small, "t_identity", build)
+    assert a is b and calls["n"] == 1
+    # distinct sf_dir → distinct entry
+    c = SI.session_cached(spark, sf_small + "/other", "t_identity", build)
+    assert c is not a and calls["n"] == 2
+    # None is a legitimate cached value (index stats), not a rebuild signal
+    none_calls = {"n": 0}
+
+    def build_none():
+        none_calls["n"] += 1
+        return None
+
+    assert SI.session_cached(spark, sf_small, "t_none", build_none) is None
+    assert SI.session_cached(spark, sf_small, "t_none", build_none) is None
+    assert none_calls["n"] == 1
+    # entries from a dead session are dropped on the next live insert
+    app = spark.sparkContext.applicationId
+    SI._SESSION_INDEX[("dead-app", sf_small, "stale")] = spark.range(1)
+    SI.session_cached(spark, sf_small, "t_evict", build)
+    assert ("dead-app", sf_small, "stale") not in SI._SESSION_INDEX
+    assert (app, sf_small, "t_identity") in SI._SESSION_INDEX
+
+
+def test_minhash_sig_index_slice_matches_direct(spark, sf_small):
+    # seed j's affine map is width-independent, so the n-column slice of
+    # the cached 16-wide table must equal a direct n-wide computation
+    sliced = {
+        r["doc_id"]: tuple(r[f"mh{j}"] for j in range(N_MINHASH))
+        for r in minhash_sig_index(spark, sf_small, N_MINHASH).collect()
+    }
+    direct = {
+        r["doc_id"]: tuple(r[f"mh{j}"] for j in range(N_MINHASH))
+        for r in minhash_signatures(
+            shingle_rows(spark, sf_small), n=N_MINHASH
+        ).collect()
+    }
+    assert sliced == direct and len(sliced) > 0
+
+
+def test_lsh_sig_slice_matches_direct(spark, sf_small):
+    # low-n-bits slice of the 16-plane signature == direct n-plane buckets
+    e = _emb(spark, sf_small)
+    sliced = {r["vec_id"]: r["bucket"] for r in _sig(spark, sf_small, 8).collect()}
+    direct = {r["vec_id"]: r["bucket"] for r in lsh_bucket_table(e, 8).collect()}
+    assert sliced == direct and len(sliced) > 0
+    # ...and the wider-than-index calibration falls through to a direct build
+    wide = _sig(spark, sf_small, 20)
+    assert wide.select(F.max("bucket")).first()[0] < (1 << 20)
