@@ -141,22 +141,26 @@ def main() -> None:
                 continue
             # median-of-N on the oracle side too: the recorded ratio's
             # denominator was single-run, and DuckDB's run-to-run noise at
-            # sf0.1 measured ±20-40% (the r7 history note)
+            # sf0.1 measured ±20-40% (the r7 history note).  try/except
+            # PER RUN, matching the Spark loop: a flake on run 3 keeps the
+            # valid samples already collected instead of dropping the
+            # query from the ratio set.
             d_samples: list[float] = []
-            try:
-                for _ in range(runs):
+            for _ in range(runs):
+                try:
                     t0 = time.perf_counter()
                     con.execute(q.oracle).fetchall()
                     d_samples.append(time.perf_counter() - t0)
+                except Exception as e:  # noqa: BLE001
+                    errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:300]
+                    out["bench_partial"] = True
+                    out["bench_errors"] = errors
+            if d_samples:
                 duck[name] = round(_median(d_samples), 4)
                 duck_spreads[name] = [
                     round(min(d_samples), 4),
                     round(max(d_samples), 4),
                 ]
-            except Exception as e:  # noqa: BLE001
-                errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:300]
-                out["bench_partial"] = True
-                out["bench_errors"] = errors
         out["duckdb_queries_spread"] = duck_spreads
         # ratio over queries where BOTH sides succeeded, so a one-sided
         # failure can't skew the numerator/denominator mismatch
@@ -174,9 +178,9 @@ def main() -> None:
 
 
 def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    import statistics
+
+    return float(statistics.median(xs))
 
 
 def _compact_line(out: dict) -> dict:

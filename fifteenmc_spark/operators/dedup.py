@@ -1251,7 +1251,10 @@ def near_dup_clusters(
             .select("doc_id", "label")
             .localCheckpoint()  # eager: the action that fires the metric
         )
-        if obs.get["n_changed"] == 0:
+        # `or 0`: SUM over ZERO rows is NULL, and None == 0 is False — an
+        # empty label table (empty pair graph) must converge on round 1,
+        # not spin max_rounds into a spurious non-convergence error
+        if (obs.get["n_changed"] or 0) == 0:
             converged = True
             break
     if not converged:

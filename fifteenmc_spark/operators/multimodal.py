@@ -23,7 +23,6 @@ from pyspark.sql import types as T
 
 from ..io import read_table
 from .relational import _register
-from .session_index import session_cached as _session_cached
 
 ASSET_SCHEMA = T.StructType(
     [
@@ -333,22 +332,14 @@ def m3(spark, sf_dir):
     ("multimodal", "dedup", "frame-sample", "pipeline"),
 )
 def m4(spark, sf_dir):
-    # session-cached frame table: the extracted (asset, frame, hash) rows
-    # are the index artifact the dedup consumes — only hashes move, the
-    # payload decode never re-runs for the consumer (m3, the frame-sample
-    # query itself, still rebuilds its full plan; see session_index.py)
-    fr = _session_cached(
-        spark,
-        sf_dir,
-        "video_frames",
-        lambda: sample_frames(
-            synthesize_assets(spark, sf_dir).where(
-                (F.col("modality") == "video") & (F.length("payload") >= 1)
-            )
-        )
-        .select("asset_id", "frame_idx", "frame_md5")
-        .localCheckpoint(eager=False),
+    # NOT session-cached: the frame table's only other producer-consumer
+    # relationship is m3, whose RESULT the frame table essentially is —
+    # caching here would be a single-consumer memo of m4's own upstream,
+    # which the session_index discipline forbids (feeds must be shared).
+    video = synthesize_assets(spark, sf_dir).where(
+        (F.col("modality") == "video") & (F.length("payload") >= 1)
     )
+    fr = sample_frames(video).select("asset_id", "frame_idx", "frame_md5")
     # min (asset, idx) in ONE max-struct-free aggregate: min asset first,
     # then min idx among that asset's rows via a struct-min — map-side
     # combinable, no window over the frame table

@@ -192,30 +192,53 @@ def geojson_outline_rings(spark, path: str) -> DataFrame:
     (rings→points, depth 3) from MultiPolygon (polygons→rings→points,
     depth 4).  All flattening is posexplode — distributed, ordered by
     the explicit ring/seq indices, never a driver-side JSON walk."""
-    from pyspark.sql.types import ArrayType
+    from pyspark.sql.types import ArrayType, DoubleType
 
     from .io import read_json_records
 
     geom = (
         read_json_records(spark, path)
         .select(F.posexplode("features").alias("fid", "f"))
-        .select("fid", F.col("f.geometry.coordinates").alias("coords"))
+        .select(
+            "fid",
+            F.col("f.geometry.type").alias("gtype"),
+            F.col("f.geometry.coordinates").alias("coords"),
+        )
     )
     depth, dt = 0, geom.schema["coords"].dataType
     while isinstance(dt, ArrayType):
         depth, dt = depth + 1, dt.elementType
-    if depth == 4:  # MultiPolygon
+    if depth == 4:  # homogeneous MultiPolygon file
         rings = geom.select(
             "fid", F.posexplode("coords").alias("pi", "polys")
         ).select("fid", "pi", F.posexplode("polys").alias("ri", "ring"))
-    elif depth == 3:  # Polygon
+    elif depth == 3:  # homogeneous Polygon file
         rings = geom.select(
             "fid", F.lit(0).alias("pi"), F.posexplode("coords").alias("ri", "ring")
         )
     else:
-        raise ValueError(
-            f"geojson_outline_rings: coordinates nesting depth {depth} is "
-            "neither Polygon (3) nor MultiPolygon (4)"
+        # MIXED geometry types (Polygon + MultiPolygon, or stray Point/
+        # LineString features) — common in published boundary files.  The
+        # JSON reader cannot merge depth-3 and depth-4 arrays, so
+        # `coordinates` collapses to STRING holding the raw JSON token;
+        # re-parse it per geometry type with the right nested-array
+        # schema and draw only the polygon boundaries (an outline layer
+        # has nothing to draw for points/lines).
+        poly_t = ArrayType(ArrayType(ArrayType(DoubleType())))
+        mpoly_t = ArrayType(poly_t)
+        s = geom.select("fid", "gtype", F.col("coords").cast("string").alias("cs"))
+        rings = (
+            s.where(F.col("gtype") == "Polygon")
+            .select(
+                "fid",
+                F.lit(0).alias("pi"),
+                F.posexplode(F.from_json("cs", poly_t)).alias("ri", "ring"),
+            )
+            .unionByName(
+                s.where(F.col("gtype") == "MultiPolygon")
+                .select("fid", F.posexplode(F.from_json("cs", mpoly_t)).alias("pi", "polys"))
+                .select("fid", "pi", F.posexplode("polys").alias("ri", "ring"))
+            )
         )
     return rings.select(
         F.concat_ws("-", "fid", "pi", "ri").alias("ring_id"),

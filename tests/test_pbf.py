@@ -227,6 +227,7 @@ def test_pbf_datasource_reader_api(spark, pbf_path):
         )
 
     assert key(via_api) == key(via_fn)
-    # scan parallelism comes from the blob index, not a single-task read
-    n_parts = via_api.rdd.getNumPartitions()
-    assert n_parts >= 1
+    # scan parallelism comes from the blob index — one InputPartition per
+    # OSMData blob, not a single-task read of the whole file
+    n_blobs = sum(1 for btype, _, _ in pbf.index_blobs(pbf_path) if btype == "OSMData")
+    assert via_api.rdd.getNumPartitions() == n_blobs

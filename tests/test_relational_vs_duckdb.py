@@ -142,6 +142,19 @@ def test_near_dup_clusters_transitivity(spark, strategy):
     assert got == {2: 2, 9: 2, 4: 2, 7: 7, 8: 7, 20: 3, 21: 3, 3: 3}
 
 
+@pytest.mark.parametrize("strategy", ["propagate", "star", "auto", "local"])
+def test_near_dup_clusters_empty_graph(spark, strategy):
+    """An EMPTY pair graph must return an empty cluster table immediately
+    under every strategy — in particular 'propagate' must converge on
+    round 1, not spin max_rounds into a spurious non-convergence error
+    (regression: the Observation-fused probe read SUM over zero rows as
+    NULL, and None == 0 is False)."""
+    from fifteenmc_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame([], "doc_a BIGINT, doc_b BIGINT")
+    assert near_dup_clusters(pairs, strategy=strategy).collect() == []
+
+
 def test_near_dup_clusters_chain_convergence(spark):
     """A 50-node chain (diameter 49): 'propagate' at max_rounds=5 must
     RAISE (never silently return truncated labels), 'star' converges in

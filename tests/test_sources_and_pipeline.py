@@ -377,6 +377,31 @@ def test_plot_grid_svg_country_outline(spark, tmp_path):
     rings1 = plot_sink.geojson_outline_rings(spark, str(p1))
     assert rings1.count() == 4 and rings1.select("ring_id").distinct().count() == 1
 
+    # MIXED file (Polygon + MultiPolygon + a stray Point — the common shape
+    # of published boundary datasets): JSON inference collapses coordinates
+    # to STRING; the per-type from_json path must still yield every polygon
+    # ring and silently skip the point
+    gj2 = dict(gj)
+    gj2["features"] = [
+        gj1["features"][0],
+        gj["features"][0],
+        {
+            "type": "Feature",
+            "properties": {"name": "capital"},
+            "geometry": {"type": "Point", "coordinates": [19.0, 54.2]},
+        },
+    ]
+    p2 = tmp_path / "mixed.geojson"
+    p2.write_text(_json.dumps(gj2))
+    rings2 = plot_sink.geojson_outline_rings(spark, str(p2))
+    rows2 = rings2.collect()
+    assert {r["ring_id"] for r in rows2} == {"0-0-0", "1-0-0", "1-1-0"}
+    assert len(rows2) == 4 + 5 + 4  # polygon ring + the two multipolygon rings
+    # coordinates survive the string round-trip
+    assert {(r["lon"], r["lat"]) for r in rows2 if r["ring_id"] == "0-0-0"} == {
+        (18.0, 54.0), (19.0, 54.0), (18.5, 54.5),
+    }
+
 
 def test_plot_path_overlay_svg(spark, tmp_path):
     """K7 path-overlay twin (reference test_path.py:336-364): route
