@@ -406,3 +406,75 @@ def test_streaming_near_dup_equals_batch_x6_64(spark, sf_small, tmp_path_factory
     # at least one flagged pair crosses micro-batches — the bucket state
     # really carried an earlier batch's documents forward
     assert any(chunk_of(a) != chunk_of(b) for a, b, _ in got_stream)
+
+
+def test_streaming_ann_topk_equals_batch_v5_and_v1(spark, sf_small, tmp_path_factory):
+    """stream≡batch contract for the ANN serving twin: a bounded stream of
+    query vectors against the static IVF index yields exactly v5's top-k
+    at nprobe=2, and exactly exact-v1's top-k when every cell is probed —
+    including across micro-batches and under re-delivery of a query."""
+    import time
+
+    from fifteenmc_spark.operators.relational import QUERIES
+    from fifteenmc_spark.operators.similarity import (
+        IVF_SEED_IDS,
+        N_PROBE,
+        N_QUERY_VECS,
+        _emb,
+        _ivf_cells_probes,
+    )
+    from fifteenmc_spark.streaming import ann as ANN
+
+    e, cells, _ = _ivf_cells_probes(spark, sf_small, N_PROBE)
+    corpus = e.select("vec_id", "embedding")
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in _emb(spark, sf_small)
+        .where(F.col("vec_id").isin(*IVF_SEED_IDS))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    queries = _emb(spark, sf_small).where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+
+    def rows_of(df):
+        return {(r["qid"], r["vec_id"], r["rnk"], round(r["sim"], 4)) for r in df.collect()}
+
+    want_v5 = rows_of(QUERIES["v5_ivf_topk"].build(spark, sf_small))
+    want_v1 = rows_of(QUERIES["v1_cosine_topk"].build(spark, sf_small))
+    assert want_v5 and want_v1
+
+    # two micro-batches: qids {0} then {1, 2, and 0 AGAIN (re-delivery)}
+    out = tmp_path_factory.mktemp("ann_stream")
+    queries.where(F.col("qid") == 0).coalesce(1).write.mode("overwrite").parquet(
+        str(out / "f0")
+    )
+    time.sleep(1.1)  # file-source orders micro-batches by mod time
+    queries.where(F.col("qid") >= 0).coalesce(1).write.mode("overwrite").parquet(
+        str(out / "f1")
+    )
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out) + "/*/")
+    )
+
+    W.run_to_memory(
+        ANN.topk_stream(stream, corpus, cells, centroids, nprobe=N_PROBE),
+        "sink_ann_v5",
+        output_mode="append",
+    )
+    # re-delivered qid 0 re-emits an identical top-k (idempotent merge) —
+    # distinct rows must equal the batch answer exactly
+    got = rows_of(spark.table("sink_ann_v5").distinct())
+    assert got == want_v5
+
+    # probing EVERY cell = the exact baseline (one batch is enough here)
+    stream1 = spark.readStream.schema(queries.schema).parquet(str(out) + "/f1/")
+    W.run_to_memory(
+        ANN.topk_stream(stream1, corpus, cells, centroids, nprobe=len(centroids)),
+        "sink_ann_v1",
+        output_mode="append",
+    )
+    assert rows_of(spark.table("sink_ann_v1").distinct()) == want_v1
