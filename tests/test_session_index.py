@@ -74,3 +74,33 @@ def test_lsh_sig_slice_matches_direct(spark, sf_small):
     # ...and the wider-than-index calibration falls through to a direct build
     wide = _sig(spark, sf_small, 20)
     assert wide.select(F.max("bucket")).first()[0] < (1 << 20)
+
+
+def test_emb_dispatch_checkpoints_only_small_scans(spark, sf_small, tmp_path_factory):
+    """_emb's measured dispatch: a single-file (toy) scan pins the gated
+    corpus behind a checkpoint (Scan ExistingRDD once materialized-able),
+    while a scan already partitioned at >= defaultParallelism passes the
+    gated scan through UNCHECKPOINTED — at 100 TB the corpus must never
+    materialize to executor storage; the validity gate stays a filter
+    over the live scan."""
+    from fifteenmc_spark.io import read_table
+    from fifteenmc_spark.operators.similarity import _emb
+
+    # toy branch: the testdata parquet is one file -> few partitions
+    toy = _emb(spark, sf_small)
+    toy_plan = toy._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in toy_plan or "ExistingRDD" in toy_plan
+
+    # scale branch: spread the same table over >= defaultParallelism files
+    par = spark.sparkContext.defaultParallelism
+    big_dir = str(tmp_path_factory.mktemp("emb_many_files"))
+    read_table(spark, sf_small, "embeddings").repartition(par).write.mode(
+        "overwrite"
+    ).parquet(big_dir + "/embeddings.parquet")
+    big = _emb(spark, big_dir)
+    big_plan = big._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" not in big_plan and "ExistingRDD" not in big_plan
+    assert "Filter" in big_plan  # the validity gate rides the live scan
+    # and no repartition exchange was injected above the scan
+    phys = big._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys
