@@ -104,3 +104,19 @@ def test_emb_dispatch_checkpoints_only_small_scans(spark, sf_small, tmp_path_fac
     # and no repartition exchange was injected above the scan
     phys = big._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in phys
+
+
+def test_warm_session_index_materializes_all_artifacts(spark, sf_small):
+    from fifteenmc_spark.serving import warm_session_index
+
+    counts = warm_session_index(spark, sf_small)
+    assert set(counts) == {
+        "emb", "sig16", "ivf_cells", "exact_topk",
+        "shingles", "mh_sig16", "simhash16", "simhash64",
+    }
+    assert all(n > 0 for n in counts.values()), counts
+    # every artifact (plus the max-df stat) is now resident in the cache
+    app = spark.sparkContext.applicationId
+    keys = {k[2] for k in SI._SESSION_INDEX if k[0] == app and k[1] == sf_small}
+    assert {"emb", "sig16", "ivf_scored", "ivf_cells", "exact_topk",
+            "shingles", "mh_sig16", "simhash16", "simhash64", "max_df"} <= keys
