@@ -16,7 +16,18 @@ materialized (a bare count() would let Catalyst prune unprojected
 columns and under-measure).  Per-query numbers are MEDIANS of
 $BENCH_RUNS (default 3) runs on BOTH engines, with [min, max] spreads
 recorded in BENCH_full.json — single-run and best-of-N numbers both
-made round-over-round deltas unreadable against ±2x host-load noise.  A warm-up pass touches every table first
+made round-over-round deltas unreadable against ±2x host-load noise.
+
+Session-index semantics (stated for honesty): queries sharing a
+session-index feed (operators/session_index.py — signature tables, IVF
+cells, shingle index, ...) pay the feed's build on its FIRST touch in
+the suite and run warm afterwards, so the recorded medians are
+warm-session numbers — the same amortization a real serving session
+gets (serving.warm_session_index is the explicit form).  The cold
+first-touch cost is visible in the recorded [min, max] spread of
+whichever query built the feed.  Every query still executes its own
+relational logic per run; no query's computed result is memoized
+(the cache discipline in session_index.py).  A warm-up pass touches every table first
 (parquet footers + JVM JIT) so per-query numbers measure the queries,
 matching BASELINE.md's "warm session" definition.  The DuckDB oracle is
 timed on the same queries by default and the line carries duckdb_total +
