@@ -1627,3 +1627,71 @@ def p7(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x9: positional duplicate-SPAN detection (sub-document dedup)
+# ---------------------------------------------------------------------------
+SPAN_W = 8  # tokens per span window
+
+
+@_register(
+    "x9_span_dedup",
+    f"Cross-document duplicate SPANS: every {SPAN_W}-token sliding window "
+    "that appears verbatim in more than one document, reported as "
+    "(doc_id, pos, span_hash, n_occ).  The sub-document complement of "
+    "x1/x3: whole-doc dedup misses boilerplate sentences and license "
+    "blocks replicated across otherwise-distinct docs (the signal behind "
+    "exact-substring training-data dedup, Lee et al. 2022 — fixed-width "
+    "windows instead of suffix arrays, which keeps it one scan + one "
+    "hash-keyed shuffle).  Scale shape: windows are built scan-side by a "
+    "transform over the token array (no self-join, no explode of raw "
+    "text), the shuffle carries (md5, doc_id, pos) — never text — and "
+    "'appears in >1 doc' is min(doc_id) <> max(doc_id), two map-side- "
+    "combinable aggregates, no count-distinct.",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS tk
+      FROM documents WHERE TRIM(text) <> ''),
+    sp AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             md5(array_to_string(tk[i:i+{SPAN_W - 1}], ' ')) AS h
+      FROM toks, UNNEST(generate_series(1, LEN(tk) - {SPAN_W} + 1)) AS t(i)
+      WHERE LEN(tk) >= {SPAN_W}),
+    dup AS (
+      SELECT h, CAST(COUNT(*) AS INT) AS n_occ
+      FROM sp GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id))
+    SELECT sp.doc_id, sp.pos, sp.h, dup.n_occ
+    FROM sp JOIN dup USING (h)
+    ORDER BY sp.doc_id, sp.pos
+    """,
+    ("dedup", "spans", "pipeline"),
+)
+def x9(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    toks = (
+        d.where(F.trim(F.col("text")) != "")
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk"))
+        .where(F.size("tk") >= SPAN_W)
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {SPAN_W} + 1), "
+                f"i -> struct(i AS pos, "
+                f"md5(cast(concat_ws(' ', slice(tk, i, {SPAN_W})) as binary)) AS h))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").cast("int").alias("pos"), F.col("s.h").alias("h"))
+    dup = (
+        spans.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).cast("int").alias("n_occ"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .select("h", "n_occ")
+    )
+    return spans.join(dup, "h").select("doc_id", "pos", "h", "n_occ").orderBy("doc_id", "pos")

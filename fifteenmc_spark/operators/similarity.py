@@ -1026,6 +1026,220 @@ def v10(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# v11: product-quantization ANN (the 100 TB memory path)
+# ---------------------------------------------------------------------------
+PQ_M = 4  # sub-blocks per vector
+PQ_SUB = EMB_DIM // PQ_M  # dims per sub-block (16)
+# deterministic codebook training sample: 16 spread vec_ids, all valid at
+# every shipped SF (a production PQ trains k-means per sub-block; a fixed
+# sample keeps the codebook oracle-expressible and the assignment exact)
+PQ_SEED_IDS = (3, 11, 23, 37, 53, 71, 89, 107, 127, 149, 173, 197, 223, 251, 277, 307)
+PQ_SHORTLIST = 10  # ADC candidates re-ranked exactly per query
+
+
+def _subblock_expr(col: str, out: str) -> str:
+    """SQL expr exploding an array<float> column into PQ_M sub-block
+    structs (m, slice) — evaluated scan-side, no self-join."""
+    return (
+        f"transform(sequence(0, {PQ_M - 1}), "
+        f"m -> struct(m AS m, slice({col}, m * {PQ_SUB} + 1, {PQ_SUB}) AS {out}))"
+    )
+
+
+def _pq_index(spark, sf_dir):
+    """(e, cw, codes): the PQ index, session-cached — it is ~M small ints
+    per vector (plus a 6-digit-scaled reconstruction-norm term), the
+    ~3% -of-corpus footprint that lets 100 TB of vectors serve from RAM.
+
+    cw = (m, cid, cwe, cw_ss): PQ_M×16 codewords (sub-blocks of the seed
+    vectors) — broadcast everywhere, never shuffled.  codes = per
+    (vec_id, m) the argmin-L2 codeword: score = ||c||² − 2·v·c (the ||v||²
+    term is constant under the argmin), min-struct tie-broken by cid —
+    map-side combinable, the shuffle carries (vec_id, m, struct), never
+    the vectors.  cw_ss6 (the chosen codeword's ||c||² scaled to BIGINT
+    at 6 digits) rides along so ADC can rebuild the reconstruction norm
+    with an integer-exact, accumulation-order-free sum (the _isum4
+    discipline — a 4-addend double sum would be engine-order-dependent)."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+
+    def build_cw():
+        seeds = e.where(F.col("vec_id").isin(*PQ_SEED_IDS))
+        cw = seeds.select(
+            F.col("vec_id").alias("cid"),
+            F.explode(F.expr(_subblock_expr("embedding", "cwe"))).alias("s"),
+        ).select("cid", F.col("s.m").alias("m"), F.col("s.cwe").alias("cwe"))
+        return cw.withColumn(
+            "cw_ss", dot_double(F.col("cwe"), F.col("cwe"))
+        ).localCheckpoint(eager=False)
+
+    cw = _session_cached(spark, sf_dir, "pq_codewords", build_cw)
+
+    def build_codes():
+        sub = e.select(
+            "vec_id", F.explode(F.expr(_subblock_expr("embedding", "sube"))).alias("s")
+        ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sube").alias("sube"))
+        scored = sub.join(F.broadcast(cw), "m").select(
+            "vec_id",
+            "m",
+            "cid",
+            "cw_ss",
+            (F.col("cw_ss") - 2.0 * dot_double(F.col("sube"), F.col("cwe"))).alias("score"),
+        )
+        pick = F.min(
+            F.struct(F.col("score"), F.col("cid").alias("cid"), F.col("cw_ss").alias("cw_ss"))
+        )
+        return (
+            scored.groupBy("vec_id", "m")
+            .agg(pick.alias("p"))
+            .select(
+                "vec_id",
+                "m",
+                F.col("p.cid").alias("code"),
+                F.round(F.col("p.cw_ss") * 1e6).cast("bigint").alias("cw_ss6"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    codes = _session_cached(spark, sf_dir, "pq_codes", build_codes)
+    return e, cw, codes
+
+
+@_register(
+    "v11_pq_topk",
+    f"Product-quantization top-{TOP_K}: each vector compressed to {PQ_M} "
+    f"codes (argmin-L2 codeword per {PQ_SUB}-dim sub-block, 16 codewords "
+    "from a deterministic training sample); queries score the WHOLE "
+    "corpus from the codes alone via ADC (sum of precomputed "
+    f"query·codeword partials), shortlist {PQ_SHORTLIST} by approximate "
+    f"cosine, then re-rank the shortlist exactly.  The memory path v5's "
+    "IVF doesn't cover: at 100 TB the float vectors don't fit hot "
+    "storage — PQ serves the scan from ~3% of the bytes (codes + one "
+    "broadcast codebook) and touches real vectors only for the "
+    "shortlist.  ADC partials and reconstruction norms accumulate as "
+    "6-digit-scaled BIGINTs, so the sums are integer-exact in any "
+    "accumulation order; shortlist rank ties break on round(approx, 6) "
+    "then vec_id.",
+    f"""
+    WITH mseq AS (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m),
+    cw AS (
+      SELECT s.vec_id AS cid, mseq.m,
+             CAST(s.embedding[mseq.m * {PQ_SUB} + 1 : mseq.m * {PQ_SUB} + {PQ_SUB}]
+                  AS DOUBLE[]) AS cwe
+      FROM embeddings s, mseq WHERE s.vec_id IN {PQ_SEED_IDS}),
+    cw2 AS (SELECT cid, m, cwe, list_dot_product(cwe, cwe) AS cw_ss FROM cw),
+    sub AS (
+      SELECT e.vec_id, mseq.m,
+             CAST(e.embedding[mseq.m * {PQ_SUB} + 1 : mseq.m * {PQ_SUB} + {PQ_SUB}]
+                  AS DOUBLE[]) AS sube
+      FROM embeddings e, mseq),
+    codes AS (
+      SELECT sub.vec_id, sub.m, cw2.cid AS code,
+             CAST(ROUND(cw2.cw_ss * 1e6) AS BIGINT) AS cw_ss6
+      FROM sub JOIN cw2 USING (m)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+          ORDER BY cw2.cw_ss - 2 * list_dot_product(sub.sube, cw2.cwe), cw2.cid) = 1),
+    q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+          WHERE vec_id < {N_QUERY_VECS}),
+    qparts AS (
+      SELECT q.qid, cw2.m, cw2.cid AS code,
+             CAST(ROUND(list_dot_product(
+                 q.qe[cw2.m * {PQ_SUB} + 1 : cw2.m * {PQ_SUB} + {PQ_SUB}], cw2.cwe) * 1e6)
+                  AS BIGINT) AS qdot6
+      FROM q, cw2),
+    qss AS (SELECT qid, list_dot_product(qe, qe) AS qss FROM q),
+    adc AS (
+      SELECT qp.qid, c.vec_id,
+             CAST(SUM(qp.qdot6) AS DOUBLE) / 1e6 AS adc,
+             CAST(SUM(c.cw_ss6) AS DOUBLE) / 1e6 AS recon_ss
+      FROM codes c JOIN qparts qp ON qp.m = c.m AND qp.code = c.code
+      GROUP BY qp.qid, c.vec_id),
+    appx AS (
+      SELECT a.qid, a.vec_id, a.adc / (SQRT(s.qss) * SQRT(a.recon_ss)) AS approx
+      FROM adc a JOIN qss s USING (qid) WHERE a.vec_id <> a.qid),
+    shortlist AS (
+      SELECT qid, vec_id, approx FROM appx
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY ROUND(approx, 6) DESC, vec_id) <= {PQ_SHORTLIST}),
+    rer AS (
+      SELECT sl.qid, sl.vec_id, sl.approx,
+             {_COS_SQL.format(a="q.qe", b="e.embedding")} AS sim
+      FROM shortlist sl
+      JOIN embeddings e ON e.vec_id = sl.vec_id
+      JOIN q ON q.qid = sl.qid),
+    ranked AS (
+      SELECT qid, vec_id, approx, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+      FROM rer)
+    SELECT qid, vec_id, CAST(rnk AS INT) AS rnk,
+           ROUND(approx, 4) AS approx_sim, ROUND(sim, 4) AS sim
+    FROM ranked WHERE rnk <= {TOP_K} ORDER BY qid, rnk
+    """,
+    ("similarity", "ann", "pq", "pipeline"),
+)
+def v11(spark, sf_dir):
+    e, cw, codes = _pq_index(spark, sf_dir)
+    q = e.where(F.col("vec_id") < N_QUERY_VECS)
+    qsub = q.select(
+        F.col("vec_id").alias("qid"),
+        F.explode(F.expr(_subblock_expr("embedding", "qsube"))).alias("s"),
+    ).select("qid", F.col("s.m").alias("m"), F.col("s.qsube").alias("qsube"))
+    # one row per (qid, m, codeword): the ADC lookup table — 192 rows,
+    # broadcast; at scale it stays |queries|×M×16 regardless of corpus size
+    qparts = qsub.join(cw, "m").select(
+        "qid",
+        "m",
+        F.col("cid").alias("code"),
+        F.round(dot_double(F.col("qsube"), F.col("cwe")) * 1e6).cast("bigint").alias("qdot6"),
+    )
+    qss = q.select(
+        F.col("vec_id").alias("qid"),
+        dot_double(F.col("embedding"), F.col("embedding")).alias("qss"),
+    )
+    adc = (
+        codes.join(F.broadcast(qparts), ["m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            (F.sum("qdot6").cast("double") / 1e6).alias("adc"),
+            (F.sum("cw_ss6").cast("double") / 1e6).alias("recon_ss"),
+        )
+    )
+    appx = (
+        adc.join(F.broadcast(qss), "qid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (F.col("adc") / (F.sqrt("qss") * F.sqrt("recon_ss"))).alias("approx"),
+        )
+    )
+    wshort = Window.partitionBy("qid").orderBy(F.round("approx", 6).desc(), "vec_id")
+    shortlist = (
+        appx.select("qid", "vec_id", "approx", F.row_number().over(wshort).alias("srn"))
+        .where(F.col("srn") <= PQ_SHORTLIST)
+        .drop("srn")
+    )
+    qv = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    rer = (
+        shortlist.join(e, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "vec_id", "approx", cosine(F.col("qe"), F.col("embedding")).alias("sim"))
+    )
+    wrank = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        rer.select("qid", "vec_id", "approx", "sim", F.row_number().over(wrank).alias("rnk"))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "qid",
+            "vec_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("approx", 4).alias("approx_sim"),
+            F.round("sim", 4).alias("sim"),
+        )
+        .orderBy("qid", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # apply the oracle-side validity gate to every similarity query above
 # (the engine side gates once, in _emb; v10 is exempt by design — it is
 # the monitor that reports what the gate excludes)
@@ -1043,6 +1257,7 @@ for _name in (
     "v7_lsh_banded_near_dup",
     "v8_embedding_clusters",
     "v9_ivf_recall",
+    "v11_pq_topk",
 ):
     QUERIES[_name] = _dc.replace(QUERIES[_name], oracle=_gate_oracle(QUERIES[_name].oracle))
 del _name

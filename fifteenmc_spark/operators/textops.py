@@ -974,3 +974,74 @@ def t8(spark, sf_dir):
         F.coalesce(T.token_count(F.col("text")).cast("bigint"), F.lit(0)).alias("v"),
     )
     return length_quantiles_windowed(tok).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# t9: corpus-LM document scoring (CCNet-style unigram log-prob filter)
+# ---------------------------------------------------------------------------
+@_register(
+    "t9_unigram_logprob",
+    "Per-document mean negative log-probability under the corpus's own "
+    "unigram LM (nats) — the CCNet-style perplexity-filter signal: docs "
+    "far above the corpus mean are noise/boilerplate candidates, far "
+    "below are over-repetitive.  Two map-side-combinable aggregations "
+    "(per-doc term counts, then the vocab) and one join; the exploded "
+    "token stream collapses to (doc_id, token, k) BEFORE anything "
+    "shuffles, so the heavy shuffle carries distinct-terms-per-doc rows, "
+    "never token instances, and the corpus total is a one-row broadcast. "
+    "Cross-engine exactness: each term's -ln(p) is rounded to 6 decimals "
+    "and scaled to BIGINT, so the per-doc sum is integer-exact in any "
+    "accumulation order (the _isum4 discipline at 6 digits).",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS token
+      FROM documents WHERE TRIM(text) <> ''),
+    dt AS (
+      SELECT doc_id, token, COUNT(*) AS k
+      FROM tok WHERE token <> '' GROUP BY doc_id, token),
+    vocab AS (SELECT token, SUM(k) AS cnt FROM dt GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    sc AS (
+      SELECT dt.doc_id, dt.k,
+             CAST(ROUND(-LN(CAST(vocab.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS nlp6
+      FROM dt JOIN vocab USING (token), tot)
+    SELECT doc_id, CAST(SUM(k) AS INT) AS n_tokens,
+           ROUND(CAST(SUM(k * nlp6) AS DOUBLE) / 1e6 / CAST(SUM(k) AS DOUBLE), 4) AS nll
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
+    ("text", "quality", "lm", "pipeline"),
+)
+def t9(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tok = (
+        d.where(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    dt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("k"))
+    vocab = dt.groupBy("token").agg(F.sum("k").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    sc = (
+        dt.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "k",
+            F.round(-F.log(F.col("cnt").cast("double") / F.col("total").cast("double")) * 1e6)
+            .cast("bigint")
+            .alias("nlp6"),
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("int").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("k") * F.col("nlp6")).cast("double") / 1e6
+                / F.sum("k").cast("double"),
+                4,
+            ).alias("nll"),
+        )
+        .orderBy("doc_id")
+    )

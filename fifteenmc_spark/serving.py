@@ -33,6 +33,7 @@ def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         _emb,
         _exact_topk,
         _ivf_cells_probes,
+        _pq_index,
         _sig,
     )
 
@@ -41,6 +42,8 @@ def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     counts[f"sig{SIG_PLANES}"] = _sig(spark, sf_dir, SIG_PLANES).count()
     _, cells, _ = _ivf_cells_probes(spark, sf_dir, N_PROBE)
     counts["ivf_cells"] = cells.count()
+    _, _, pq_codes = _pq_index(spark, sf_dir)
+    counts["pq_codes"] = pq_codes.count()
     counts["exact_topk"] = _exact_topk(spark, sf_dir).count()
     counts["shingles"] = shingle_index(spark, sf_dir).count()
     counts["mh_sig16"] = minhash_sig_index(spark, sf_dir).count()

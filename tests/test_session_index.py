@@ -111,7 +111,7 @@ def test_warm_session_index_materializes_all_artifacts(spark, sf_small):
 
     counts = warm_session_index(spark, sf_small)
     assert set(counts) == {
-        "emb", "sig16", "ivf_cells", "exact_topk",
+        "emb", "sig16", "ivf_cells", "exact_topk", "pq_codes",
         "shingles", "mh_sig16", "simhash16", "simhash64",
     }
     assert all(n > 0 for n in counts.values()), counts
@@ -119,4 +119,5 @@ def test_warm_session_index_materializes_all_artifacts(spark, sf_small):
     app = spark.sparkContext.applicationId
     keys = {k[2] for k in SI._SESSION_INDEX if k[0] == app and k[1] == sf_small}
     assert {"emb", "sig16", "ivf_scored", "ivf_cells", "exact_topk",
-            "shingles", "mh_sig16", "simhash16", "simhash64", "max_df"} <= keys
+            "shingles", "mh_sig16", "simhash16", "simhash64", "max_df",
+            "pq_codewords", "pq_codes"} <= keys
