@@ -32,56 +32,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver checks a bounded window of queries per round (50 in r02).
 # Queries with no driver CORRECTNESS row yet come first so every declared
 # query accumulates at least one driver-checked green row across rounds:
-# r8 rotation — all 34 queries with no r7 driver row (green in earlier
-# windows + the judge's in-session pytest oracle over all 84 entries).
-# The r8 session-index refactor touched the v-family, the x7/p7 cluster
-# consumers, and the x3/x5/x6 pair generators — all inside this set or
-# re-listed after it, so every touched query gets a fresh driver row.
+# r9 rotation — the 3 queries added in r8 with no driver row yet
+# (t9/v11/x9) plus v12_pq_recall (new in r9), then every query whose
+# newest driver row is r7 (the 34-query set that sat out the r8 window),
+# then r9-touched queries (the PQ codebook retrain feeds v11/v12; the
+# x9 checkpoint fix; the v-family shares _emb/session-index code paths).
 _CHECK_FIRST = (
-    # v-family: session index + _emb dispatch landed in r8
-    "v3_embedding_near_dup",
+    # never driver-checked: added in r8 after the window was pinned, or new in r9
+    "t9_unigram_logprob",
+    "v11_pq_topk",
+    "x9_span_dedup",
+    "v12_pq_recall",
+    # newest driver row is r7 — rotate back through (verdict r8 item 6)
+    "d9_cube",
+    "d10_topk_per_group",
+    "d13_topk",
+    "d14_union",
+    "d14_intersect",
+    "d14_except",
+    "d15_strings",
+    "d16_haversine",
+    "d17_conditionals",
+    "d18_year_month",
+    "d18_date_trunc",
+    "d19_tumbling_window",
+    "d20_array_ops",
+    "d21_pivot",
+    "d22_graph_relax",
+    "d23_first_occurrence",
+    "d24_correlated_subquery",
+    "d25_scalar_subquery",
+    "d26_asof_join",
+    "d27_range_join",
+    "d28_sessionize",
+    "x4_simhash",
+    "x6_simhash_hamming",
+    "g1_grid_tiles",
+    "g2_knn_snap",
+    "g3_bounded_reach",
+    "g4_tile_assign",
+    "m1_asset_meta",
+    "m2_feature_extract",
+    "m3_frame_sample",
+    "p2_hash_split",
+    "p3_pack_sequences",
+    "p5_chunk_dedup",
+    "t8_length_quantiles",
+    # r9-touched (PQ retrain / x9 fix / shared similarity feeds) — fresh rows
+    "v1_cosine_topk",
     "v5_ivf_topk",
     "v6_lsh_recall",
     "v9_ivf_recall",
-    "v7_lsh_banded_near_dup",
-    "v8_embedding_clusters",
-    "v2_lsh_bucket_16",
-    "v4_embedding_stats",
-    "v10_embedding_validity",
-    # cluster consumers: cached pair graphs + fused convergence probe in r8
-    "x7_hamming_clusters",
+    "v3_embedding_near_dup",
+    "x7_near_dup_clusters",
+    "p7_dedup_apply",
     "x5_ngram_jaccard_capped",
-    "x6_simhash_hamming_64",
-    "x3_minhash_lsh_pairs",
-    "x3_minhash_lsh_pairs_16",
     "x8_decontaminate",
     "x1_dedup_exact",
-    "x2_minhash_signature",
-    "x4_simhash_64",
-    "m4_frame_dedup",
-    # remaining unwindowed (untouched since their last green row)
-    "d10_rank_dense_ntile",
-    "d11_running_total",
-    "d11_range_frame",
-    "d12_lag",
-    "d29_json_extract",
-    "t1_token_count",
-    "t2_quality_score",
-    "t3_lang_id",
-    "t4_fingerprint",
     "t5_corpus_stats",
-    "t6_vocab_topk",
-    "t7_repetition",
-    "p1_corpus_prep",
-    "p4_stratified_sample",
-    "p6_pii_scrub",
-    # r8-touched queries that DID have an r7 row — re-check after the change
-    "x7_near_dup_clusters",
-    "x7_jaccard_clusters",
-    "p7_dedup_apply",
-    "v1_cosine_topk",
-    "v2_lsh_bucket",
-    "x5_ngram_jaccard",
+    "m4_frame_dedup",
 )
 
 
