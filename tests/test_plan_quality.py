@@ -265,3 +265,22 @@ def test_x4_64_kernel_executes_once_end_to_end(spark, sf_small):
     tree = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in tree
     assert "Scan ExistingRDD" in tree
+
+
+def test_x9_span_kernel_executes_once(spark, sf_small):
+    # x9's span table (tokenize -> sliding-window transform -> md5) feeds
+    # BOTH the dup aggregate and the final join-back.  Exchange reuse
+    # cannot dedupe the two branches (the agg branch's exchange child is
+    # the PARTIAL aggregate of spans, a different subtree), so without
+    # the lazy checkpoint the expensive scan-side kernel executes twice —
+    # two full corpus tokenize+md5 passes at 100 TB.  Evidence the fix
+    # holds: the executed plan's span inputs are RDD scans of the one
+    # checkpointed table, and the tokenize/window expression appears
+    # nowhere downstream.
+    df = QUERIES["x9_span_dedup"].build(spark, sf_small)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert "transform(sequence(" not in tree  # span build not re-planned
+    assert tree.count("Scan ExistingRDD") >= 2  # both branches read the checkpoint
+    # and the parquet scan of documents is gone from the final plan — the
+    # only corpus read happens inside the (single) checkpoint job
+    assert "Scan parquet" not in tree
