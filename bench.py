@@ -93,6 +93,7 @@ def main() -> None:
     # Failures record null and the line carries bench_partial + the errors.
     timings: dict[str, float | None] = {}
     spreads: dict[str, list[float]] = {}
+    run1: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, q in QUERIES.items():
         samples: list[float] = []
@@ -111,6 +112,12 @@ def main() -> None:
         timings[name] = round(_median(samples), 4) if samples else None
         if samples:
             spreads[name] = [round(min(samples), 4), round(max(samples), 4)]
+            # run-1 sample recorded separately: whichever query touches a
+            # session-index feed first pays the build in run 1 and runs
+            # warm after, so median-vs-run1 is the cold/warm split a
+            # cross-round history comparison needs to separate cache
+            # amortization from real plan changes (r8 ADVICE)
+            run1[name] = round(samples[0], 4)
 
     ok = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(ok.values()), 4)
@@ -120,6 +127,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_spread": spreads,
+        "queries_run1": run1,
         "sf": sf,
         "action_floor_s": round(floor, 4),
     }

@@ -9,6 +9,8 @@ is parquet.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -165,11 +167,18 @@ def read_grid_id_list(spark: SparkSession, path: str) -> DataFrame:
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
     """Parquet sink (ref K1/K3: snap_poi_to_nodes.py:245,
-    graph_construction.py:298-307 — npz replaced by partitioned parquet)."""
+    graph_construction.py:298-307 — npz replaced by partitioned parquet).
+
+    Writing ``<dir>/<table>.parquet`` into a directory that has live
+    session-index entries evicts them: a table rewrite under an sf_dir
+    must not leave consumers reading stale checkpointed artifacts."""
+    from .operators.session_index import invalidate
+
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+    invalidate(os.path.dirname(os.path.abspath(path.rstrip("/"))))
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

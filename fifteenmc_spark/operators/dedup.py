@@ -1635,6 +1635,28 @@ def p7(spark, sf_dir):
 SPAN_W = 8  # tokens per span window
 
 
+def span_rows(d):
+    """(doc_id, pos, h): every {SPAN_W}-token sliding window's md5, built
+    scan-side (tokenize -> window transform -> hash, no self-join) —
+    shared by batch x9 and the streaming span registry so the span
+    fingerprints are bit-identical across the two runtimes."""
+    toks = (
+        d.where(F.trim(F.col("text")) != "")
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk"))
+        .where(F.size("tk") >= SPAN_W)
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {SPAN_W} + 1), "
+                f"i -> struct(i AS pos, "
+                f"md5(cast(concat_ws(' ', slice(tk, i, {SPAN_W})) as binary)) AS h))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").cast("int").alias("pos"), F.col("s.h").alias("h"))
+
+
 @_register(
     "x9_span_dedup",
     f"Cross-document duplicate SPANS: every {SPAN_W}-token sliding window "
@@ -1685,26 +1707,11 @@ SPAN_W = 8  # tokens per span window
 )
 def x9(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
-    toks = (
-        d.where(F.trim(F.col("text")) != "")
-        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk"))
-        .where(F.size("tk") >= SPAN_W)
-    )
-    spans = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(tk) - {SPAN_W} + 1), "
-                f"i -> struct(i AS pos, "
-                f"md5(cast(concat_ws(' ', slice(tk, i, {SPAN_W})) as binary)) AS h))"
-            )
-        ).alias("s"),
-    ).select("doc_id", F.col("s.pos").cast("int").alias("pos"), F.col("s.h").alias("h"))
     # pin the span table: both the dup aggregate and the join-back consume
     # it, and their subtrees differ (partial agg vs raw spans) so exchange
     # reuse can never dedupe the tokenize+window+md5 scan — without this
     # the kernel executes twice (the r8 judge's one plan defect)
-    spans = spans.localCheckpoint(eager=False)
+    spans = span_rows(d).localCheckpoint(eager=False)
     dup = (
         spans.groupBy("h")
         .agg(

@@ -50,3 +50,17 @@ def session_cached(spark, sf_dir, key: str, build):
             del _SESSION_INDEX[dead]
         _SESSION_INDEX[k] = val = build()
     return val
+
+
+def invalidate(sf_dir: str | None = None) -> int:
+    """Drop cached entries for ``sf_dir`` (every sf_dir when None) and
+    return how many were evicted.  Entries are otherwise keyed forever
+    within a live session, so any code path that (re)writes tables INTO
+    an existing sf_dir must call this or every consumer silently serves
+    the stale checkpointed artifact — io.write_parquet does so
+    automatically when its target sits inside a directory that has
+    cached entries."""
+    doomed = [k for k in _SESSION_INDEX if sf_dir is None or k[1] == sf_dir]
+    for k in doomed:
+        del _SESSION_INDEX[k]
+    return len(doomed)

@@ -76,7 +76,13 @@ def _emb(spark, sf_dir):
     def build():
         scan = read_table(spark, sf_dir, "embeddings")
         gated = valid_embeddings(scan)
-        if scan.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        # max(par, 2) so a single-core session (defaultParallelism == 1,
+        # scan in 1 partition) still pins its toy corpus — strict
+        # '< par' left 1 < 1 false and re-ran scan+gate per consumer
+        # (r8 ADVICE).  The scale branch is unchanged everywhere else:
+        # a corpus split into >= cores partitions passes through
+        # uncheckpointed (plan-gated in test_emb_dispatch_*).
+        if scan.rdd.getNumPartitions() < max(spark.sparkContext.defaultParallelism, 2):
             return gated.localCheckpoint(eager=False)
         return gated
 
@@ -246,9 +252,9 @@ def v1(spark, sf_dir):
     return _exact_topk_plan(spark, sf_dir)
 
 
-def _exact_topk_plan(spark, sf_dir):
+def _exact_topk_plan(spark, sf_dir, nq: int = N_QUERY_VECS):
     e = _emb(spark, sf_dir)
-    q = e.where(F.col("vec_id") < N_QUERY_VECS).select(
+    q = e.where(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     scored = (
@@ -937,6 +943,11 @@ V9_MAX_PROBE = 2
     ("similarity", "ann", "ivf", "eval", "calibration", "pipeline"),
 )
 def v9(spark, sf_dir):
+    # sf0.1 floor note (r8 0.27 s median at 2.25x the 0.12 s in-process
+    # oracle): the plan is ~3 scheduled stages (hit join, recall groupBy,
+    # stack+ORDER BY) over session-cached index tables on the measured
+    # 0.09 s/action local-mode floor — i.e. the whole gap is scheduler,
+    # not plan; the joined data is k x |queries| rows.
     _, cells, probes = _ivf_cells_probes(spark, sf_dir, V9_MAX_PROBE)
     exact = _exact_topk(spark, sf_dir).select("qid", "vec_id")
     hit = (
@@ -1028,13 +1039,25 @@ def v10(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # v11: product-quantization ANN (the 100 TB memory path)
 # ---------------------------------------------------------------------------
-PQ_M = 4  # sub-blocks per vector
-PQ_SUB = EMB_DIM // PQ_M  # dims per sub-block (16)
-# deterministic codebook training sample: 16 spread vec_ids, all valid at
-# every shipped SF (a production PQ trains k-means per sub-block; a fixed
-# sample keeps the codebook oracle-expressible and the assignment exact)
+PQ_M = 8  # sub-blocks per vector (32-bit codes; M=4's 16 bits measured
+# too coarse to rank this corpus's ~0.33-cosine true neighbors above the
+# ~0.0 background — recall@5 plateaued at ~0.18 trained or not)
+PQ_SUB = EMB_DIM // PQ_M  # dims per sub-block (8)
+# k-means INIT: 16 spread vec_ids, all valid at every shipped SF — the
+# k-means++-style "init from data points" step, then PQ_ITERS Lloyd
+# refinements train the actual codebook (r8 verdict: raw seed vectors
+# alone give unusable quantization error at 100 TB)
 PQ_SEED_IDS = (3, 11, 23, 37, 53, 71, 89, 107, 127, 149, 173, 197, 223, 251, 277, 307)
-PQ_SHORTLIST = 10  # ADC candidates re-ranked exactly per query
+PQ_SHORTLIST = 20  # ADC candidates re-ranked exactly per query (4×k —
+# measured recall@5 at 10 left ~0.1 on the table vs the re-rank's cost)
+PQ_ITERS = 2  # Lloyd refinement steps — FIXED so the oracle unrolls the same
+# deterministic training sample: vec_id % MOD == REM (~1/4 of the corpus).
+# At 100 TB the mod-filter becomes hash-mod sampling to a fixed budget
+# (~1M vectors) — k-means training cost must not scale with the corpus;
+# everything downstream (assignment, ADC) is unchanged by how the sample
+# is drawn, only determinism matters for the oracle.
+PQ_TRAIN_MOD = 4
+PQ_TRAIN_REM = 1
 
 
 def _subblock_expr(col: str, out: str) -> str:
@@ -1046,33 +1069,108 @@ def _subblock_expr(col: str, out: str) -> str:
     )
 
 
-def _pq_index(spark, sf_dir):
+def _lloyd_step(samp, cw):
+    """One Lloyd refinement: assign every training sub-block to its
+    argmin-L2 codeword (score = ||c||² − 2·v·c, tie-broken by cid — the
+    ||v||² term is constant under the argmin), then recompute each
+    codeword as the per-dimension mean of its assigned sub-blocks,
+    rounded to 6 digits.  The mean routes through a 1e6-scaled BIGINT
+    sum (integer-exact in any accumulation order) and ONE double
+    division, so both engines produce bitwise-identical codewords at
+    every iteration boundary — the property that keeps a compounding
+    iterative training loop oracle-checkable.  Codewords that attract no
+    points keep their previous value (the standard empty-cluster rule)."""
+    scored = samp.join(F.broadcast(cw.select("m", "cid", "cwe", "cw_ss")), "m").select(
+        "vec_id",
+        "m",
+        "cid",
+        "sube",
+        (F.col("cw_ss") - 2.0 * dot_double(F.col("sube"), F.col("cwe"))).alias("score"),
+    )
+    wpick = Window.partitionBy("vec_id", "m").orderBy("score", "cid")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select("m", "cid", "sube")
+    )
+    dims = assigned.select("m", "cid", F.posexplode("sube").alias("j", "v"))
+    mn = dims.groupBy("m", "cid", "j").agg(
+        F.sum(F.round(F.col("v").cast("double") * 1e6).cast("bigint")).alias("s6"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    nc = (
+        mn.select("m", "cid", "j", (F.round(F.col("s6") / F.col("cnt")) / 1e6).alias("v"))
+        .groupBy("m", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "v"))).alias("a"))
+        .select("m", "cid", F.expr("transform(a, x -> x.v)").alias("nxt"))
+    )
+    stepped = (
+        cw.select("m", "cid", F.col("cwe").alias("prev"))
+        .join(nc, ["m", "cid"], "left")
+        .select("m", "cid", F.coalesce("nxt", "prev").alias("cwe"))
+    )
+    return stepped.withColumn("cw_ss", dot_double(F.col("cwe"), F.col("cwe")))
+
+
+def _pq_codebook_plan(spark, sf_dir, iters: int):
+    """Codebook (m, cid, cwe, cw_ss) = seed-vector sub-blocks refined by
+    ``iters`` Lloyd steps over the deterministic training sample.
+    iters=0 is the untrained init (kept callable so the recall test can
+    prove training strictly helps)."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    seeds = e.where(F.col("vec_id").isin(*PQ_SEED_IDS))
+    cw = seeds.select(
+        F.col("vec_id").alias("cid"),
+        F.explode(F.expr(_subblock_expr("embedding", "cwe"))).alias("s"),
+    ).select(
+        "cid", F.col("s.m").alias("m"), F.col("s.cwe").cast("array<double>").alias("cwe")
+    )
+    cw = cw.withColumn("cw_ss", dot_double(F.col("cwe"), F.col("cwe")))
+    if iters:
+        samp = (
+            e.where(F.col("vec_id") % PQ_TRAIN_MOD == PQ_TRAIN_REM)
+            .select(
+                "vec_id", F.explode(F.expr(_subblock_expr("embedding", "sube"))).alias("s")
+            )
+            .select(
+                "vec_id",
+                F.col("s.m").alias("m"),
+                F.col("s.sube").cast("array<double>").alias("sube"),
+            )
+            # the sample feeds every iteration's assignment — pin it so
+            # the corpus scan+slice runs once, not once per Lloyd step
+            .localCheckpoint(eager=False)
+        )
+        for _ in range(iters):
+            cw = _lloyd_step(samp, cw)
+    return cw
+
+
+def _pq_index(spark, sf_dir, iters: int = PQ_ITERS):
     """(e, cw, codes): the PQ index, session-cached — it is ~M small ints
     per vector (plus a 6-digit-scaled reconstruction-norm term), the
     ~3% -of-corpus footprint that lets 100 TB of vectors serve from RAM.
 
-    cw = (m, cid, cwe, cw_ss): PQ_M×16 codewords (sub-blocks of the seed
-    vectors) — broadcast everywhere, never shuffled.  codes = per
-    (vec_id, m) the argmin-L2 codeword: score = ||c||² − 2·v·c (the ||v||²
-    term is constant under the argmin), min-struct tie-broken by cid —
-    map-side combinable, the shuffle carries (vec_id, m, struct), never
-    the vectors.  cw_ss6 (the chosen codeword's ||c||² scaled to BIGINT
-    at 6 digits) rides along so ADC can rebuild the reconstruction norm
-    with an integer-exact, accumulation-order-free sum (the _isum4
-    discipline — a 4-addend double sum would be engine-order-dependent)."""
+    cw = (m, cid, cwe, cw_ss): PQ_M×16 TRAINED codewords (seed sub-blocks
+    + PQ_ITERS Lloyd steps over the deterministic sample — see
+    _pq_codebook_plan) — broadcast everywhere, never shuffled.  codes =
+    per (vec_id, m) the argmin-L2 codeword: score = ||c||² − 2·v·c (the
+    ||v||² term is constant under the argmin), min-struct tie-broken by
+    cid — map-side combinable, the shuffle carries (vec_id, m, struct),
+    never the vectors.  cw_ss6 (the chosen codeword's ||c||² scaled to
+    BIGINT at 6 digits) rides along so ADC can rebuild the
+    reconstruction norm with an integer-exact, accumulation-order-free
+    sum (the _isum4 discipline — a 4-addend double sum would be
+    engine-order-dependent)."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    sfx = "" if iters == PQ_ITERS else f"_i{iters}"
 
-    def build_cw():
-        seeds = e.where(F.col("vec_id").isin(*PQ_SEED_IDS))
-        cw = seeds.select(
-            F.col("vec_id").alias("cid"),
-            F.explode(F.expr(_subblock_expr("embedding", "cwe"))).alias("s"),
-        ).select("cid", F.col("s.m").alias("m"), F.col("s.cwe").alias("cwe"))
-        return cw.withColumn(
-            "cw_ss", dot_double(F.col("cwe"), F.col("cwe"))
-        ).localCheckpoint(eager=False)
-
-    cw = _session_cached(spark, sf_dir, "pq_codewords", build_cw)
+    cw = _session_cached(
+        spark,
+        sf_dir,
+        f"pq_codewords{sfx}",
+        lambda: _pq_codebook_plan(spark, sf_dir, iters).localCheckpoint(eager=False),
+    )
 
     def build_codes():
         sub = e.select(
@@ -1100,38 +1198,63 @@ def _pq_index(spark, sf_dir):
             .localCheckpoint(eager=False)
         )
 
-    codes = _session_cached(spark, sf_dir, "pq_codes", build_codes)
+    codes = _session_cached(spark, sf_dir, f"pq_codes{sfx}", build_codes)
     return e, cw, codes
 
 
-@_register(
-    "v11_pq_topk",
-    f"Product-quantization top-{TOP_K}: each vector compressed to {PQ_M} "
-    f"codes (argmin-L2 codeword per {PQ_SUB}-dim sub-block, 16 codewords "
-    "from a deterministic training sample); queries score the WHOLE "
-    "corpus from the codes alone via ADC (sum of precomputed "
-    f"query·codeword partials), shortlist {PQ_SHORTLIST} by approximate "
-    f"cosine, then re-rank the shortlist exactly.  The memory path v5's "
-    "IVF doesn't cover: at 100 TB the float vectors don't fit hot "
-    "storage — PQ serves the scan from ~3% of the bytes (codes + one "
-    "broadcast codebook) and touches real vectors only for the "
-    "shortlist.  ADC partials and reconstruction norms accumulate as "
-    "6-digit-scaled BIGINTs, so the sums are integer-exact in any "
-    "accumulation order; shortlist rank ties break on round(approx, 6) "
-    "then vec_id.",
-    f"""
-    WITH mseq AS (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m),
-    cw AS (
-      SELECT s.vec_id AS cid, mseq.m,
-             CAST(s.embedding[mseq.m * {PQ_SUB} + 1 : mseq.m * {PQ_SUB} + {PQ_SUB}]
-                  AS DOUBLE[]) AS cwe
-      FROM embeddings s, mseq WHERE s.vec_id IN {PQ_SEED_IDS}),
-    cw2 AS (SELECT cid, m, cwe, list_dot_product(cwe, cwe) AS cw_ss FROM cw),
-    sub AS (
+def _pq_codebook_sql(iters: int) -> str:
+    """WITH-clause fragment mirroring _pq_codebook_plan: mseq + sub (all
+    sub-blocks) + cw2 = the codebook after ``iters`` unrolled Lloyd
+    steps.  Every iteration boundary rounds codeword dims to 6 digits
+    via an integer-exact scaled-BIGINT mean, so both engines carry
+    bitwise-identical codebooks into the next assignment (the property
+    that lets a compounding iterative algorithm pass a hash compare)."""
+    parts = [
+        f"mseq AS (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m)",
+        f"""sub AS (
       SELECT e.vec_id, mseq.m,
              CAST(e.embedding[mseq.m * {PQ_SUB} + 1 : mseq.m * {PQ_SUB} + {PQ_SUB}]
                   AS DOUBLE[]) AS sube
-      FROM embeddings e, mseq),
+      FROM embeddings e, mseq)""",
+        f"""cw_i0 AS (
+      SELECT vec_id AS cid, m, sube AS cwe, list_dot_product(sube, sube) AS cw_ss
+      FROM sub WHERE vec_id IN {PQ_SEED_IDS})""",
+    ]
+    prev = "cw_i0"
+    for i in range(1, iters + 1):
+        parts += [
+            f"""asg_i{i} AS (
+      SELECT s.m, c.cid, s.sube
+      FROM sub s JOIN {prev} c USING (m)
+      WHERE s.vec_id % {PQ_TRAIN_MOD} = {PQ_TRAIN_REM}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+          ORDER BY c.cw_ss - 2 * list_dot_product(s.sube, c.cwe), c.cid) = 1)""",
+            f"""mn_i{i} AS (
+      SELECT m, cid, j,
+             CAST(SUM(CAST(ROUND(sube[j] * 1e6) AS BIGINT)) AS BIGINT) AS s6,
+             COUNT(*) AS cnt
+      FROM asg_i{i}, UNNEST(generate_series(1, {PQ_SUB})) AS t(j)
+      GROUP BY m, cid, j)""",
+            f"""nc_i{i} AS (
+      SELECT m, cid, LIST(ROUND(s6 / cnt) / 1e6 ORDER BY j) AS cwe
+      FROM mn_i{i} GROUP BY m, cid)""",
+            f"""cw_i{i} AS (
+      SELECT p.m, p.cid, COALESCE(n.cwe, p.cwe) AS cwe,
+             list_dot_product(COALESCE(n.cwe, p.cwe), COALESCE(n.cwe, p.cwe)) AS cw_ss
+      FROM {prev} p LEFT JOIN nc_i{i} n ON n.m = p.m AND n.cid = p.cid)""",
+        ]
+        prev = f"cw_i{i}"
+    parts.append(f"cw2 AS (SELECT cid, m, cwe, cw_ss FROM {prev})")
+    return ",\n    ".join(parts)
+
+
+def _pq_topk_sql(iters: int, nq: int) -> str:
+    """Full PQ ADC + shortlist-re-rank oracle SQL against the
+    ``iters``-step codebook, for query vectors vec_id < ``nq`` — v11's
+    oracle at (PQ_ITERS, N_QUERY_VECS); v12's recall eval embeds it at
+    (PQ_ITERS, V12_NQ) as a subquery."""
+    return f"""
+    WITH {_pq_codebook_sql(iters)},
     codes AS (
       SELECT sub.vec_id, sub.m, cw2.cid AS code,
              CAST(ROUND(cw2.cw_ss * 1e6) AS BIGINT) AS cw_ss6
@@ -1139,7 +1262,7 @@ def _pq_index(spark, sf_dir):
       QUALIFY ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
           ORDER BY cw2.cw_ss - 2 * list_dot_product(sub.sube, cw2.cwe), cw2.cid) = 1),
     q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
-          WHERE vec_id < {N_QUERY_VECS}),
+          WHERE vec_id < {nq}),
     qparts AS (
       SELECT q.qid, cw2.m, cw2.cid AS code,
              CAST(ROUND(list_dot_product(
@@ -1173,12 +1296,42 @@ def _pq_index(spark, sf_dir):
     SELECT qid, vec_id, CAST(rnk AS INT) AS rnk,
            ROUND(approx, 4) AS approx_sim, ROUND(sim, 4) AS sim
     FROM ranked WHERE rnk <= {TOP_K} ORDER BY qid, rnk
-    """,
+    """
+
+
+@_register(
+    "v11_pq_topk",
+    f"Product-quantization top-{TOP_K}: each vector compressed to {PQ_M} "
+    f"codes (argmin-L2 codeword per {PQ_SUB}-dim sub-block; 16 codewords "
+    f"k-means-TRAINED from seed-vector init + {PQ_ITERS} Lloyd steps "
+    "over a deterministic sample — integer-exact 6-digit means keep the "
+    "compounding iteration oracle-checkable); queries score the WHOLE "
+    "corpus from the codes alone via ADC (sum of precomputed "
+    f"query·codeword partials), shortlist {PQ_SHORTLIST} by approximate "
+    f"cosine, then re-rank the shortlist exactly.  The memory path v5's "
+    "IVF doesn't cover: at 100 TB the float vectors don't fit hot "
+    "storage — PQ serves the scan from ~6% of the bytes (codes + one "
+    "broadcast codebook) and touches real vectors only for the "
+    "shortlist.  ADC partials and reconstruction norms accumulate as "
+    "6-digit-scaled BIGINTs, so the sums are integer-exact in any "
+    "accumulation order; shortlist rank ties break on round(approx, 6) "
+    "then vec_id.",
+    _pq_topk_sql(PQ_ITERS, N_QUERY_VECS),
     ("similarity", "ann", "pq", "pipeline"),
 )
 def v11(spark, sf_dir):
-    e, cw, codes = _pq_index(spark, sf_dir)
-    q = e.where(F.col("vec_id") < N_QUERY_VECS)
+    return _pq_topk_plan(spark, sf_dir, PQ_ITERS)
+
+
+def _pq_topk_plan(spark, sf_dir, iters: int, nq: int = N_QUERY_VECS):
+    """The full PQ ADC + shortlist-re-rank plan against the ``iters``-step
+    codebook for query vectors vec_id < ``nq`` — v11 runs it at
+    (PQ_ITERS, N_QUERY_VECS); v12's recall eval at (PQ_ITERS, V12_NQ);
+    the strictly-helps test also at iters=0.  The index artifacts
+    (codebook, codes) are nq-independent — only the broadcast query side
+    changes width."""
+    e, cw, codes = _pq_index(spark, sf_dir, iters)
+    q = e.where(F.col("vec_id") < nq)
     qsub = q.select(
         F.col("vec_id").alias("qid"),
         F.explode(F.expr(_subblock_expr("embedding", "qsube"))).alias("s"),
@@ -1240,6 +1393,80 @@ def v11(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# v12: PQ recall eval (the v9 twin for the PQ memory path)
+# ---------------------------------------------------------------------------
+V12_NQ = 50  # eval query set — wide enough that recall deltas are signal,
+# not 3-query noise (250 neighbor slots at k=5)
+
+
+def _exact_topk_v12(spark, sf_dir):
+    """Exact ground truth over the v12 eval query set, session-cached
+    (k rows per eval query — the same artifact class as _exact_topk)."""
+    return _session_cached(
+        spark,
+        sf_dir,
+        "exact_topk_v12",
+        lambda: _exact_topk_plan(spark, sf_dir, V12_NQ).localCheckpoint(eager=False),
+    )
+
+
+@_register(
+    "v12_pq_recall",
+    f"PQ calibration eval: recall@{TOP_K} of the trained-codebook ADC + "
+    f"shortlist-{PQ_SHORTLIST} re-rank (v11's plan) vs the exact "
+    f"brute-force top-{TOP_K}, over a {V12_NQ}-query eval set — the "
+    "number that tells an operator whether the ~6%-of-bytes PQ serving "
+    "path is usable before pointing it at the corpus, exactly as v9 "
+    "calibrates IVF's nprobe and v6 LSH's banding.  The eval ground "
+    "truth is a session-index artifact (k rows per eval query); the PQ "
+    "side re-executes its real ADC + re-rank plan against the cached "
+    "codes, so the measured cost is the serving path itself.",
+    f"""
+    WITH qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                WHERE vec_id < {V12_NQ}),
+    corpus AS (SELECT vec_id, embedding FROM embeddings),
+    scored AS (
+      SELECT qv.qid, c.vec_id,
+             {_COS_SQL.format(a="qv.qe", b="c.embedding")} AS sim
+      FROM qv, corpus c WHERE qv.qid <> c.vec_id),
+    exact AS (
+      SELECT qid, vec_id FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY sim DESC, vec_id) <= {TOP_K}),
+    pq AS (SELECT qid, vec_id FROM ({_pq_topk_sql(PQ_ITERS, V12_NQ)}))
+    SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_topk,
+           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_recovered,
+           ROUND(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS recall
+    FROM exact e LEFT JOIN pq p ON p.qid = e.qid AND p.vec_id = e.vec_id
+    GROUP BY e.qid ORDER BY e.qid
+    """,
+    ("similarity", "ann", "pq", "eval", "calibration", "pipeline"),
+)
+def v12(spark, sf_dir):
+    exact = _exact_topk_v12(spark, sf_dir).select("qid", "vec_id")
+    pq = _pq_topk_plan(spark, sf_dir, PQ_ITERS, V12_NQ).select(
+        "qid", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(pq, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_topk"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_recovered"),
+        )
+        .select(
+            "qid",
+            "n_topk",
+            "n_recovered",
+            F.round(F.col("n_recovered") / F.col("n_topk"), 4).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
 # apply the oracle-side validity gate to every similarity query above
 # (the engine side gates once, in _emb; v10 is exempt by design — it is
 # the monitor that reports what the gate excludes)
@@ -1258,6 +1485,7 @@ for _name in (
     "v8_embedding_clusters",
     "v9_ivf_recall",
     "v11_pq_topk",
+    "v12_pq_recall",
 ):
     QUERIES[_name] = _dc.replace(QUERIES[_name], oracle=_gate_oracle(QUERIES[_name].oracle))
 del _name

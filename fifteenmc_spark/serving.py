@@ -32,6 +32,7 @@ def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         SIG_PLANES,
         _emb,
         _exact_topk,
+        _exact_topk_v12,
         _ivf_cells_probes,
         _pq_index,
         _sig,
@@ -45,6 +46,7 @@ def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     _, _, pq_codes = _pq_index(spark, sf_dir)
     counts["pq_codes"] = pq_codes.count()
     counts["exact_topk"] = _exact_topk(spark, sf_dir).count()
+    counts["exact_topk_v12"] = _exact_topk_v12(spark, sf_dir).count()
     counts["shingles"] = shingle_index(spark, sf_dir).count()
     counts["mh_sig16"] = minhash_sig_index(spark, sf_dir).count()
     counts["simhash16"] = simhash_code_index(spark, sf_dir).count()

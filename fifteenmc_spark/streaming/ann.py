@@ -33,8 +33,10 @@ Design, stage by stage:
   (vec_id, sim) pair already in the top-k replaces itself).  Idle
   queries evict on a processing-time timeout, the same bounded-state
   discipline as the dedup registries.  Each invocation emits the
-  query's updated full top-k; the final emission per qid is the answer
-  (with availableNow and one delivery, the only emission).
+  query's updated full top-k stamped with a monotonically increasing
+  per-qid ``rev``; the emission with the highest rev is the current
+  answer, so a downstream consumer does a keep-last-rev upsert (with
+  availableNow and one delivery there is exactly one rev).
 """
 
 from __future__ import annotations
@@ -66,14 +68,22 @@ OUTPUT_SCHEMA = StructType(
         StructField("vec_id", LongType()),
         StructField("rnk", IntegerType()),
         StructField("sim", DoubleType()),
+        # monotonically increasing per-qid revision: append mode re-emits
+        # the query's FULL current top-k whenever a micro-batch touches
+        # it, so when candidates span micro-batches a consumer sees
+        # several top-k sets for one qid — the row set with the highest
+        # rev is the current answer (keep-last-rev upsert downstream;
+        # r8 ADVICE: without the marker the sets were unidentifiable)
+        StructField("rev", LongType()),
     ]
 )
 
-# state = the query's current top-k as parallel arrays
+# state = the query's current top-k as parallel arrays + emission revision
 STATE_SCHEMA = StructType(
     [
         StructField("vec_ids", ArrayType(LongType())),
         StructField("sims", ArrayType(DoubleType())),
+        StructField("rev", LongType()),
     ]
 )
 
@@ -110,14 +120,15 @@ def _merge_factory(k: int, ttl_ms: int):
         if state.hasTimedOut:
             state.remove()
             return
-        vec_ids, sims = state.get if state.exists else ([], [])
+        vec_ids, sims, rev = state.get if state.exists else ([], [], 0)
         best = dict(zip((int(v) for v in vec_ids), (float(s) for s in sims)))
         for pdf in pdfs:
             for vec_id, sim in zip(pdf["vec_id"].tolist(), pdf["sim"].tolist()):
                 best[int(vec_id)] = float(sim)  # re-delivery replaces itself
         # keep the k best by (sim desc, vec_id asc) — the batch rank order
         top = sorted(best.items(), key=lambda t: (-t[1], t[0]))[:k]
-        state.update(([v for v, _ in top], [s for _, s in top]))
+        rev = int(rev) + 1
+        state.update(([v for v, _ in top], [s for _, s in top], rev))
         state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             {
@@ -125,6 +136,7 @@ def _merge_factory(k: int, ttl_ms: int):
                 "vec_id": [v for v, _ in top],
                 "rnk": list(range(1, len(top) + 1)),
                 "sim": [round(s, 4) for _, s in top],
+                "rev": [rev] * len(top),
             }
         )
 

@@ -111,13 +111,71 @@ def test_warm_session_index_materializes_all_artifacts(spark, sf_small):
 
     counts = warm_session_index(spark, sf_small)
     assert set(counts) == {
-        "emb", "sig16", "ivf_cells", "exact_topk", "pq_codes",
-        "shingles", "mh_sig16", "simhash16", "simhash64",
+        "emb", "sig16", "ivf_cells", "exact_topk", "exact_topk_v12",
+        "pq_codes", "shingles", "mh_sig16", "simhash16", "simhash64",
     }
     assert all(n > 0 for n in counts.values()), counts
     # every artifact (plus the max-df stat) is now resident in the cache
     app = spark.sparkContext.applicationId
     keys = {k[2] for k in SI._SESSION_INDEX if k[0] == app and k[1] == sf_small}
     assert {"emb", "sig16", "ivf_scored", "ivf_cells", "exact_topk",
-            "shingles", "mh_sig16", "simhash16", "simhash64", "max_df",
-            "pq_codewords", "pq_codes"} <= keys
+            "exact_topk_v12", "shingles", "mh_sig16", "simhash16",
+            "simhash64", "max_df", "pq_codewords", "pq_codes"} <= keys
+
+
+def test_pq_training_strictly_improves_recall(spark, sf_small):
+    # The Lloyd-trained codebook (PQ_ITERS steps over the deterministic
+    # sample) must recover strictly more of the exact top-k than the raw
+    # seed-vector init it starts from — the r8 verdict's acceptance bar
+    # for replacing the untrained codebook.  Measured over the v12 eval
+    # set (V12_NQ queries x TOP_K slots) so the delta is signal, not
+    # 3-query noise; at this SF the measured gap is ~86 -> ~107 of 250.
+    from fifteenmc_spark.operators.similarity import (
+        PQ_ITERS,
+        V12_NQ,
+        _exact_topk_v12,
+        _pq_topk_plan,
+    )
+
+    exact = {
+        (r.qid, r.vec_id)
+        for r in _exact_topk_v12(spark, sf_small).select("qid", "vec_id").collect()
+    }
+    hits = {}
+    for iters in (0, PQ_ITERS):
+        got = {
+            (r.qid, r.vec_id)
+            for r in _pq_topk_plan(spark, sf_small, iters, V12_NQ)
+            .select("qid", "vec_id")
+            .collect()
+        }
+        hits[iters] = len(exact & got)
+    assert hits[PQ_ITERS] > hits[0], hits
+
+
+def test_invalidate_evicts_sf_dir_entries(spark, sf_small, tmp_path):
+    # direct: only the named sf_dir's entries drop
+    SI.session_cached(spark, "/tmp/si_a", "k1", lambda: 1)
+    SI.session_cached(spark, "/tmp/si_b", "k1", lambda: 2)
+    assert SI.invalidate("/tmp/si_a") == 1
+    app = spark.sparkContext.applicationId
+    assert (app, "/tmp/si_a", "k1") not in SI._SESSION_INDEX
+    assert (app, "/tmp/si_b", "k1") in SI._SESSION_INDEX
+    # via the parquet sink: rewriting a table INTO a cached sf_dir evicts
+    # that dir's entries, so consumers rebuild from the new data instead
+    # of serving the stale checkpoint (the r8 ADVICE staleness hazard)
+    from fifteenmc_spark.io import read_table, write_parquet
+
+    d = str(tmp_path)
+    write_parquet(spark.range(3).toDF("doc_id"), d + "/documents.parquet")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return read_table(spark, d, "documents").count()
+
+    assert SI.session_cached(spark, d, "n_docs", build) == 3
+    write_parquet(spark.range(5).toDF("doc_id"), d + "/documents.parquet")
+    assert SI.session_cached(spark, d, "n_docs", build) == 5
+    assert calls["n"] == 2
+    SI.invalidate()  # leave no test residue for other cases

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from fifteenmc_spark.io import read_table
@@ -469,6 +470,26 @@ def test_streaming_ann_topk_equals_batch_v5_and_v1(spark, sf_small, tmp_path_fac
     # distinct rows must equal the batch answer exactly
     got = rows_of(spark.table("sink_ann_v5").distinct())
     assert got == want_v5
+    # rev contract: every emission carries a monotonically increasing
+    # per-qid revision, so a consumer identifies the current answer by
+    # keep-last-rev even when emissions conflict across micro-batches —
+    # the re-delivered qid 0 has two revisions, fresh qids one, and the
+    # max-rev row set per qid IS the batch answer
+    sink = spark.table("sink_ann_v5")
+    revs = {
+        r["qid"]: r["nrev"]
+        for r in sink.groupBy("qid").agg(
+            F.countDistinct("rev").alias("nrev")
+        ).collect()
+    }
+    assert revs[0] == 2 and all(n == 1 for q, n in revs.items() if q != 0), revs
+    wmax = Window.partitionBy("qid")
+    latest = (
+        sink.withColumn("maxrev", F.max("rev").over(wmax))
+        .where(F.col("rev") == F.col("maxrev"))
+        .drop("maxrev", "rev")
+    )
+    assert rows_of(latest) == want_v5
 
     # probing EVERY cell = the exact baseline (one batch is enough here)
     stream1 = spark.readStream.schema(queries.schema).parquet(str(out) + "/f1/")
@@ -478,3 +499,54 @@ def test_streaming_ann_topk_equals_batch_v5_and_v1(spark, sf_small, tmp_path_fac
         output_mode="append",
     )
     assert rows_of(spark.table("sink_ann_v1").distinct()) == want_v1
+
+
+def test_streaming_span_registry_equals_batch_x9(spark, sf_small, tmp_path_factory):
+    # stream≡batch contract for the span registry (x9's online twin —
+    # the last dedup family with a bounded-state form): the distinct
+    # flagged (doc_id, pos, h) set over a bounded stream equals the
+    # declared x9 span set, including occurrences flagged RETROACTIVELY
+    # when a span's second document arrives in a later micro-batch
+    import time
+
+    from fifteenmc_spark.operators.relational import QUERIES
+    from fifteenmc_spark.streaming import span_dedup as SD
+
+    want = {
+        (r["doc_id"], r["pos"], r["h"])
+        for r in QUERIES["x9_span_dedup"].build(spark, sf_small).collect()
+    }
+    assert want  # fixture corpus has cross-doc duplicate spans
+
+    docs = read_table(spark, sf_small, "documents")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+
+    def chunk_of(i):
+        return 0 if i < cut else 1
+
+    out = tmp_path_factory.mktemp("span_stream")
+    # chunk 0, then chunk 1 PLUS a re-delivery of chunk 0 (at-least-once)
+    docs.where(F.col("doc_id") < cut).coalesce(1).write.mode("overwrite").parquet(
+        str(out / "f0")
+    )
+    time.sleep(1.1)  # file-source orders micro-batches by mod time
+    docs.coalesce(1).write.mode("overwrite").parquet(str(out / "f1"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out) + "/*/")
+    )
+    W.run_to_memory(SD.flag_dup_spans(stream), "sink_span_dedup", output_mode="append")
+    got = {
+        (r["doc_id"], r["pos"], r["h"])
+        for r in SD.distinct_flagged(spark.table("sink_span_dedup")).collect()
+    }
+    assert got == want
+    # at least one span's two documents straddle the micro-batch cut —
+    # i.e. the registry really flagged chunk-0 occurrences retroactively
+    by_h = {}
+    for d, _p, h in got:
+        by_h.setdefault(h, set()).add(chunk_of(d))
+    assert any(chunks == {0, 1} for chunks in by_h.values())
