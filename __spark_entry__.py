@@ -43,6 +43,7 @@ _CHECK_FIRST = (
     "v11_pq_topk",
     "x9_span_dedup",
     "v12_pq_recall",
+    "v13_ivfpq_topk",
     # newest driver row is r7 — rotate back through (verdict r8 item 6)
     "d9_cube",
     "d10_topk_per_group",
@@ -90,7 +91,6 @@ _CHECK_FIRST = (
     "x8_decontaminate",
     "x1_dedup_exact",
     "t5_corpus_stats",
-    "m4_frame_dedup",
 )
 
 

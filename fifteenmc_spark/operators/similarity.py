@@ -1248,13 +1248,11 @@ def _pq_codebook_sql(iters: int) -> str:
     return ",\n    ".join(parts)
 
 
-def _pq_topk_sql(iters: int, nq: int) -> str:
-    """Full PQ ADC + shortlist-re-rank oracle SQL against the
-    ``iters``-step codebook, for query vectors vec_id < ``nq`` — v11's
-    oracle at (PQ_ITERS, N_QUERY_VECS); v12's recall eval embeds it at
-    (PQ_ITERS, V12_NQ) as a subquery."""
-    return f"""
-    WITH {_pq_codebook_sql(iters)},
+def _pq_adc_ctes(iters: int, nq: int) -> str:
+    """CTE fragment shared by the PQ oracles (v11 full-corpus, v12 eval,
+    v13 IVF-pruned): trained codebook (cw2), per-vector codes, query
+    side (q, qparts — unit-normalized, see _pq_query_side)."""
+    return f"""{_pq_codebook_sql(iters)},
     codes AS (
       SELECT sub.vec_id, sub.m, cw2.cid AS code,
              CAST(ROUND(cw2.cw_ss * 1e6) AS BIGINT) AS cw_ss6
@@ -1266,19 +1264,18 @@ def _pq_topk_sql(iters: int, nq: int) -> str:
     qparts AS (
       SELECT q.qid, cw2.m, cw2.cid AS code,
              CAST(ROUND(list_dot_product(
-                 q.qe[cw2.m * {PQ_SUB} + 1 : cw2.m * {PQ_SUB} + {PQ_SUB}], cw2.cwe) * 1e6)
+                 q.qe[cw2.m * {PQ_SUB} + 1 : cw2.m * {PQ_SUB} + {PQ_SUB}], cw2.cwe)
+                 / SQRT(list_dot_product(q.qe, q.qe)) * 1e6)
                   AS BIGINT) AS qdot6
-      FROM q, cw2),
-    qss AS (SELECT qid, list_dot_product(qe, qe) AS qss FROM q),
-    adc AS (
-      SELECT qp.qid, c.vec_id,
-             CAST(SUM(qp.qdot6) AS DOUBLE) / 1e6 AS adc,
-             CAST(SUM(c.cw_ss6) AS DOUBLE) / 1e6 AS recon_ss
-      FROM codes c JOIN qparts qp ON qp.m = c.m AND qp.code = c.code
-      GROUP BY qp.qid, c.vec_id),
-    appx AS (
-      SELECT a.qid, a.vec_id, a.adc / (SQRT(s.qss) * SQRT(a.recon_ss)) AS approx
-      FROM adc a JOIN qss s USING (qid) WHERE a.vec_id <> a.qid),
+      FROM q, cw2)"""
+
+
+# PQ back half (assumes CTEs `adc` and `q` are in scope; the query side
+# is unit-normalized, so only the reconstruction norm divides):
+# approximate cosine -> shortlist -> exact re-rank -> formatted top-k
+_PQ_TAIL_SQL = f"""appx AS (
+      SELECT a.qid, a.vec_id, a.adc / SQRT(a.recon_ss) AS approx
+      FROM adc a WHERE a.vec_id <> a.qid),
     shortlist AS (
       SELECT qid, vec_id, approx FROM appx
       QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
@@ -1295,7 +1292,23 @@ def _pq_topk_sql(iters: int, nq: int) -> str:
       FROM rer)
     SELECT qid, vec_id, CAST(rnk AS INT) AS rnk,
            ROUND(approx, 4) AS approx_sim, ROUND(sim, 4) AS sim
-    FROM ranked WHERE rnk <= {TOP_K} ORDER BY qid, rnk
+    FROM ranked WHERE rnk <= {TOP_K} ORDER BY qid, rnk"""
+
+
+def _pq_topk_sql(iters: int, nq: int) -> str:
+    """Full-corpus PQ ADC + shortlist-re-rank oracle SQL against the
+    ``iters``-step codebook, for query vectors vec_id < ``nq`` — v11's
+    oracle at (PQ_ITERS, N_QUERY_VECS); v12's recall eval embeds it at
+    (PQ_ITERS, V12_NQ) as a subquery."""
+    return f"""
+    WITH {_pq_adc_ctes(iters, nq)},
+    adc AS (
+      SELECT qp.qid, c.vec_id,
+             CAST(SUM(qp.qdot6) AS DOUBLE) / 1e6 AS adc,
+             CAST(SUM(c.cw_ss6) AS DOUBLE) / 1e6 AS recon_ss
+      FROM codes c JOIN qparts qp ON qp.m = c.m AND qp.code = c.code
+      GROUP BY qp.qid, c.vec_id),
+    {_PQ_TAIL_SQL}
     """
 
 
@@ -1323,47 +1336,47 @@ def v11(spark, sf_dir):
     return _pq_topk_plan(spark, sf_dir, PQ_ITERS)
 
 
-def _pq_topk_plan(spark, sf_dir, iters: int, nq: int = N_QUERY_VECS):
-    """The full PQ ADC + shortlist-re-rank plan against the ``iters``-step
-    codebook for query vectors vec_id < ``nq`` — v11 runs it at
-    (PQ_ITERS, N_QUERY_VECS); v12's recall eval at (PQ_ITERS, V12_NQ);
-    the strictly-helps test also at iters=0.  The index artifacts
-    (codebook, codes) are nq-independent — only the broadcast query side
-    changes width."""
-    e, cw, codes = _pq_index(spark, sf_dir, iters)
+def _pq_query_side(e, cw, nq: int):
+    """(q, qparts): the broadcast-small ADC query side.  qparts is one
+    row per (qid, m, codeword) — |queries|×M×16 regardless of corpus
+    size, the lookup table ADC sums partials from.
+
+    Partials are computed against the UNIT query vector (each sub-dot
+    divided by the full query norm before the 1e6 scaling): cosine is
+    scale-invariant in q, and normalizing here makes the fixed-point
+    query path scale-FREE — an arbitrary-magnitude arriving query (the
+    edge corpus carries 1e30-per-element vectors that pass the validity
+    gate) cannot overflow the BIGINT partials.  The index side's
+    headroom is a documented precondition instead: cw_ss6 needs
+    |codeword|² × 1e6 < 2^63, i.e. codeword magnitudes ≲ 1e6, which the
+    training sample satisfies for any sanely-scaled embedding corpus
+    (typical normalized embeddings are O(1) per element)."""
     q = e.where(F.col("vec_id") < nq)
     qsub = q.select(
         F.col("vec_id").alias("qid"),
+        norm2(F.col("embedding")).alias("qnorm"),
         F.explode(F.expr(_subblock_expr("embedding", "qsube"))).alias("s"),
-    ).select("qid", F.col("s.m").alias("m"), F.col("s.qsube").alias("qsube"))
-    # one row per (qid, m, codeword): the ADC lookup table — 192 rows,
-    # broadcast; at scale it stays |queries|×M×16 regardless of corpus size
+    ).select("qid", "qnorm", F.col("s.m").alias("m"), F.col("s.qsube").alias("qsube"))
     qparts = qsub.join(cw, "m").select(
         "qid",
         "m",
         F.col("cid").alias("code"),
-        F.round(dot_double(F.col("qsube"), F.col("cwe")) * 1e6).cast("bigint").alias("qdot6"),
+        F.round(dot_double(F.col("qsube"), F.col("cwe")) / F.col("qnorm") * 1e6)
+        .cast("bigint")
+        .alias("qdot6"),
     )
-    qss = q.select(
-        F.col("vec_id").alias("qid"),
-        dot_double(F.col("embedding"), F.col("embedding")).alias("qss"),
-    )
-    adc = (
-        codes.join(F.broadcast(qparts), ["m", "code"])
-        .groupBy("qid", "vec_id")
-        .agg(
-            (F.sum("qdot6").cast("double") / 1e6).alias("adc"),
-            (F.sum("cw_ss6").cast("double") / 1e6).alias("recon_ss"),
-        )
-    )
-    appx = (
-        adc.join(F.broadcast(qss), "qid")
-        .where(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            (F.col("adc") / (F.sqrt("qss") * F.sqrt("recon_ss"))).alias("approx"),
-        )
+    return q, qparts
+
+
+def _pq_rank_tail(e, q, adc):
+    """Shared PQ back half (v11 full-corpus ADC, v13 cell-pruned ADC):
+    approximate cosine from the ADC sums (the query side is already
+    unit-normalized, so only the reconstruction norm divides), shortlist,
+    exact re-rank, formatted top-k."""
+    appx = adc.where(F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        (F.col("adc") / F.sqrt("recon_ss")).alias("approx"),
     )
     wshort = Window.partitionBy("qid").orderBy(F.round("approx", 6).desc(), "vec_id")
     shortlist = (
@@ -1390,6 +1403,26 @@ def _pq_topk_plan(spark, sf_dir, iters: int, nq: int = N_QUERY_VECS):
         )
         .orderBy("qid", "rnk")
     )
+
+
+def _pq_topk_plan(spark, sf_dir, iters: int, nq: int = N_QUERY_VECS):
+    """The full PQ ADC + shortlist-re-rank plan against the ``iters``-step
+    codebook for query vectors vec_id < ``nq`` — v11 runs it at
+    (PQ_ITERS, N_QUERY_VECS); v12's recall eval at (PQ_ITERS, V12_NQ);
+    the strictly-helps test also at iters=0.  The index artifacts
+    (codebook, codes) are nq-independent — only the broadcast query side
+    changes width."""
+    e, cw, codes = _pq_index(spark, sf_dir, iters)
+    q, qparts = _pq_query_side(e, cw, nq)
+    adc = (
+        codes.join(F.broadcast(qparts), ["m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            (F.sum("qdot6").cast("double") / 1e6).alias("adc"),
+            (F.sum("cw_ss6").cast("double") / 1e6).alias("recon_ss"),
+        )
+    )
+    return _pq_rank_tail(e, q, adc)
 
 
 # ---------------------------------------------------------------------------
@@ -1467,6 +1500,76 @@ def v12(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# v13: IVF-PQ (IVFADC) — coarse cells prune, PQ codes score, exact re-rank
+# ---------------------------------------------------------------------------
+@_register(
+    "v13_ivfpq_topk",
+    f"IVF-PQ top-{TOP_K} (the IVFADC architecture, Jégou et al. 2011 — "
+    "the composition that actually serves billion-vector indexes): the "
+    f"coarse quantizer prunes the corpus to each query's {N_PROBE} "
+    "probed cells (v5's index), the survivors are scored by ADC over "
+    f"their {PQ_M} PQ codes (v11's codes — no vector bytes touched), "
+    f"and the {PQ_SHORTLIST}-candidate shortlist is re-ranked exactly.  "
+    "At 100 TB: cells bound the FRACTION of the index a query reads "
+    "(nprobe/ncells), PQ bounds the BYTES per read entry (~6%), and the "
+    "exact path touches only the shortlist — the two prunings compose "
+    "multiplicatively, which neither v5 (full vectors in probed cells) "
+    "nor v11 (codes for the whole corpus) achieves alone.  Same "
+    "integer-exact ADC accumulation and tie-breaks as v11; candidate "
+    "cells and the ADC lookup table broadcast, the codes table never "
+    "shuffles.",
+    f"""
+    WITH {_pq_adc_ctes(PQ_ITERS, N_QUERY_VECS)},
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id IN {IVF_SEED_IDS}),
+    ivfranked AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COS_SQL.format(a="e.embedding", b="c.ce")} DESC, c.cid) AS rn
+      FROM embeddings e, c),
+    cells AS (SELECT vec_id, cid AS cell FROM ivfranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cid AS cell FROM ivfranked
+               WHERE vec_id < {N_QUERY_VECS} AND rn <= {N_PROBE}),
+    cand AS (
+      SELECT p.qid, x.vec_id
+      FROM probes p JOIN cells x ON x.cell = p.cell AND x.vec_id <> p.qid),
+    adc AS (
+      SELECT cd.qid, c2.vec_id,
+             CAST(SUM(qp.qdot6) AS DOUBLE) / 1e6 AS adc,
+             CAST(SUM(c2.cw_ss6) AS DOUBLE) / 1e6 AS recon_ss
+      FROM codes c2
+      JOIN cand cd ON cd.vec_id = c2.vec_id
+      JOIN qparts qp ON qp.qid = cd.qid AND qp.m = c2.m AND qp.code = c2.code
+      GROUP BY cd.qid, c2.vec_id),
+    {_PQ_TAIL_SQL}
+    """,
+    ("similarity", "ann", "ivf", "pq", "pipeline"),
+)
+def v13(spark, sf_dir):
+    e, cw, codes = _pq_index(spark, sf_dir)
+    _, cells, probes = _ivf_cells_probes(spark, sf_dir, N_PROBE)
+    q, qparts = _pq_query_side(e, cw, N_QUERY_VECS)
+    # (qid, vec_id) survivors of the coarse pruning — |queries| ×
+    # (nprobe/ncells × corpus) rows, the candidate list a serving batch
+    # materializes anyway; broadcast-small per batch
+    cand = (
+        cells.join(F.broadcast(probes.select("qid", "cell")), "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    adc = (
+        codes.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qparts), ["qid", "m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            (F.sum("qdot6").cast("double") / 1e6).alias("adc"),
+            (F.sum("cw_ss6").cast("double") / 1e6).alias("recon_ss"),
+        )
+    )
+    return _pq_rank_tail(e, q, adc)
+
+
+# ---------------------------------------------------------------------------
 # apply the oracle-side validity gate to every similarity query above
 # (the engine side gates once, in _emb; v10 is exempt by design — it is
 # the monitor that reports what the gate excludes)
@@ -1486,6 +1589,7 @@ for _name in (
     "v9_ivf_recall",
     "v11_pq_topk",
     "v12_pq_recall",
+    "v13_ivfpq_topk",
 ):
     QUERIES[_name] = _dc.replace(QUERIES[_name], oracle=_gate_oracle(QUERIES[_name].oracle))
 del _name

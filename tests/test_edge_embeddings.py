@@ -36,6 +36,9 @@ V_QUERIES = [
     "v8_embedding_clusters",
     "v9_ivf_recall",
     "v10_embedding_validity",
+    "v11_pq_topk",
+    "v12_pq_recall",
+    "v13_ivfpq_topk",
 ]
 
 

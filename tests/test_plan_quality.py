@@ -284,3 +284,15 @@ def test_x9_span_kernel_executes_once(spark, sf_small):
     # and the parquet scan of documents is gone from the final plan — the
     # only corpus read happens inside the (single) checkpoint job
     assert "Scan parquet" not in tree
+
+
+def test_v13_ivfpq_is_all_equi_joins_with_broadcast_small_sides(spark, sf_small):
+    # IVFADC composes two prunings; its plan must stay equi-join-only —
+    # candidate cells, the ADC lookup table, and the query side all
+    # broadcast, the codes table never sits on the build side of a
+    # nested loop and nothing degenerates to an all-pairs product
+    df = QUERIES["v13_ivfpq_topk"].build(spark, sf_small)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
