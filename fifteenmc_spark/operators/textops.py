@@ -1019,7 +1019,17 @@ def t9(spark, sf_dir):
         .select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
         .where(F.col("token") != "")
     )
-    dt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("k"))
+    # pin dt: it feeds the vocab aggregate, the corpus total, AND the
+    # scoring join, and none of the three exchanges match (doc/token vs
+    # token vs the join's), so exchange reuse never fires — unpinned,
+    # the executed plan re-ran tokenize+explode+partial-agg three times
+    # (3 parquet scans measured).  At 100 TB that is two redundant full
+    # corpus passes; the checkpoint is the same idiom as x9's span table.
+    dt = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
     vocab = dt.groupBy("token").agg(F.sum("k").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     sc = (

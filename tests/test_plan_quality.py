@@ -296,3 +296,17 @@ def test_v13_ivfpq_is_all_equi_joins_with_broadcast_small_sides(spark, sf_small)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_t9_tokenize_executes_once(spark, sf_small):
+    # t9's (doc, term, k) table feeds three consumers (vocab, total,
+    # scoring join) whose exchanges all differ, so without the pin the
+    # tokenize+explode+partial-agg subtree executed three times (three
+    # parquet scans in the executed plan).  With the checkpoint the
+    # final plan reads only the materialized RDD — no parquet scan, no
+    # explode downstream.
+    df = QUERIES["t9_unigram_logprob"].build(spark, sf_small)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in tree
+    assert "Generate explode" not in tree
+    assert tree.count("Scan ExistingRDD") >= 2
