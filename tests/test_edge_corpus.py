@@ -49,6 +49,9 @@ EDGE_QUERIES = [
     "t6_vocab_topk",
     "t7_repetition",
     "t8_length_quantiles",
+    # t9 on pathological docs: NULL/empty/whitespace-only contribute no
+    # tokens to the vocab or the per-doc scores on either engine
+    "t9_unigram_logprob",
     "p2_hash_split",
     "p4_stratified_sample",
     "p5_chunk_dedup",
@@ -61,6 +64,10 @@ EDGE_QUERIES = [
     "x4_simhash_64",
     "x6_simhash_hamming_64",
     "x5_ngram_jaccard",
+    # x9 on pathological docs: only the three identical >=8-token docs
+    # produce cross-doc duplicate spans; below-width/NULL/empty docs
+    # contribute no span rows on either engine
+    "x9_span_dedup",
     "m1_asset_meta",
     "m2_feature_extract",
     "m3_frame_sample",

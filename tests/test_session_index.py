@@ -179,3 +179,50 @@ def test_invalidate_evicts_sf_dir_entries(spark, sf_small, tmp_path):
     assert SI.session_cached(spark, d, "n_docs", build) == 5
     assert calls["n"] == 2
     SI.invalidate()  # leave no test residue for other cases
+
+
+def test_pq_lloyd_step_never_increases_sample_mse(spark, sf_small):
+    # Lloyd's algorithm guarantee: each assign+recenter step is
+    # non-increasing in the training sample's quantization MSE (exact
+    # for unrounded means; the 6-digit mean rounding can perturb by at
+    # most ~1e-6 per dim, covered by eps).  This pins the training loop
+    # as an actual descent method, independent of the recall outcome.
+    import numpy as np
+
+    from fifteenmc_spark.operators.similarity import (
+        PQ_ITERS,
+        PQ_M,
+        PQ_SUB,
+        PQ_TRAIN_MOD,
+        PQ_TRAIN_REM,
+        _emb,
+        _pq_codebook_plan,
+    )
+
+    samp = (
+        _emb(spark, sf_small)
+        .where(F.col("vec_id") % PQ_TRAIN_MOD == PQ_TRAIN_REM)
+        .select("embedding")
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in samp], dtype=np.float64)
+    assert len(X) >= 16  # sample big enough to move all codewords
+
+    def sample_mse(iters):
+        cw = _pq_codebook_plan(spark, sf_small, iters).collect()
+        books = {}
+        for r in cw:
+            books.setdefault(r["m"], []).append(np.array(r["cwe"], dtype=np.float64))
+        total = 0.0
+        for m in range(PQ_M):
+            sub = X[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            C = np.stack(books[m])
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            total += d2.min(axis=1).sum()
+        return total / (len(X) * PQ_M)
+
+    mses = [sample_mse(i) for i in range(PQ_ITERS + 1)]
+    eps = 1e-3  # headroom for the 6-digit codeword rounding
+    assert all(b <= a + eps for a, b in zip(mses, mses[1:])), mses
+    # ...and the first step strictly improves on this corpus
+    assert mses[1] < mses[0], mses
