@@ -90,7 +90,7 @@ _CHECK_FIRST = (
     "x5_ngram_jaccard_capped",
     "x8_decontaminate",
     "x1_dedup_exact",
-    "t5_corpus_stats",
+    "x9_span_dedup_sampled",
 )
 
 

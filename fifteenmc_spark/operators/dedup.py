@@ -1682,14 +1682,16 @@ def span_rows(d):
     "is ~L rows per doc (one per token position), so it is the dominant "
     f"shuffle — ~L×{SPAN_W}× the x1 hash volume.  Mitigations, in the "
     "order a real pipeline applies them: (a) widen SPAN_W (halves rows "
-    "per doubling, at recall cost for short duplicates); (b) stride "
-    "sampling — hash every s-th window and re-expand matches locally, "
-    "a window survives iff stride ≤ W (Lee et al. 2022 use the same "
-    "argument for suffix-array seed thresholds); (c) a frequency "
-    "prefilter before the join-back, dropping singleton hashes with a "
-    "bloom/count-min pass so the join input is only plausibly-dup "
-    "spans.  All three keep the shuffle key (md5, doc_id, pos)-shaped; "
-    "none change the dup test.",
+    "per doubling, at recall cost for short duplicates); (b) hash-mod "
+    "sampling — shuffle only spans whose HASH falls in a 1/s bucket "
+    "(x9_sampled below; content-keyed, so a duplicated span is sampled "
+    "in ALL its occurrences or none — positional stride would sample "
+    "different windows of the same shared region in docs whose offsets "
+    "differ mod s and miss the match); (c) a frequency prefilter before "
+    "the join-back, dropping singleton hashes with a bloom/count-min "
+    "pass so the join input is only plausibly-dup spans.  All three "
+    "keep the shuffle key (md5, doc_id, pos)-shaped; none change the "
+    "dup test.",
     f"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS tk
@@ -1725,6 +1727,14 @@ def x9(spark, sf_dir):
     # reuse can never dedupe the tokenize+window+md5 scan — without this
     # the kernel executes twice (the r8 judge's one plan defect)
     spans = span_rows(d).localCheckpoint(eager=False)
+    return _span_dup(spans)
+
+
+def _span_dup(spans):
+    """Shared x9 back half: flag every span whose hash appears in more
+    than one document (min≠max doc over the hash — two map-side-
+    combinable aggregates), join the counts back, order for
+    presentation.  ``spans`` must already be pinned by the caller."""
     dup = (
         spans.groupBy("h")
         .agg(
@@ -1736,3 +1746,53 @@ def x9(spark, sf_dir):
         .select("h", "n_occ")
     )
     return spans.join(dup, "h").select("doc_id", "pos", "h", "n_occ").orderBy("doc_id", "pos")
+
+
+# hash-mod sampling rate for x9_sampled: spans whose first hex nibble is
+# 0-3 = exactly 4/16 of the md5 space -> a 1/4 shuffle
+X9_SAMPLE_NIBBLES = ("0", "1", "2", "3")
+
+
+@_register(
+    "x9_span_dedup_sampled",
+    f"x9's sizing mitigation (b) as a tested operator: duplicate-span "
+    "detection over a hash-mod SAMPLE of the span table — only spans "
+    f"whose md5 starts with a nibble in {X9_SAMPLE_NIBBLES} (exactly "
+    "1/4 of the hash space) enter the shuffle.  The sample is keyed on "
+    "CONTENT, so a duplicated span is sampled in ALL its occurrences "
+    "or none: recall over individual spans is exactly the sampling "
+    "rate, and recall over a duplicated REGION c windows long is "
+    "1-(1-1/s)^c (independent window hashes) — a positional stride "
+    "would instead sample non-matching windows of the same shared "
+    "region whenever two docs' offsets differ mod s and silently miss "
+    "it.  Scale shape: the filter sits scan-side BETWEEN the hash "
+    "projection and the exchange, so the md5 pass still covers the "
+    "corpus (cheap codegen) while the dominant cost — the span-table "
+    "shuffle the x9 docstring sizes at ~L rows/doc — drops by s.",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS tk
+      FROM documents WHERE TRIM(text) <> ''),
+    sp AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             md5(array_to_string(tk[i:i+{SPAN_W - 1}], ' ')) AS h
+      FROM toks, UNNEST(generate_series(1, LEN(tk) - {SPAN_W} + 1)) AS t(i)
+      WHERE LEN(tk) >= {SPAN_W}),
+    sps AS (SELECT * FROM sp WHERE SUBSTRING(h, 1, 1) IN {X9_SAMPLE_NIBBLES}),
+    dup AS (
+      SELECT h, CAST(COUNT(*) AS INT) AS n_occ
+      FROM sps GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id))
+    SELECT sps.doc_id, sps.pos, sps.h, dup.n_occ
+    FROM sps JOIN dup USING (h)
+    ORDER BY sps.doc_id, sps.pos
+    """,
+    ("dedup", "spans", "sampling", "pipeline"),
+)
+def x9_sampled(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    spans = (
+        span_rows(d)
+        .where(F.substring("h", 1, 1).isin(*X9_SAMPLE_NIBBLES))
+        .localCheckpoint(eager=False)
+    )
+    return _span_dup(spans)

@@ -310,3 +310,22 @@ def test_t9_tokenize_executes_once(spark, sf_small):
     assert "Scan parquet" not in tree
     assert "Generate explode" not in tree
     assert tree.count("Scan ExistingRDD") >= 2
+
+
+def test_x9_sampled_is_content_keyed_subset(spark, sf_small):
+    # hash-mod sampling is keyed on span CONTENT: every sampled flagged
+    # occurrence must appear in the full x9 answer with the SAME n_occ
+    # (a duplicated span is sampled in all its occurrences or none —
+    # the property a positional stride lacks), and the flagged-row rate
+    # must track the 1/4 hash-space bucket
+    full = {
+        (r["doc_id"], r["pos"], r["h"]): r["n_occ"]
+        for r in QUERIES["x9_span_dedup"].build(spark, sf_small).collect()
+    }
+    samp = {
+        (r["doc_id"], r["pos"], r["h"]): r["n_occ"]
+        for r in QUERIES["x9_span_dedup_sampled"].build(spark, sf_small).collect()
+    }
+    assert samp and all(full.get(k) == v for k, v in samp.items())
+    rate = len(samp) / len(full)
+    assert 0.15 < rate < 0.35, rate

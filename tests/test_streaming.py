@@ -550,3 +550,100 @@ def test_streaming_span_registry_equals_batch_x9(spark, sf_small, tmp_path_facto
     for d, _p, h in got:
         by_h.setdefault(h, set()).add(chunk_of(d))
     assert any(chunks == {0, 1} for chunks in by_h.values())
+
+
+def test_streaming_pq_adc_serving_equals_batch(spark, sf_small, tmp_path_factory):
+    # stream≡batch contract for the codes-only serving path (v13's front
+    # half online): the top-k by ADC approximate cosine over the probed
+    # cells, served from the static (cell, codes, recon_ss6) layout with
+    # NO embedding column on the static side, equals the batch ADC
+    # ranking from the same session-index artifacts — across
+    # micro-batches and under query re-delivery
+    import time
+
+    from pyspark.sql import Window as W2
+
+    from fifteenmc_spark.operators.similarity import (
+        IVF_SEED_IDS,
+        N_PROBE,
+        N_QUERY_VECS,
+        TOP_K,
+        _emb,
+        _ivf_cells_probes,
+        _pq_index,
+        _pq_query_side,
+    )
+    from fifteenmc_spark.streaming import pq_ann as PQA
+
+    # batch twin: v13's candidate ADC ranking (oracle-checked shape),
+    # top-k by (approx desc, vec_id) without the exact re-rank
+    e, cw, codes = _pq_index(spark, sf_small)
+    _, cells, probes = _ivf_cells_probes(spark, sf_small, N_PROBE)
+    q, qparts = _pq_query_side(e, cw, N_QUERY_VECS)
+    cand = (
+        cells.join(probes.select("qid", "cell"), "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    adc = (
+        codes.join(cand, "vec_id")
+        .join(qparts, ["qid", "m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            (F.sum("qdot6").cast("double") / 1e6).alias("adc"),
+            (F.sum("cw_ss6").cast("double") / 1e6).alias("recon_ss"),
+        )
+    )
+    appx = adc.select(
+        "qid", "vec_id", F.round(F.col("adc") / F.sqrt("recon_ss"), 6).alias("sim")
+    )
+    wr = W2.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    want = {
+        (r["qid"], r["vec_id"], r["rnk"], round(r["sim"], 4))
+        for r in appx.select(
+            "qid", "vec_id", F.row_number().over(wr).alias("rnk"), F.round("sim", 4).alias("sim")
+        )
+        .where(F.col("rnk") <= TOP_K)
+        .collect()
+    }
+    assert want
+
+    # stream side: same artifacts through the serving layout
+    static, books = PQA.build_pq_serving_index(spark, sf_small, N_PROBE)
+    assert "embedding" not in static.columns  # codes-only static side
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in _emb(spark, sf_small)
+        .where(F.col("vec_id").isin(*IVF_SEED_IDS))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    queries = _emb(spark, sf_small).where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = tmp_path_factory.mktemp("pq_ann_stream")
+    queries.where(F.col("qid") == 0).coalesce(1).write.mode("overwrite").parquet(
+        str(out / "f0")
+    )
+    time.sleep(1.1)  # file-source orders micro-batches by mod time
+    queries.coalesce(1).write.mode("overwrite").parquet(str(out / "f1"))  # + re-delivery
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out) + "/*/")
+    )
+    W.run_to_memory(
+        PQA.topk_stream(stream, static, books, centroids, nprobe=N_PROBE),
+        "sink_pq_adc",
+        output_mode="append",
+    )
+    sink = spark.table("sink_pq_adc")
+    wmax = W2.partitionBy("qid")
+    latest = (
+        sink.withColumn("maxrev", F.max("rev").over(wmax))
+        .where(F.col("rev") == F.col("maxrev"))
+    )
+    got = {
+        (r["qid"], r["vec_id"], r["rnk"], round(r["sim"], 4)) for r in latest.collect()
+    }
+    assert got == want
