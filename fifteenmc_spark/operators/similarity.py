@@ -1478,6 +1478,15 @@ def _exact_topk_v12(spark, sf_dir):
     ("similarity", "ann", "pq", "eval", "calibration", "pipeline"),
 )
 def v12(spark, sf_dir):
+    # sf0.1 floor decomposition (r9, warm session index, median-of-3 per
+    # stage): the 50-query ADC aggregate alone is 0.41 s (qparts 0.11 s);
+    # the remainder of the ~1.5-1.8 s total is the shared PQ tail —
+    # shortlist window, exact re-rank joins, rank window — plus the
+    # recall join/agg: ~6 scheduled stages on the ~0.11 s/action
+    # local-mode floor.  The in-process oracle (~0.9 s, which re-trains
+    # the codebook per run) has no scheduler to pay; the plan — codes
+    # never shuffle, lookup table and ground truth broadcast — is the
+    # 100×-scale shape.
     exact = _exact_topk_v12(spark, sf_dir).select("qid", "vec_id")
     pq = _pq_topk_plan(spark, sf_dir, PQ_ITERS, V12_NQ).select(
         "qid", "vec_id", F.lit(1).alias("hit")
