@@ -44,6 +44,7 @@ _CHECK_FIRST = (
     "x9_span_dedup",
     "v12_pq_recall",
     "v13_ivfpq_topk",
+    "v14_ivfpq_recall",
     # newest driver row is r7 — rotate back through (verdict r8 item 6)
     "d9_cube",
     "d10_topk_per_group",
@@ -89,7 +90,6 @@ _CHECK_FIRST = (
     "p7_dedup_apply",
     "x5_ngram_jaccard_capped",
     "x8_decontaminate",
-    "x1_dedup_exact",
     "x9_span_dedup_sampled",
 )
 

@@ -554,7 +554,7 @@ IVF_SEED_IDS = (7, 61, 113, 167, 229, 283, 337, 401)
 N_PROBE = 2
 
 
-def _ivf_cells_probes(spark, sf_dir, max_probe: int):
+def _ivf_cells_probes(spark, sf_dir, max_probe: int, nq: int = N_QUERY_VECS):
     """Shared IVF front half for v5 (cell-probe search) and v9 (its recall
     eval): (e, cells, probes).  ONE definition so the eval always measures
     the index v5 actually builds — the seed set, the max-struct cell
@@ -604,14 +604,15 @@ def _ivf_cells_probes(spark, sf_dir, max_probe: int):
     def build_probes():
         wprobe = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
         return (
-            scored.where(F.col("vec_id") < N_QUERY_VECS)
+            scored.where(F.col("vec_id") < nq)
             .select("vec_id", "cid", F.row_number().over(wprobe).alias("rn"))
             .where(F.col("rn") <= max_probe)
             .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"), "rn")
             .localCheckpoint(eager=False)
         )
 
-    probes = _session_cached(spark, sf_dir, f"ivf_probes{max_probe}", build_probes)
+    sfx = "" if nq == N_QUERY_VECS else f"_q{nq}"
+    probes = _session_cached(spark, sf_dir, f"ivf_probes{max_probe}{sfx}", build_probes)
     return e, cells, probes
 
 
@@ -1511,24 +1512,11 @@ def v12(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # v13: IVF-PQ (IVFADC) — coarse cells prune, PQ codes score, exact re-rank
 # ---------------------------------------------------------------------------
-@_register(
-    "v13_ivfpq_topk",
-    f"IVF-PQ top-{TOP_K} (the IVFADC architecture, Jégou et al. 2011 — "
-    "the composition that actually serves billion-vector indexes): the "
-    f"coarse quantizer prunes the corpus to each query's {N_PROBE} "
-    "probed cells (v5's index), the survivors are scored by ADC over "
-    f"their {PQ_M} PQ codes (v11's codes — no vector bytes touched), "
-    f"and the {PQ_SHORTLIST}-candidate shortlist is re-ranked exactly.  "
-    "At 100 TB: cells bound the FRACTION of the index a query reads "
-    "(nprobe/ncells), PQ bounds the BYTES per read entry (~6%), and the "
-    "exact path touches only the shortlist — the two prunings compose "
-    "multiplicatively, which neither v5 (full vectors in probed cells) "
-    "nor v11 (codes for the whole corpus) achieves alone.  Same "
-    "integer-exact ADC accumulation and tie-breaks as v11; candidate "
-    "cells and the ADC lookup table broadcast, the codes table never "
-    "shuffles.",
-    f"""
-    WITH {_pq_adc_ctes(PQ_ITERS, N_QUERY_VECS)},
+def _ivfpq_topk_sql(iters: int, nq: int) -> str:
+    """IVFADC oracle SQL for query vectors vec_id < ``nq`` — v13's oracle
+    at N_QUERY_VECS; v14's recall eval embeds it at V12_NQ."""
+    return f"""
+    WITH {_pq_adc_ctes(iters, nq)},
     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
           WHERE vec_id IN {IVF_SEED_IDS}),
     ivfranked AS (
@@ -1538,7 +1526,7 @@ def v12(spark, sf_dir):
       FROM embeddings e, c),
     cells AS (SELECT vec_id, cid AS cell FROM ivfranked WHERE rn = 1),
     probes AS (SELECT vec_id AS qid, cid AS cell FROM ivfranked
-               WHERE vec_id < {N_QUERY_VECS} AND rn <= {N_PROBE}),
+               WHERE vec_id < {nq} AND rn <= {N_PROBE}),
     cand AS (
       SELECT p.qid, x.vec_id
       FROM probes p JOIN cells x ON x.cell = p.cell AND x.vec_id <> p.qid),
@@ -1551,13 +1539,15 @@ def v12(spark, sf_dir):
       JOIN qparts qp ON qp.qid = cd.qid AND qp.m = c2.m AND qp.code = c2.code
       GROUP BY cd.qid, c2.vec_id),
     {_PQ_TAIL_SQL}
-    """,
-    ("similarity", "ann", "ivf", "pq", "pipeline"),
-)
-def v13(spark, sf_dir):
+    """
+
+
+def _ivfpq_topk_plan(spark, sf_dir, nq: int = N_QUERY_VECS):
+    """The IVFADC plan for query vectors vec_id < ``nq`` — v13 at
+    N_QUERY_VECS; v14's recall eval at V12_NQ."""
     e, cw, codes = _pq_index(spark, sf_dir)
-    _, cells, probes = _ivf_cells_probes(spark, sf_dir, N_PROBE)
-    q, qparts = _pq_query_side(e, cw, N_QUERY_VECS)
+    _, cells, probes = _ivf_cells_probes(spark, sf_dir, N_PROBE, nq)
+    q, qparts = _pq_query_side(e, cw, nq)
     # (qid, vec_id) survivors of the coarse pruning — |queries| ×
     # (nprobe/ncells × corpus) rows, the candidate list a serving batch
     # materializes anyway; broadcast-small per batch
@@ -1576,6 +1566,88 @@ def v13(spark, sf_dir):
         )
     )
     return _pq_rank_tail(e, q, adc)
+
+
+@_register(
+    "v13_ivfpq_topk",
+    f"IVF-PQ top-{TOP_K} (the IVFADC architecture, Jégou et al. 2011 — "
+    "the composition that actually serves billion-vector indexes): the "
+    f"coarse quantizer prunes the corpus to each query's {N_PROBE} "
+    "probed cells (v5's index), the survivors are scored by ADC over "
+    f"their {PQ_M} PQ codes (v11's codes — no vector bytes touched), "
+    f"and the {PQ_SHORTLIST}-candidate shortlist is re-ranked exactly.  "
+    "At 100 TB: cells bound the FRACTION of the index a query reads "
+    "(nprobe/ncells), PQ bounds the BYTES per read entry (~6%), and the "
+    "exact path touches only the shortlist — the two prunings compose "
+    "multiplicatively, which neither v5 (full vectors in probed cells) "
+    "nor v11 (codes for the whole corpus) achieves alone.  Same "
+    "integer-exact ADC accumulation and tie-breaks as v11; candidate "
+    "cells and the ADC lookup table broadcast, the codes table never "
+    "shuffles.",
+    _ivfpq_topk_sql(PQ_ITERS, N_QUERY_VECS),
+    ("similarity", "ann", "ivf", "pq", "pipeline"),
+)
+def v13(spark, sf_dir):
+    return _ivfpq_topk_plan(spark, sf_dir, N_QUERY_VECS)
+
+
+# ---------------------------------------------------------------------------
+# v14: IVF-PQ recall eval — the composed-pruning calibration number
+# ---------------------------------------------------------------------------
+@_register(
+    "v14_ivfpq_recall",
+    f"IVF-PQ calibration eval: recall@{TOP_K} of the COMPOSED pruning "
+    f"(v13's plan — {N_PROBE}-cell coarse filter × PQ ADC shortlist) vs "
+    f"the exact top-{TOP_K}, over the same {V12_NQ}-query eval set as "
+    "v12.  Reading v9 (IVF-only recall), v12 (PQ-only recall) and this "
+    "side by side tells an operator exactly where the composed index "
+    "loses neighbors — to the coarse quantizer (true neighbor outside "
+    "the probed cells), to the code quantization, or to both — which is "
+    "how nprobe and codebook size are actually tuned before a 100 TB "
+    "deployment.",
+    f"""
+    WITH qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                WHERE vec_id < {V12_NQ}),
+    corpus AS (SELECT vec_id, embedding FROM embeddings),
+    scored AS (
+      SELECT qv.qid, c.vec_id,
+             {_COS_SQL.format(a="qv.qe", b="c.embedding")} AS sim
+      FROM qv, corpus c WHERE qv.qid <> c.vec_id),
+    exact AS (
+      SELECT qid, vec_id FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY sim DESC, vec_id) <= {TOP_K}),
+    ivfpq AS (SELECT qid, vec_id FROM ({_ivfpq_topk_sql(PQ_ITERS, V12_NQ)}))
+    SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_topk,
+           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_recovered,
+           ROUND(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS recall
+    FROM exact e LEFT JOIN ivfpq p ON p.qid = e.qid AND p.vec_id = e.vec_id
+    GROUP BY e.qid ORDER BY e.qid
+    """,
+    ("similarity", "ann", "ivf", "pq", "eval", "calibration", "pipeline"),
+)
+def v14(spark, sf_dir):
+    exact = _exact_topk_v12(spark, sf_dir).select("qid", "vec_id")
+    got = _ivfpq_topk_plan(spark, sf_dir, V12_NQ).select(
+        "qid", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(got, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_topk"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_recovered"),
+        )
+        .select(
+            "qid",
+            "n_topk",
+            "n_recovered",
+            F.round(F.col("n_recovered") / F.col("n_topk"), 4).alias("recall"),
+        )
+        .orderBy("qid")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1599,6 +1671,7 @@ for _name in (
     "v11_pq_topk",
     "v12_pq_recall",
     "v13_ivfpq_topk",
+    "v14_ivfpq_recall",
 ):
     QUERIES[_name] = _dc.replace(QUERIES[_name], oracle=_gate_oracle(QUERIES[_name].oracle))
 del _name

@@ -1025,6 +1025,11 @@ def t9(spark, sf_dir):
     # the executed plan re-ran tokenize+explode+partial-agg three times
     # (3 parquet scans measured).  At 100 TB that is two redundant full
     # corpus passes; the checkpoint is the same idiom as x9's span table.
+    # sf0.1 floor note (r9): ~1.0 s total = the (doc, term) shuffle
+    # (0.67 s measured alone — 116k distinct pairs) + the vocab/total/
+    # score chain, ~4 scheduled stages on the ~0.1 s/action floor; the
+    # 0.14 s in-process oracle pays no scheduler.  The shuffle shape
+    # (term counts, never token instances) is the 100×-scale one.
     dt = (
         tok.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("k"))

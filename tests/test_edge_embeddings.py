@@ -39,6 +39,7 @@ V_QUERIES = [
     "v11_pq_topk",
     "v12_pq_recall",
     "v13_ivfpq_topk",
+    "v14_ivfpq_recall",
 ]
 
 
