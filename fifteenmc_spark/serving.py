@@ -30,6 +30,7 @@ def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     from .operators.similarity import (
         N_PROBE,
         SIG_PLANES,
+        V12_NQ,
         _emb,
         _exact_topk,
         _exact_topk_v12,
@@ -41,8 +42,11 @@ def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     counts: dict[str, int] = {}
     counts["emb"] = _emb(spark, sf_dir).count()
     counts[f"sig{SIG_PLANES}"] = _sig(spark, sf_dir, SIG_PLANES).count()
-    _, cells, _ = _ivf_cells_probes(spark, sf_dir, N_PROBE)
+    _, cells, probes = _ivf_cells_probes(spark, sf_dir, N_PROBE)
     counts["ivf_cells"] = cells.count()
+    counts["ivf_probes"] = probes.count()
+    _, _, probes_w = _ivf_cells_probes(spark, sf_dir, N_PROBE, V12_NQ)
+    counts["ivf_probes_eval"] = probes_w.count()
     _, _, pq_codes = _pq_index(spark, sf_dir)
     counts["pq_codes"] = pq_codes.count()
     counts["exact_topk"] = _exact_topk(spark, sf_dir).count()

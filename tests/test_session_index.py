@@ -111,8 +111,9 @@ def test_warm_session_index_materializes_all_artifacts(spark, sf_small):
 
     counts = warm_session_index(spark, sf_small)
     assert set(counts) == {
-        "emb", "sig16", "ivf_cells", "exact_topk", "exact_topk_v12",
-        "pq_codes", "shingles", "mh_sig16", "simhash16", "simhash64",
+        "emb", "sig16", "ivf_cells", "ivf_probes", "ivf_probes_eval", "exact_topk",
+        "exact_topk_v12", "pq_codes", "shingles", "mh_sig16",
+        "simhash16", "simhash64",
     }
     assert all(n > 0 for n in counts.values()), counts
     # every artifact (plus the max-df stat) is now resident in the cache
