@@ -45,6 +45,7 @@ _CHECK_FIRST = (
     "v12_pq_recall",
     "v13_ivfpq_topk",
     "v14_ivfpq_recall",
+    "v15_dedup_apply",
     # newest driver row is r7 — rotate back through (verdict r8 item 6)
     "d9_cube",
     "d10_topk_per_group",
@@ -89,7 +90,6 @@ _CHECK_FIRST = (
     "x7_near_dup_clusters",
     "p7_dedup_apply",
     "x5_ngram_jaccard_capped",
-    "x8_decontaminate",
     "x9_span_dedup_sampled",
 )
 

@@ -854,6 +854,21 @@ def v7(spark, sf_dir):
     )
 
 
+def _pairs_v7(spark, sf_dir):
+    """Session-cached v7 pair graph — the same pair-index artifact pattern
+    as dedup._pair_graph (v7 itself still rebuilds its plan as a query);
+    shared by v8 (cluster assignment) and v15 (the dedup apply)."""
+    return _session_cached(
+        spark,
+        sf_dir,
+        "pairs_v7",
+        lambda: QUERIES["v7_lsh_banded_near_dup"]
+        .build(spark, sf_dir)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .localCheckpoint(eager=False),
+    )
+
+
 # ---------------------------------------------------------------------------
 # v8: embedding near-dup cluster assignment (x7 over the v7 pair graph)
 # ---------------------------------------------------------------------------
@@ -877,19 +892,8 @@ def v7(spark, sf_dir):
 def v8(spark, sf_dir):
     from .dedup import near_dup_clusters
 
-    # session-cached v7 pair graph — the same pair-index artifact pattern
-    # as dedup._pair_graph (v7 itself still rebuilds its plan as a query)
-    pairs = _session_cached(
-        spark,
-        sf_dir,
-        "pairs_v7",
-        lambda: QUERIES["v7_lsh_banded_near_dup"]
-        .build(spark, sf_dir)
-        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
-        .localCheckpoint(eager=False),
-    )
     return (
-        near_dup_clusters(pairs, pairs_materialized=True)
+        near_dup_clusters(_pairs_v7(spark, sf_dir), pairs_materialized=True)
         .select(F.col("doc_id").alias("vec_id"), "cluster_id")
         .orderBy("vec_id")
     )
@@ -1651,6 +1655,54 @@ def v14(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# v15: keep-one-per-cluster dedup APPLY for embeddings (p7's twin)
+# ---------------------------------------------------------------------------
+@_register(
+    "v15_dedup_apply",
+    "Embedding dedup APPLY: every vector mapped to its near-dup cluster "
+    "canonical (min vec_id over the v8 cluster, itself when unclustered) "
+    "with a kept flag — the materialization step between cluster "
+    "generation and training, exactly as p7 applies the x3 clusters to "
+    "documents (the apply step is modality-generic: kept=TRUE is the "
+    "deduplicated corpus, non-canonical rows preserve the "
+    "vector->canonical provenance mapping downstream signals route "
+    "through).  Scale shape: the cluster labels are the only join "
+    "input; the corpus scan never shuffles vectors.",
+    f"""
+    {_closure_cte(
+        "SELECT vec_a AS doc_a, vec_b AS doc_b FROM ("
+        + QUERIES["v7_lsh_banded_near_dup"].oracle
+        + ")"
+    )},
+    cl AS ({_CLUSTER_LABELS})
+    SELECT e.vec_id,
+           COALESCE(cl.cluster_id, e.vec_id) AS canonical_id,
+           e.vec_id = COALESCE(cl.cluster_id, e.vec_id) AS kept
+    FROM embeddings e LEFT JOIN cl ON cl.doc_id = e.vec_id
+    ORDER BY e.vec_id
+    """,
+    ("similarity", "dedup", "pipeline", "apply"),
+)
+def v15(spark, sf_dir):
+    from .dedup import near_dup_clusters
+
+    clusters = near_dup_clusters(_pairs_v7(spark, sf_dir), pairs_materialized=True).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    e = _emb(spark, sf_dir).select("vec_id")
+    canonical = F.coalesce("cluster_id", "vec_id")
+    return (
+        e.join(clusters, "vec_id", "left")
+        .select(
+            "vec_id",
+            canonical.alias("canonical_id"),
+            (F.col("vec_id") == canonical).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # apply the oracle-side validity gate to every similarity query above
 # (the engine side gates once, in _emb; v10 is exempt by design — it is
 # the monitor that reports what the gate excludes)
@@ -1672,6 +1724,7 @@ for _name in (
     "v12_pq_recall",
     "v13_ivfpq_topk",
     "v14_ivfpq_recall",
+    "v15_dedup_apply",
 ):
     QUERIES[_name] = _dc.replace(QUERIES[_name], oracle=_gate_oracle(QUERIES[_name].oracle))
 del _name

@@ -123,20 +123,27 @@ def _flag(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.D
         )
 
 
-def flag_dup_spans(docs: DataFrame) -> DataFrame:
+def flag_dup_spans(docs: DataFrame, sample_nibbles: tuple[str, ...] | None = None) -> DataFrame:
     """(doc_id, pos, h) for every span occurrence whose hash has been
     seen in >= 2 distinct documents — including the retroactively
-    flagged occurrences from the span's first document."""
-    return (
-        span_rows(docs)
-        .groupBy("h")
-        .applyInPandasWithState(
-            _flag,
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
-        )
+    flagged occurrences from the span's first document.
+
+    ``sample_nibbles`` applies the batch x9_sampled mitigation online:
+    only spans whose hash starts with one of the given hex nibbles enter
+    the registry, cutting BOTH the shuffle and the keyed-state footprint
+    by the sampling rate.  Content-keyed, so the stream≡batch
+    equivalence holds against batch x9_sampled with the same nibbles."""
+    from pyspark.sql import functions as F
+
+    spans = span_rows(docs)
+    if sample_nibbles:
+        spans = spans.where(F.substring("h", 1, 1).isin(*sample_nibbles))
+    return spans.groupBy("h").applyInPandasWithState(
+        _flag,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 

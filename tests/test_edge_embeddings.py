@@ -40,6 +40,7 @@ V_QUERIES = [
     "v12_pq_recall",
     "v13_ivfpq_topk",
     "v14_ivfpq_recall",
+    "v15_dedup_apply",
 ]
 
 

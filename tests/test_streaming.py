@@ -647,3 +647,46 @@ def test_streaming_pq_adc_serving_equals_batch(spark, sf_small, tmp_path_factory
         (r["qid"], r["vec_id"], r["rnk"], round(r["sim"], 4)) for r in latest.collect()
     }
     assert got == want
+
+
+def test_streaming_sampled_span_registry_equals_batch_x9_sampled(spark, sf_small, tmp_path_factory):
+    # the hash-mod mitigation online: with the same nibble bucket the
+    # stream registry's flagged set equals batch x9_sampled — and the
+    # registry's keyed-state footprint shrinks with the shuffle, which
+    # positional-stride sampling could not guarantee (content-keyed)
+    import time
+
+    from fifteenmc_spark.operators.dedup import X9_SAMPLE_NIBBLES
+    from fifteenmc_spark.operators.relational import QUERIES
+    from fifteenmc_spark.streaming import span_dedup as SD
+
+    want = {
+        (r["doc_id"], r["pos"], r["h"])
+        for r in QUERIES["x9_span_dedup_sampled"].build(spark, sf_small).collect()
+    }
+    assert want
+
+    docs = read_table(spark, sf_small, "documents")
+    out = tmp_path_factory.mktemp("span_stream_sampled")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    docs.where(F.col("doc_id") < cut).coalesce(1).write.mode("overwrite").parquet(
+        str(out / "f0")
+    )
+    time.sleep(1.1)
+    docs.coalesce(1).write.mode("overwrite").parquet(str(out / "f1"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out) + "/*/")
+    )
+    W.run_to_memory(
+        SD.flag_dup_spans(stream, sample_nibbles=X9_SAMPLE_NIBBLES),
+        "sink_span_sampled",
+        output_mode="append",
+    )
+    got = {
+        (r["doc_id"], r["pos"], r["h"])
+        for r in SD.distinct_flagged(spark.table("sink_span_sampled")).collect()
+    }
+    assert got == want
