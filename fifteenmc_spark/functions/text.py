@@ -81,17 +81,20 @@ def md5_hex(col) -> Column:
     return F.md5(F.col(col).cast("binary") if isinstance(col, str) else col.cast("binary"))
 
 
-def split_bucket(doc_id, salt: str = "") -> Column:
-    """THE canonical doc-id bucket in 0..99: first 8 hex chars of
-    md5(doc_id as string || salt) mod 100.  Shared by p2 (split
-    assignment, no salt), x8 (eval decontamination, no salt — must agree
-    with p2 on membership), and p4 (data-mixing sample, ':mix' salt —
-    same family, different preimage, so sampling is independent of the
-    split).  One arithmetic chain: any portability fix applies everywhere
-    at once.  Matches the oracle SQL spelling exactly."""
+def split_bucket(doc_id, salt: str = "", mod: int = 100) -> Column:
+    """THE canonical doc-id bucket in 0..mod-1: first 8 hex chars of
+    md5(doc_id as string || salt) mod `mod`.  Shared by p2 (split
+    assignment, no salt, mod 100), x8 (eval decontamination, no salt —
+    must agree with p2 on membership), p4 (data-mixing sample, ':mix'
+    salt — same family, different preimage, so sampling is independent
+    of the split), and p8 (domain mixing, ':domainmix' salt, mod 10^6 —
+    ppm resolution because its keep-rates are DERIVED quantities, not
+    round percentages).  One arithmetic chain: any portability fix
+    applies everywhere at once.  Matches the oracle SQL spelling
+    exactly."""
     key = doc_id.cast("string")
     if salt:
         key = F.concat(key, F.lit(salt))
     return (
-        F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast("bigint") % 100
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast("bigint") % mod
     )

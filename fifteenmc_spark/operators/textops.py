@@ -1060,3 +1060,92 @@ def t9(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# p8: token-budget domain mixing (derived keep-rates, uniform target)
+# ---------------------------------------------------------------------------
+_DOMAINMIX_SALT = ":domainmix"  # independent of p2's split and p4's lang mix
+_PPM = 1_000_000
+
+
+@_register(
+    "p8_domain_mix",
+    "Token-budget domain rebalancing: each source's keep-rate is DERIVED "
+    "from the corpus itself — rate_ppm(s) = min(1e6, corpus_tokens * 1e6 "
+    "div (n_sources * src_tokens)) — so sampling the kept docs yields a "
+    "uniform per-domain token budget (the data-mixing step run before "
+    "training when one domain dominates the crawl; with a target-share "
+    "table instead of the uniform 1/n_sources this is exactly the "
+    "DoReMi/Pile-style mixture apply).  Deterministic and engine-portable "
+    "like p2/p4: membership is md5(doc_id || ':domainmix') at ppm "
+    "resolution (derived rates are not round percentages), content-"
+    "independent, RNG-free.  Integer-exact across engines: the rate is "
+    "one bigint DIV, the keep decision one integer compare — no float "
+    "crosses an engine boundary.  Scale shape: the narrow per-doc stats "
+    "table (ids + counts, never text) is pinned once (localCheckpoint — "
+    "it feeds the totals aggregate AND the final join, two non-matching "
+    "exchanges, the t9/x9 idiom); the rate table is |sources| rows "
+    "broadcast back; the keep decision is scan-side.  At 100 TB the only "
+    "wide operation is one map-side-combined (source) aggregate.",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(COALESCE(CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END, 0) AS BIGINT)
+                 AS n_tokens,
+             CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '{_DOMAINMIX_SALT}'),
+                  1, 8)) AS BIGINT) % {_PPM} AS mix_ppm
+      FROM documents),
+    per_src AS (SELECT source, SUM(n_tokens) AS src_tokens FROM tok GROUP BY source),
+    g AS (SELECT SUM(src_tokens) AS corpus_tokens, COUNT(*) AS n_sources FROM per_src),
+    rates AS (
+      SELECT p.source,
+             CASE WHEN p.src_tokens = 0 THEN {_PPM}
+                  ELSE LEAST({_PPM},
+                       (g.corpus_tokens * {_PPM}) // (g.n_sources * p.src_tokens)) END
+                 AS rate_ppm
+      FROM per_src p, g)
+    SELECT t.doc_id, t.source, CAST(t.n_tokens AS INT) AS n_tokens,
+           CAST(t.mix_ppm AS INT) AS mix_ppm, CAST(r.rate_ppm AS INT) AS rate_ppm,
+           t.mix_ppm < r.rate_ppm AS kept
+    FROM tok t JOIN rates r USING (source) ORDER BY t.doc_id
+    """,
+    ("text", "mixing", "sampling", "pipeline"),
+)
+def p8(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.coalesce(T.token_count(F.col("text")).cast("bigint"), F.lit(0)).alias("n_tokens"),
+        T.split_bucket(F.col("doc_id"), salt=_DOMAINMIX_SALT, mod=_PPM).alias("mix_ppm"),
+    ).localCheckpoint(eager=False)
+    per_src = tok.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    g = per_src.agg(
+        F.sum("src_tokens").alias("corpus_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    rates = per_src.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.when(F.col("src_tokens") == 0, F.lit(_PPM).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(_PPM).cast("bigint"),
+                F.expr(f"(corpus_tokens * {_PPM}) div (n_sources * src_tokens)"),
+            )
+        )
+        .alias("rate_ppm"),
+    )
+    return (
+        tok.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("mix_ppm").cast("int").alias("mix_ppm"),
+            F.col("rate_ppm").cast("int").alias("rate_ppm"),
+            (F.col("mix_ppm") < F.col("rate_ppm")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
