@@ -30,8 +30,19 @@ Cache discipline — what is allowed in here:
 
 from __future__ import annotations
 
+import os
+
 _SESSION_INDEX: dict = {}
 _MISSING = object()
+
+
+def _norm_dir(sf_dir: str) -> str:
+    """Canonical cache key for a data directory: absolute, no trailing
+    slash.  Both session_cached and invalidate key on this, so a caller
+    passing a relative path or a trailing-slash variant still hits (and
+    is still evicted from) the same entry as io.write_parquet's
+    dirname(abspath(...)) invalidation."""
+    return os.path.abspath(sf_dir)
 
 
 def session_cached(spark, sf_dir, key: str, build):
@@ -43,7 +54,7 @@ def session_cached(spark, sf_dir, key: str, build):
     the session); entries for OTHER sf_dirs in the live session are kept
     — the driver and tests legitimately interleave scale factors."""
     app = spark.sparkContext.applicationId
-    k = (app, sf_dir, key)
+    k = (app, _norm_dir(sf_dir), key)
     val = _SESSION_INDEX.get(k, _MISSING)
     if val is _MISSING:
         for dead in [x for x in _SESSION_INDEX if x[0] != app]:
@@ -60,7 +71,9 @@ def invalidate(sf_dir: str | None = None) -> int:
     the stale checkpointed artifact — io.write_parquet does so
     automatically when its target sits inside a directory that has
     cached entries."""
-    doomed = [k for k in _SESSION_INDEX if sf_dir is None or k[1] == sf_dir]
+    doomed = [
+        k for k in _SESSION_INDEX if sf_dir is None or k[1] == _norm_dir(sf_dir)
+    ]
     for k in doomed:
         del _SESSION_INDEX[k]
     return len(doomed)

@@ -1117,38 +1117,48 @@ def _lloyd_step(samp, cw):
     return stepped.withColumn("cw_ss", dot_double(F.col("cwe"), F.col("cwe")))
 
 
-def _pq_codebook_plan(spark, sf_dir, iters: int):
-    """Codebook (m, cid, cwe, cw_ss) = seed-vector sub-blocks refined by
-    ``iters`` Lloyd steps over the deterministic training sample.
+def _codebook_plan(subs, iters: int):
+    """Codebook (m, cid, cwe, cw_ss) from a sub-block table ``subs`` =
+    (vec_id, m, sube array<double>): the PQ_SEED_IDS rows are the init,
+    refined by ``iters`` Lloyd steps over the deterministic training
+    sample (vec_id % PQ_TRAIN_MOD == PQ_TRAIN_REM).  Source-agnostic on
+    purpose — v11 trains it on raw sub-blocks, the residual IVFADC index
+    (_rpq_index) on (x − centroid(cell(x))) sub-blocks; the Lloyd
+    machinery and its integer-exact iteration boundaries are identical.
     iters=0 is the untrained init (kept callable so the recall test can
     prove training strictly helps)."""
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    seeds = e.where(F.col("vec_id").isin(*PQ_SEED_IDS))
-    cw = seeds.select(
-        F.col("vec_id").alias("cid"),
-        F.explode(F.expr(_subblock_expr("embedding", "cwe"))).alias("s"),
-    ).select(
-        "cid", F.col("s.m").alias("m"), F.col("s.cwe").cast("array<double>").alias("cwe")
+    cw = subs.where(F.col("vec_id").isin(*PQ_SEED_IDS)).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sube").alias("cwe")
     )
     cw = cw.withColumn("cw_ss", dot_double(F.col("cwe"), F.col("cwe")))
     if iters:
         samp = (
-            e.where(F.col("vec_id") % PQ_TRAIN_MOD == PQ_TRAIN_REM)
-            .select(
-                "vec_id", F.explode(F.expr(_subblock_expr("embedding", "sube"))).alias("s")
-            )
-            .select(
-                "vec_id",
-                F.col("s.m").alias("m"),
-                F.col("s.sube").cast("array<double>").alias("sube"),
-            )
+            subs.where(F.col("vec_id") % PQ_TRAIN_MOD == PQ_TRAIN_REM)
             # the sample feeds every iteration's assignment — pin it so
             # the corpus scan+slice runs once, not once per Lloyd step
-            .localCheckpoint(eager=False)
+            .select("vec_id", "m", "sube").localCheckpoint(eager=False)
         )
         for _ in range(iters):
             cw = _lloyd_step(samp, cw)
     return cw
+
+
+def _plain_subs(e):
+    """(vec_id, m, sube array<double>): every vector's raw PQ sub-blocks."""
+    return e.select(
+        "vec_id", F.explode(F.expr(_subblock_expr("embedding", "sube"))).alias("s")
+    ).select(
+        "vec_id",
+        F.col("s.m").alias("m"),
+        F.col("s.sube").cast("array<double>").alias("sube"),
+    )
+
+
+def _pq_codebook_plan(spark, sf_dir, iters: int):
+    """v11's codebook: seed-vector RAW sub-blocks refined by ``iters``
+    Lloyd steps over the deterministic training sample."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return _codebook_plan(_plain_subs(e), iters)
 
 
 def _pq_index(spark, sf_dir, iters: int = PQ_ITERS):
@@ -1207,30 +1217,38 @@ def _pq_index(spark, sf_dir, iters: int = PQ_ITERS):
     return e, cw, codes
 
 
-def _pq_codebook_sql(iters: int) -> str:
-    """WITH-clause fragment mirroring _pq_codebook_plan: mseq + sub (all
+def _pq_codebook_sql(iters: int, src: str = "sub") -> str:
+    """WITH-clause fragment mirroring _codebook_plan: mseq + sub (all
     sub-blocks) + cw2 = the codebook after ``iters`` unrolled Lloyd
     steps.  Every iteration boundary rounds codeword dims to 6 digits
     via an integer-exact scaled-BIGINT mean, so both engines carry
     bitwise-identical codebooks into the next assignment (the property
-    that lets a compounding iterative algorithm pass a hash compare)."""
-    parts = [
-        f"mseq AS (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m)",
-        f"""sub AS (
+    that lets a compounding iterative algorithm pass a hash compare).
+    ``src`` names the (vec_id, m, sube DOUBLE[]) sub-block CTE trained
+    over — the default emits the raw ``sub`` table (v11/v12); the
+    residual IVFADC oracle passes its own ``rsub`` CTE and emits
+    mseq/rsub itself."""
+    parts = []
+    if src == "sub":
+        parts += [
+            f"mseq AS (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m)",
+            f"""sub AS (
       SELECT e.vec_id, mseq.m,
              CAST(e.embedding[mseq.m * {PQ_SUB} + 1 : mseq.m * {PQ_SUB} + {PQ_SUB}]
                   AS DOUBLE[]) AS sube
       FROM embeddings e, mseq)""",
+        ]
+    parts += [
         f"""cw_i0 AS (
       SELECT vec_id AS cid, m, sube AS cwe, list_dot_product(sube, sube) AS cw_ss
-      FROM sub WHERE vec_id IN {PQ_SEED_IDS})""",
+      FROM {src} WHERE vec_id IN {PQ_SEED_IDS})""",
     ]
     prev = "cw_i0"
     for i in range(1, iters + 1):
         parts += [
             f"""asg_i{i} AS (
       SELECT s.m, c.cid, s.sube
-      FROM sub s JOIN {prev} c USING (m)
+      FROM {src} s JOIN {prev} c USING (m)
       WHERE s.vec_id % {PQ_TRAIN_MOD} = {PQ_TRAIN_REM}
       QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
           ORDER BY c.cw_ss - 2 * list_dot_product(s.sube, c.cwe), c.cid) = 1)""",
@@ -1448,6 +1466,27 @@ def _exact_topk_v12(spark, sf_dir):
     )
 
 
+def _recall_agg(exact, got):
+    """(qid, n_topk, n_recovered, recall): per-query recall of a
+    (qid, vec_id) result set against the exact ground truth — the shared
+    back half of every ANN calibration eval (v12, v14, v17)."""
+    g = got.select("qid", "vec_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(g, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_topk"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_recovered"),
+        )
+        .select(
+            "qid",
+            "n_topk",
+            "n_recovered",
+            F.round(F.col("n_recovered") / F.col("n_topk"), 4).alias("recall"),
+        )
+    )
+
+
 @_register(
     "v12_pq_recall",
     f"PQ calibration eval: recall@{TOP_K} of the trained-codebook ADC + "
@@ -1493,32 +1532,148 @@ def v12(spark, sf_dir):
     # never shuffle, lookup table and ground truth broadcast — is the
     # 100×-scale shape.
     exact = _exact_topk_v12(spark, sf_dir).select("qid", "vec_id")
-    pq = _pq_topk_plan(spark, sf_dir, PQ_ITERS, V12_NQ).select(
-        "qid", "vec_id", F.lit(1).alias("hit")
-    )
-    return (
-        exact.join(pq, ["qid", "vec_id"], "left")
-        .groupBy("qid")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_topk"),
-            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_recovered"),
+    pq = _pq_topk_plan(spark, sf_dir, PQ_ITERS, V12_NQ)
+    return _recall_agg(exact, pq).orderBy("qid")
+
+
+# ---------------------------------------------------------------------------
+# v13: IVF-PQ (IVFADC) — coarse cells prune, RESIDUAL PQ codes score,
+# exact re-rank
+# ---------------------------------------------------------------------------
+def _residual_subs_plan(e, cells, cents):
+    """(vec_id, cell, m, sube array<double>): sub-blocks of the RESIDUAL
+    r = x − centroid(cell(x)) — the quantity IVFADC proper quantizes
+    (Jégou et al. 2011 §V: residuals cluster tightly around 0, so the
+    same 16 codewords spend their resolution on the informative part
+    instead of re-describing the coarse cell).  The subtraction is one
+    scan-side zip_with in double (float→double casts are exact, so both
+    engines compute bit-identical residuals); cells is the session-cached
+    IVF assignment and centroids broadcast."""
+    res = (
+        e.join(cells, "vec_id")
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                F.col("embedding"),
+                F.col("ce"),
+                lambda x, c: x.cast("double") - c.cast("double"),
+            ).alias("rese"),
         )
+    )
+    return res.select(
+        "vec_id", "cell", F.explode(F.expr(_subblock_expr("rese", "sube"))).alias("s")
+    ).select("vec_id", "cell", F.col("s.m").alias("m"), F.col("s.sube").alias("sube"))
+
+
+def _rpq_index(spark, sf_dir, iters: int = PQ_ITERS):
+    """(e, cw, codes, cents, cents6): the residual-encoded IVFADC index,
+    session-cached.
+
+    cw = (m, cid, cwe, cw_ss): PQ_M×16 codewords k-means-TRAINED on the
+    RESIDUAL sub-blocks (same seed init + Lloyd machinery as v11's raw
+    codebook — _codebook_plan is source-agnostic).  codes = per vector
+    (cell, m, code, rc6) where rc6 = round((‖cw‖² + 2·cent_m·cw)·1e6):
+    because ‖cent + r̂‖² = ‖cent‖² + Σ_m (‖cw_m‖² + 2·cent_m·cw_m), the
+    reconstruction norm rebuilds from cent_ss6(cell) + Σ rc6 as an
+    integer-exact, accumulation-order-free BIGINT sum (the cw_ss6
+    discipline of _pq_index, extended with the centroid cross term —
+    the precomputed per-code term of the FAISS IVFADC formulation).
+    cents6 = (cell, cent_ss6).  Memory path unchanged: the hot index is
+    still M small ints + one BIGINT per vector plus a broadcast codebook
+    and the 8-row cell stats."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    _, cells, _ = _ivf_cells_probes(spark, sf_dir, N_PROBE)
+    cents = e.where(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
+    )
+    sfx = "" if iters == PQ_ITERS else f"_i{iters}"
+
+    cw = _session_cached(
+        spark,
+        sf_dir,
+        f"rpq_codewords{sfx}",
+        lambda: _codebook_plan(
+            _residual_subs_plan(e, cells, cents).select("vec_id", "m", "sube"), iters
+        ).localCheckpoint(eager=False),
+    )
+
+    # (cell, m, code, rc6): ncells × M × K rows — broadcast-tiny, built
+    # once per index from the centroid sub-blocks and the codebook
+    centsub = cents.select(
+        "cell", F.explode(F.expr(_subblock_expr("ce", "cente"))).alias("s")
+    ).select("cell", F.col("s.m").alias("m"), F.col("s.cente").alias("cente"))
+    crosstab = centsub.join(cw, "m").select(
+        "cell",
+        "m",
+        F.col("cid").alias("code"),
+        F.round(
+            (F.col("cw_ss") + 2.0 * dot_double(F.col("cente"), F.col("cwe"))) * 1e6
+        )
+        .cast("bigint")
+        .alias("rc6"),
+    )
+
+    def build_codes():
+        scored = _residual_subs_plan(e, cells, cents).join(F.broadcast(cw), "m").select(
+            "vec_id",
+            "cell",
+            "m",
+            "cid",
+            (F.col("cw_ss") - 2.0 * dot_double(F.col("sube"), F.col("cwe"))).alias("score"),
+        )
+        pick = F.min(F.struct(F.col("score"), F.col("cid").alias("cid")))
+        return (
+            scored.groupBy("vec_id", "cell", "m")
+            .agg(pick.alias("p"))
+            .select("vec_id", "cell", "m", F.col("p.cid").alias("code"))
+            .join(F.broadcast(crosstab), ["cell", "m", "code"])
+            .localCheckpoint(eager=False)
+        )
+
+    codes = _session_cached(spark, sf_dir, f"rpq_codes{sfx}", build_codes)
+    cents6 = cents.select(
+        "cell",
+        F.round(dot_double(F.col("ce"), F.col("ce")) * 1e6).cast("bigint").alias("cent_ss6"),
+    )
+    return e, cw, codes, cents, cents6
+
+
+def _rpq_query_side(e, cw, cents, nq: int):
+    """(q, qparts, qcent): the residual-ADC query side.  Because cosine is
+    linear in the reconstruction — q·(cent + r̂) = q·cent + q·r̂ — ONE
+    residual lookup table per query serves every probed cell (qparts,
+    same shape as v11's) plus one scalar per (query, cell): qc6 =
+    round(q·cent/|q| · 1e6).  Both BIGINT at 1e6, so the ADC numerator
+    qc6 + Σ qdot6 stays integer-exact in any accumulation order.  (The
+    textbook IVFADC builds nprobe per-cell tables by residualizing the
+    QUERY; the linear split needs only the |queries|×ncells qcent
+    broadcast — same math, one table.)"""
+    q, qparts = _pq_query_side(e, cw, nq)
+    qcent = (
+        q.select(F.col("vec_id").alias("qid"), "embedding")
+        .crossJoin(F.broadcast(cents))
         .select(
             "qid",
-            "n_topk",
-            "n_recovered",
-            F.round(F.col("n_recovered") / F.col("n_topk"), 4).alias("recall"),
+            "cell",
+            F.round(
+                dot_double(F.col("embedding"), F.col("ce"))
+                / norm2(F.col("embedding"))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("qc6"),
         )
-        .orderBy("qid")
     )
+    return q, qparts, qcent
 
 
-# ---------------------------------------------------------------------------
-# v13: IVF-PQ (IVFADC) — coarse cells prune, PQ codes score, exact re-rank
-# ---------------------------------------------------------------------------
 def _ivfpq_topk_sql(iters: int, nq: int) -> str:
-    """IVFADC oracle SQL for query vectors vec_id < ``nq`` — v13's oracle
-    at N_QUERY_VECS; v14's recall eval embeds it at V12_NQ."""
+    """Raw-codes IVFADC oracle SQL for query vectors vec_id < ``nq`` —
+    v13's oracle at N_QUERY_VECS; v14's recall eval embeds it at V12_NQ.
+    Raw (not residual) by MEASURED adjudication — see v13's docstring
+    and _rivfpq_topk_sql for the residual twin."""
     return f"""
     WITH {_pq_adc_ctes(iters, nq)},
     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
@@ -1546,12 +1701,100 @@ def _ivfpq_topk_sql(iters: int, nq: int) -> str:
     """
 
 
-def _ivfpq_topk_plan(spark, sf_dir, nq: int = N_QUERY_VECS):
-    """The IVFADC plan for query vectors vec_id < ``nq`` — v13 at
-    N_QUERY_VECS; v14's recall eval at V12_NQ."""
-    e, cw, codes = _pq_index(spark, sf_dir)
+def _rivfpq_topk_sql(iters: int, nq: int) -> str:
+    """Residual-IVFADC oracle SQL for query vectors vec_id < ``nq`` —
+    v16's oracle at N_QUERY_VECS; v17's encoding eval embeds it at V12_NQ.
+    Mirrors _rpq_index/_rpq_query_side CTE for CTE: residuals, residual
+    codebook (Lloyd over rsub), crosstab rc6, cell stats, query table +
+    per-cell qcent, then the shared ADC tail."""
+    return f"""
+    WITH mseq AS (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id IN {IVF_SEED_IDS}),
+    ivfranked AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COS_SQL.format(a="e.embedding", b="c.ce")} DESC, c.cid) AS rn
+      FROM embeddings e, c),
+    cells AS (SELECT vec_id, cid AS cell FROM ivfranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cid AS cell FROM ivfranked
+               WHERE vec_id < {nq} AND rn <= {N_PROBE}),
+    resid AS (
+      SELECT e.vec_id, cl.cell,
+             list_transform(generate_series(1, {EMB_DIM}),
+                 j -> CAST(e.embedding[j] AS DOUBLE) - CAST(c.ce[j] AS DOUBLE)) AS rese
+      FROM embeddings e
+      JOIN cells cl ON cl.vec_id = e.vec_id
+      JOIN c ON c.cid = cl.cell),
+    rsub AS (
+      SELECT r.vec_id, r.cell, mseq.m,
+             r.rese[mseq.m * {PQ_SUB} + 1 : mseq.m * {PQ_SUB} + {PQ_SUB}] AS sube
+      FROM resid r, mseq),
+    {_pq_codebook_sql(iters, src="rsub")},
+    centsub AS (
+      SELECT c.cid AS cell, mseq.m,
+             CAST(c.ce[mseq.m * {PQ_SUB} + 1 : mseq.m * {PQ_SUB} + {PQ_SUB}]
+                  AS DOUBLE[]) AS cente
+      FROM c, mseq),
+    crosstab AS (
+      SELECT cs.cell, cs.m, w.cid AS code,
+             CAST(ROUND((w.cw_ss + 2 * list_dot_product(cs.cente, w.cwe)) * 1e6)
+                  AS BIGINT) AS rc6
+      FROM centsub cs JOIN cw2 w USING (m)),
+    rcodes AS (
+      SELECT s.vec_id, s.cell, s.m, cw2.cid AS code
+      FROM rsub s JOIN cw2 USING (m)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+          ORDER BY cw2.cw_ss - 2 * list_dot_product(s.sube, cw2.cwe), cw2.cid) = 1),
+    codes AS (
+      SELECT rc.vec_id, rc.cell, rc.m, rc.code, ct.rc6
+      FROM rcodes rc JOIN crosstab ct
+        ON ct.cell = rc.cell AND ct.m = rc.m AND ct.code = rc.code),
+    cents6 AS (
+      SELECT cid AS cell,
+             CAST(ROUND(list_dot_product(CAST(ce AS DOUBLE[]), CAST(ce AS DOUBLE[]))
+                  * 1e6) AS BIGINT) AS cent_ss6
+      FROM c),
+    q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+          WHERE vec_id < {nq}),
+    qparts AS (
+      SELECT q.qid, cw2.m, cw2.cid AS code,
+             CAST(ROUND(list_dot_product(
+                 q.qe[cw2.m * {PQ_SUB} + 1 : cw2.m * {PQ_SUB} + {PQ_SUB}], cw2.cwe)
+                 / SQRT(list_dot_product(q.qe, q.qe)) * 1e6)
+                  AS BIGINT) AS qdot6
+      FROM q, cw2),
+    qcent AS (
+      SELECT q.qid, c.cid AS cell,
+             CAST(ROUND(list_dot_product(q.qe, CAST(c.ce AS DOUBLE[]))
+                 / SQRT(list_dot_product(q.qe, q.qe)) * 1e6)
+                  AS BIGINT) AS qc6
+      FROM q, c),
+    cand AS (
+      SELECT p.qid, x.vec_id
+      FROM probes p JOIN cells x ON x.cell = p.cell AND x.vec_id <> p.qid),
+    adc AS (
+      SELECT cd.qid, c2.vec_id,
+             CAST(qct.qc6 + SUM(qp.qdot6) AS DOUBLE) / 1e6 AS adc,
+             CAST(cs.cent_ss6 + SUM(c2.rc6) AS DOUBLE) / 1e6 AS recon_ss
+      FROM codes c2
+      JOIN cand cd ON cd.vec_id = c2.vec_id
+      JOIN qparts qp ON qp.qid = cd.qid AND qp.m = c2.m AND qp.code = c2.code
+      JOIN qcent qct ON qct.qid = cd.qid AND qct.cell = c2.cell
+      JOIN cents6 cs ON cs.cell = c2.cell
+      GROUP BY cd.qid, c2.vec_id, qct.qc6, cs.cent_ss6),
+    {_PQ_TAIL_SQL}
+    """
+
+
+def _ivfpq_topk_plan(spark, sf_dir, nq: int = N_QUERY_VECS, residual: bool = False):
+    """The IVFADC plan for query vectors vec_id < ``nq`` — v13/v14 run it
+    with raw codes (the corpus's MEASURED winner — see v13's docstring);
+    v16/v17 with residual=True (Jégou §V's residual encoding).  Both
+    encodings share the coarse pruning, the ADC tail, and the candidate
+    shape; only the code tables and the norm/numerator decomposition
+    differ."""
     _, cells, probes = _ivf_cells_probes(spark, sf_dir, N_PROBE, nq)
-    q, qparts = _pq_query_side(e, cw, nq)
     # (qid, vec_id) survivors of the coarse pruning — |queries| ×
     # (nprobe/ncells × corpus) rows, the candidate list a serving batch
     # materializes anyway; broadcast-small per batch
@@ -1560,13 +1803,33 @@ def _ivfpq_topk_plan(spark, sf_dir, nq: int = N_QUERY_VECS):
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
     )
+    if not residual:
+        e, cw, codes = _pq_index(spark, sf_dir)
+        q, qparts = _pq_query_side(e, cw, nq)
+        adc = (
+            codes.join(F.broadcast(cand), "vec_id")
+            .join(F.broadcast(qparts), ["qid", "m", "code"])
+            .groupBy("qid", "vec_id")
+            .agg(
+                (F.sum("qdot6").cast("double") / 1e6).alias("adc"),
+                (F.sum("cw_ss6").cast("double") / 1e6).alias("recon_ss"),
+            )
+        )
+        return _pq_rank_tail(e, q, adc)
+    e, cw, codes, cents, cents6 = _rpq_index(spark, sf_dir)
+    q, qparts, qcent = _rpq_query_side(e, cw, cents, nq)
     adc = (
         codes.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(qparts), ["qid", "m", "code"])
-        .groupBy("qid", "vec_id")
-        .agg(
-            (F.sum("qdot6").cast("double") / 1e6).alias("adc"),
-            (F.sum("cw_ss6").cast("double") / 1e6).alias("recon_ss"),
+        .groupBy("qid", "vec_id", "cell")
+        .agg(F.sum("qdot6").alias("qd6"), F.sum("rc6").alias("rr6"))
+        .join(F.broadcast(qcent), ["qid", "cell"])
+        .join(F.broadcast(cents6), "cell")
+        .select(
+            "qid",
+            "vec_id",
+            ((F.col("qc6") + F.col("qd6")).cast("double") / 1e6).alias("adc"),
+            ((F.col("cent_ss6") + F.col("rr6")).cast("double") / 1e6).alias("recon_ss"),
         )
     )
     return _pq_rank_tail(e, q, adc)
@@ -1587,7 +1850,15 @@ def _ivfpq_topk_plan(spark, sf_dir, nq: int = N_QUERY_VECS):
     "nor v11 (codes for the whole corpus) achieves alone.  Same "
     "integer-exact ADC accumulation and tie-breaks as v11; candidate "
     "cells and the ADC lookup table broadcast, the codes table never "
-    "shuffles.",
+    "shuffles.  Encoding choice is MEASURED, not assumed: Jégou §V's "
+    "residual encoding (v16) loses to raw codes on this corpus because "
+    "the coarse cells are not tight — mean cos(x, centroid) ≈ 0.19 < "
+    "0.5, so ‖x − c‖ ≈ 1.27·‖x‖ and quantizing residuals ENLARGES the "
+    "error (independently replicated: mean recon MSE 0.62 raw vs 0.80 "
+    "residual; composed recall 67 vs 54 of 250 at sf0.01) — v17 is the "
+    "side-by-side eval an operator reads to pick per-corpus, and "
+    "test_session_index.py gates that the tightness stat predicts the "
+    "winner.",
     _ivfpq_topk_sql(PQ_ITERS, N_QUERY_VECS),
     ("similarity", "ann", "ivf", "pq", "pipeline"),
 )
@@ -1608,7 +1879,8 @@ def v13(spark, sf_dir):
     "loses neighbors — to the coarse quantizer (true neighbor outside "
     "the probed cells), to the code quantization, or to both — which is "
     "how nprobe and codebook size are actually tuned before a 100 TB "
-    "deployment.",
+    "deployment.  v17 extends this eval across encodings (raw vs "
+    "residual), v18 across nprobe.",
     f"""
     WITH qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
                 WHERE vec_id < {V12_NQ}),
@@ -1634,23 +1906,296 @@ def v13(spark, sf_dir):
 )
 def v14(spark, sf_dir):
     exact = _exact_topk_v12(spark, sf_dir).select("qid", "vec_id")
-    got = _ivfpq_topk_plan(spark, sf_dir, V12_NQ).select(
-        "qid", "vec_id", F.lit(1).alias("hit")
-    )
-    return (
-        exact.join(got, ["qid", "vec_id"], "left")
-        .groupBy("qid")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_topk"),
-            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_recovered"),
+    return _recall_agg(exact, _ivfpq_topk_plan(spark, sf_dir, V12_NQ)).orderBy("qid")
+
+
+# ---------------------------------------------------------------------------
+# v16: residual-encoded IVFADC top-k (Jégou et al. 2011 §V proper)
+# ---------------------------------------------------------------------------
+@_register(
+    "v16_rivfpq_topk",
+    f"Residual-encoded IVFADC top-{TOP_K}: identical coarse pruning and "
+    f"ADC tail to v13, but the {PQ_M} PQ codes quantize the RESIDUAL "
+    "r = x − centroid(cell(x)) instead of x — Jégou et al. 2011 §V's "
+    "actual IVFADC, the encoding that wins when coarse cells are tight "
+    "(residuals cluster around 0, so the 16 codewords spend their "
+    "resolution on the informative part).  Cosine is linear in the "
+    "reconstruction — q·(cent + r̂) = q·cent + q·r̂ — so ONE residual "
+    "lookup table per query serves every probed cell plus a per-(query, "
+    "cell) q·centroid scalar, and ‖cent + r̂‖² rebuilds from per-code "
+    "rc6 = round((‖cw‖² + 2·cent_m·cw)·1e6) BIGINTs + the 8-row cell "
+    "stat — v11's integer-exact accumulation discipline extended with "
+    "the centroid cross term (the precomputed per-code term of the "
+    "FAISS IVFADC formulation).  Memory path unchanged: codes + one "
+    "codebook + cell stats, no vector bytes until the exact re-rank.  "
+    "On THIS corpus the raw encoding (v13) measures better — cells are "
+    "not tight (mean cos ≈ 0.19) — which is exactly why both encodings "
+    "are first-class and v17 is the eval that picks.",
+    _rivfpq_topk_sql(PQ_ITERS, N_QUERY_VECS),
+    ("similarity", "ann", "ivf", "pq", "residual", "pipeline"),
+)
+def v16(spark, sf_dir):
+    return _ivfpq_topk_plan(spark, sf_dir, N_QUERY_VECS, residual=True)
+
+
+# ---------------------------------------------------------------------------
+# v17: encoding eval — raw vs residual composed recall, side by side
+# ---------------------------------------------------------------------------
+# exact-ground-truth CTE fragment shared by the wide-eval oracles
+_EXACT_V12_CTES = f"""qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                WHERE vec_id < {V12_NQ}),
+    corpus AS (SELECT vec_id, embedding FROM embeddings),
+    scored AS (
+      SELECT qv.qid, c.vec_id,
+             {_COS_SQL.format(a="qv.qe", b="c.embedding")} AS sim
+      FROM qv, corpus c WHERE qv.qid <> c.vec_id),
+    exact AS (
+      SELECT qid, vec_id FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY sim DESC, vec_id) <= {TOP_K})"""
+
+
+@_register(
+    "v17_encoding_recall",
+    f"IVF-PQ ENCODING eval: recall@{TOP_K} of the composed index under "
+    "raw-vector PQ codes (v13) and residual codes (v16) side by side, "
+    f"same {N_PROBE}-probe coarse filter, same {V12_NQ}-query eval set — "
+    "the measured dispatch between the two encodings.  Textbook IVFADC "
+    "prescribes residual encoding, but its win is conditional on cell "
+    "tightness: for unit vectors ‖x − c‖² = 2 − 2·cos(x, c), so "
+    "residuals are only smaller than the vectors when the mean cosine "
+    "to the assigned centroid exceeds 0.5.  This corpus sits at ≈ 0.19, "
+    "and this eval shows raw winning — on a tightly clustered corpus "
+    "the same two rows flip, and THAT is when an operator switches v13 "
+    "serving to v16.  One ground-truth artifact, both encodings' real "
+    "plans, one stacked output.",
+    f"""
+    WITH {_EXACT_V12_CTES},
+    rawq AS (SELECT qid, vec_id FROM ({_ivfpq_topk_sql(PQ_ITERS, V12_NQ)})),
+    resq AS (SELECT qid, vec_id FROM ({_rivfpq_topk_sql(PQ_ITERS, V12_NQ)})),
+    got AS (
+      SELECT 'raw' AS encoding, qid, vec_id FROM rawq
+      UNION ALL
+      SELECT 'residual' AS encoding, qid, vec_id FROM resq)
+    SELECT e.qid, enc.encoding, CAST(COUNT(*) AS BIGINT) AS n_topk,
+           CAST(SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_recovered,
+           ROUND(SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS recall
+    FROM exact e
+    CROSS JOIN (SELECT 'raw' AS encoding UNION ALL SELECT 'residual') enc
+    LEFT JOIN got g ON g.encoding = enc.encoding AND g.qid = e.qid
+                   AND g.vec_id = e.vec_id
+    GROUP BY e.qid, enc.encoding ORDER BY e.qid, enc.encoding
+    """,
+    ("similarity", "ann", "ivf", "pq", "eval", "calibration", "pipeline"),
+)
+def v17(spark, sf_dir):
+    exact = _exact_topk_v12(spark, sf_dir).select("qid", "vec_id")
+    out = None
+    for enc, res in (("raw", False), ("residual", True)):
+        r = _recall_agg(exact, _ivfpq_topk_plan(spark, sf_dir, V12_NQ, residual=res)).select(
+            "qid", F.lit(enc).alias("encoding"), "n_topk", "n_recovered", "recall"
         )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("qid", "encoding")
+
+
+# ---------------------------------------------------------------------------
+# v18: IVF-PQ nprobe sweep — composed recall at nprobe 1/2/4/8, one plan
+# ---------------------------------------------------------------------------
+PROBE_SWEEP = (1, 2, 4, N_CELLS)
+
+
+@_register(
+    "v18_ivfpq_nprobe_sweep",
+    f"IVF-PQ nprobe sweep: recall@{TOP_K} of the composed index (v13's "
+    f"raw encoding) at nprobe {PROBE_SWEEP}, fused into ONE plan — the "
+    "v9 min-probe-rank idiom extended through the ADC shortlist.  The "
+    "ADC score is nprobe-independent, so the corpus is scored once; "
+    "per (query, candidate) the probe rank mp of the candidate's cell "
+    "plus ONE running-count window pass over the approx ranking "
+    "reconstructs every nprobe's exact shortlist (a candidate is "
+    "shortlisted at nprobe p iff mp ≤ p and fewer than "
+    f"{PQ_SHORTLIST} better-approx candidates also have mp ≤ p — "
+    "candidate sets are nested in p, so one ordering serves all four), "
+    "and a second window pass over the exact-sim ranking of the "
+    "shortlist union yields every nprobe's top-k.  Reading the sweep "
+    "against v12's PQ-only line separates coarse-filter loss from "
+    f"quantization loss: at nprobe {N_CELLS} (= every cell) the "
+    "composed index IS full-corpus PQ, so the line converges to v12's "
+    "by construction and the gap at each smaller p is pure coarse-"
+    "filter loss — measured, not asserted.  At 100 TB the sweep is the "
+    "capacity-planning query: recall-per-probe directly prices "
+    "nprobe/ncells × index-bytes per query.",
+    f"""
+    WITH {_pq_adc_ctes(PQ_ITERS, V12_NQ)},
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id IN {IVF_SEED_IDS}),
+    ivfranked AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COS_SQL.format(a="e.embedding", b="c.ce")} DESC, c.cid) AS rn
+      FROM embeddings e, c),
+    cells AS (SELECT vec_id, cid AS cell FROM ivfranked WHERE rn = 1),
+    proben AS (SELECT vec_id AS qid, cid AS cell, rn FROM ivfranked
+               WHERE vec_id < {V12_NQ}),
+    mp AS (SELECT p.qid, x.vec_id, p.rn AS mp
+           FROM proben p JOIN cells x ON x.cell = p.cell),
+    adcall AS (
+      SELECT qp.qid, cd.vec_id,
+             CAST(SUM(qp.qdot6) AS DOUBLE) / 1e6 AS adc,
+             CAST(SUM(cd.cw_ss6) AS DOUBLE) / 1e6 AS recon_ss
+      FROM codes cd JOIN qparts qp ON qp.m = cd.m AND qp.code = cd.code
+      GROUP BY qp.qid, cd.vec_id),
+    apx AS (
+      SELECT a.qid, a.vec_id, m.mp, a.adc / SQRT(a.recon_ss) AS approx
+      FROM adcall a JOIN mp m ON m.qid = a.qid AND m.vec_id = a.vec_id
+      WHERE a.vec_id <> a.qid),
+    flags AS (
+      SELECT qid, vec_id, mp,
+             {", ".join(
+                 f"SUM(CASE WHEN mp <= {p} THEN 1 ELSE 0 END) OVER w AS cum{p}"
+                 for p in PROBE_SWEEP)}
+      FROM apx
+      WINDOW w AS (PARTITION BY qid ORDER BY ROUND(approx, 6) DESC, vec_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    inp AS (
+      SELECT qid, vec_id,
+             {", ".join(
+                 f"(mp <= {p} AND cum{p} <= {PQ_SHORTLIST}) AS in{p}"
+                 for p in PROBE_SWEEP)}
+      FROM flags),
+    sl AS (
+      SELECT i.qid, i.vec_id, {", ".join(f"i.in{p}" for p in PROBE_SWEEP)},
+             {_COS_SQL.format(a="q.qe", b="e.embedding")} AS sim
+      FROM inp i
+      JOIN embeddings e ON e.vec_id = i.vec_id
+      JOIN q ON q.qid = i.qid
+      WHERE {" OR ".join(f"i.in{p}" for p in PROBE_SWEEP)}),
+    hits AS (
+      SELECT qid, vec_id,
+             {", ".join(
+                 f"(in{p} AND SUM(CASE WHEN in{p} THEN 1 ELSE 0 END) OVER ws"
+                 f" <= {TOP_K}) AS hit{p}"
+                 for p in PROBE_SWEEP)}
+      FROM sl
+      WINDOW ws AS (PARTITION BY qid ORDER BY sim DESC, vec_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    {_EXACT_V12_CTES},
+    agg AS (
+      SELECT e.qid, COUNT(*) AS n_topk,
+             {", ".join(
+                 f"SUM(CASE WHEN h.hit{p} THEN 1 ELSE 0 END) AS r{p}"
+                 for p in PROBE_SWEEP)}
+      FROM exact e LEFT JOIN hits h ON h.qid = e.qid AND h.vec_id = e.vec_id
+      GROUP BY e.qid)
+    SELECT qid, CAST(nprobe AS INT) AS nprobe, CAST(n_topk AS BIGINT) AS n_topk,
+           CAST(n_rec AS BIGINT) AS n_recovered,
+           ROUND(n_rec * 1.0 / n_topk, 4) AS recall
+    FROM (
+      {" UNION ALL ".join(
+          f"SELECT qid, {p} AS nprobe, n_topk, r{p} AS n_rec FROM agg"
+          for p in PROBE_SWEEP)})
+    ORDER BY qid, nprobe
+    """,
+    ("similarity", "ann", "ivf", "pq", "eval", "calibration", "pipeline"),
+)
+def v18(spark, sf_dir):
+    from functools import reduce
+    from operator import or_
+
+    e, cw, codes = _pq_index(spark, sf_dir)
+    _, cells, probes = _ivf_cells_probes(spark, sf_dir, N_CELLS, V12_NQ)
+    q, qparts = _pq_query_side(e, cw, V12_NQ)
+    mp = cells.join(F.broadcast(probes), "cell").select(
+        "qid", "vec_id", F.col("rn").alias("mp")
+    )
+    apx = (
+        codes.join(F.broadcast(qparts), ["m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            (F.sum("qdot6").cast("double") / 1e6).alias("adc"),
+            (F.sum("cw_ss6").cast("double") / 1e6).alias("recon_ss"),
+        )
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(mp, ["qid", "vec_id"])
+        .select("qid", "vec_id", "mp", (F.col("adc") / F.sqrt("recon_ss")).alias("approx"))
+    )
+    wapx = (
+        Window.partitionBy("qid")
+        .orderBy(F.round("approx", 6).desc(), "vec_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inp = apx.select(
+        "qid",
+        "vec_id",
+        *[
+            (
+                (F.col("mp") <= p)
+                & (F.sum((F.col("mp") <= p).cast("int")).over(wapx) <= PQ_SHORTLIST)
+            ).alias(f"in{p}")
+            for p in PROBE_SWEEP
+        ],
+    )
+    qv = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    sl = (
+        inp.where(reduce(or_, [F.col(f"in{p}") for p in PROBE_SWEEP]))
+        .join(e, "vec_id")
+        .join(F.broadcast(qv), "qid")
         .select(
             "qid",
-            "n_topk",
-            "n_recovered",
-            F.round(F.col("n_recovered") / F.col("n_topk"), 4).alias("recall"),
+            "vec_id",
+            *[f"in{p}" for p in PROBE_SWEEP],
+            cosine(F.col("qe"), F.col("embedding")).alias("sim"),
         )
-        .orderBy("qid")
+    )
+    wsim = (
+        Window.partitionBy("qid")
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hits = sl.select(
+        "qid",
+        "vec_id",
+        *[
+            (
+                F.col(f"in{p}")
+                & (F.sum(F.col(f"in{p}").cast("int")).over(wsim) <= TOP_K)
+            ).alias(f"hit{p}")
+            for p in PROBE_SWEEP
+        ],
+    )
+    exact = _exact_topk_v12(spark, sf_dir).select("qid", "vec_id")
+    agg = (
+        exact.join(hits, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_topk"),
+            *[
+                F.sum(F.coalesce(F.col(f"hit{p}"), F.lit(False)).cast("int")).alias(f"r{p}")
+                for p in PROBE_SWEEP
+            ],
+        )
+    )
+    stacked = agg.select(
+        "qid",
+        "n_topk",
+        F.expr(
+            f"stack({len(PROBE_SWEEP)}, "
+            + ", ".join(f"{p}, r{p}" for p in PROBE_SWEEP)
+            + ") AS (nprobe, n_rec)"
+        ),
+    )
+    return (
+        stacked.select(
+            "qid",
+            F.col("nprobe").cast("int").alias("nprobe"),
+            F.col("n_topk").cast("bigint").alias("n_topk"),
+            F.col("n_rec").cast("bigint").alias("n_recovered"),
+            F.round(F.col("n_rec") / F.col("n_topk"), 4).alias("recall"),
+        )
+        .orderBy("qid", "nprobe")
     )
 
 
@@ -1725,6 +2270,9 @@ for _name in (
     "v13_ivfpq_topk",
     "v14_ivfpq_recall",
     "v15_dedup_apply",
+    "v16_rivfpq_topk",
+    "v17_encoding_recall",
+    "v18_ivfpq_nprobe_sweep",
 ):
     QUERIES[_name] = _dc.replace(QUERIES[_name], oracle=_gate_oracle(QUERIES[_name].oracle))
 del _name

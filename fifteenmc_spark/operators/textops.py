@@ -1081,8 +1081,10 @@ _PPM = 1_000_000
     "like p2/p4: membership is md5(doc_id || ':domainmix') at ppm "
     "resolution (derived rates are not round percentages), content-"
     "independent, RNG-free.  Integer-exact across engines: the rate is "
-    "one bigint DIV, the keep decision one integer compare — no float "
-    "crosses an engine boundary.  Scale shape: the narrow per-doc stats "
+    "bigint DIV arithmetic (clamp-first + two base-1000 stages, so no "
+    "intermediate overflows below ~9.2e15 corpus tokens), the keep "
+    "decision one integer compare — no float crosses an engine boundary.  "
+    "Scale shape: the narrow per-doc stats "
     "table (ids + counts, never text) is pinned once (localCheckpoint — "
     "it feeds the totals aggregate AND the final join, two non-matching "
     "exchanges, the t9/x9 idiom); the rate table is |sources| rows "
@@ -1102,8 +1104,10 @@ _PPM = 1_000_000
     rates AS (
       SELECT p.source,
              CASE WHEN p.src_tokens = 0 THEN {_PPM}
-                  ELSE LEAST({_PPM},
-                       (g.corpus_tokens * {_PPM}) // (g.n_sources * p.src_tokens)) END
+                  WHEN g.corpus_tokens >= g.n_sources * p.src_tokens THEN {_PPM}
+                  ELSE ((g.corpus_tokens * 1000) // (g.n_sources * p.src_tokens)) * 1000
+                       + (((g.corpus_tokens * 1000) % (g.n_sources * p.src_tokens)) * 1000)
+                         // (g.n_sources * p.src_tokens) END
                  AS rate_ppm
       FROM per_src p, g)
     SELECT t.doc_id, t.source, CAST(t.n_tokens AS INT) AS n_tokens,
@@ -1128,11 +1132,23 @@ def p8(spark, sf_dir):
     )
     rates = per_src.crossJoin(F.broadcast(g)).select(
         "source",
+        # least(PPM, (corpus*PPM) div D) computed overflow-safe: the clamp
+        # branch (corpus >= D) never multiplies, and the unclamped branch
+        # (corpus < D, quotient < PPM) decomposes the *1e6 into two exact
+        # base-1000 stages, so every intermediate stays < max(corpus, D)*1000.
+        # Exact while corpus_tokens*1000 and n_sources*src_tokens*1000 fit
+        # int64, i.e. up to ~9.2e15 tokens — 360x the ~2.5e13 tokens of the
+        # 100 TB design point (the naive corpus*1e6 wrapped at ~9.2e12).
         F.when(F.col("src_tokens") == 0, F.lit(_PPM).cast("bigint"))
+        .when(
+            F.expr("corpus_tokens >= n_sources * src_tokens"),
+            F.lit(_PPM).cast("bigint"),
+        )
         .otherwise(
-            F.least(
-                F.lit(_PPM).cast("bigint"),
-                F.expr(f"(corpus_tokens * {_PPM}) div (n_sources * src_tokens)"),
+            F.expr(
+                "((corpus_tokens * 1000) div (n_sources * src_tokens)) * 1000"
+                " + (((corpus_tokens * 1000) % (n_sources * src_tokens)) * 1000)"
+                " div (n_sources * src_tokens)"
             )
         )
         .alias("rate_ppm"),

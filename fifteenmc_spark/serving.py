@@ -28,6 +28,7 @@ def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         simhash_code_index,
     )
     from .operators.similarity import (
+        N_CELLS,
         N_PROBE,
         SIG_PLANES,
         V12_NQ,
@@ -36,6 +37,7 @@ def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         _exact_topk_v12,
         _ivf_cells_probes,
         _pq_index,
+        _rpq_index,
         _sig,
     )
 
@@ -47,8 +49,11 @@ def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     counts["ivf_probes"] = probes.count()
     _, _, probes_w = _ivf_cells_probes(spark, sf_dir, N_PROBE, V12_NQ)
     counts["ivf_probes_eval"] = probes_w.count()
+    _, _, probes_sweep = _ivf_cells_probes(spark, sf_dir, N_CELLS, V12_NQ)
+    counts["ivf_probes_sweep"] = probes_sweep.count()
     _, _, pq_codes = _pq_index(spark, sf_dir)
     counts["pq_codes"] = pq_codes.count()
+    counts["rpq_codes"] = _rpq_index(spark, sf_dir)[2].count()
     counts["exact_topk"] = _exact_topk(spark, sf_dir).count()
     counts["exact_topk_v12"] = _exact_topk_v12(spark, sf_dir).count()
     counts["shingles"] = shingle_index(spark, sf_dir).count()

@@ -23,9 +23,11 @@ Design, stage by stage:
   codebook rides as a closure constant (M×K×PQ_SUB — the side every
   batch PQ query broadcasts); per query it emits the probe-cell list
   AND the full ADC lookup table (M×K BIGINT partials of the
-  UNIT-normalized query against every codeword — the same integer
-  rounding as the batch qparts, so stream and batch sums are bitwise
-  equal).
+  UNIT-normalized query against every codeword — computed with the
+  batch qparts' exact arithmetic: dot_double's sequential fold order,
+  the same (dot/|q|)*1e6 operation order, and BigDecimal-HALF_UP
+  rounding, so stream and batch sums are bitwise equal, not merely
+  close).
 - stream-static equi-join on ``cell``; per candidate the ADC sum is a
   fixed-M integer fold over the lookup table (tiny, per-row, no
   shuffle), approx = sum/1e6 / sqrt(recon_ss6/1e6) rounded to 6 digits
@@ -40,6 +42,8 @@ and under re-delivery.
 """
 
 from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
 import pandas as pd
@@ -114,11 +118,47 @@ def build_pq_serving_index(spark, sf_dir, nprobe: int):
     return static, books
 
 
+def _fold_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(batch, d) · (K, d)ᵀ → (batch, K), accumulated SEQUENTIALLY over d
+    in index order — the same left-fold as operators.similarity.dot_double
+    (acc starts at 0.0, one float64 product added per dimension), NOT a
+    BLAS matmul whose blocked summation order differs by ulps.  Those ulps
+    matter: the table is rounded to 1e6 fixed-point, and a half-ulp flip
+    at a .5 boundary would break the bitwise stream≡batch contract."""
+    acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc += A[:, j : j + 1] * B[None, :, j]
+    return acc
+
+
+def _round_half_up_1e6(vals: np.ndarray) -> np.ndarray:
+    """Spark's F.round on DoubleType is java BigDecimal(double).setScale(0,
+    HALF_UP): ties on the EXACT binary expansion of the double round away
+    from zero.  Python's Decimal(float) is that same exact expansion, so
+    quantize(1, ROUND_HALF_UP) matches bit-for-bit — np.round (half-to-even)
+    and floor(x+0.5) (wrong at 0.49999999999999994 and for negative ties)
+    do not.  The table is M×K per query — a few hundred scalars — so the
+    per-element Decimal walk is off the hot path."""
+    flat = vals.ravel()
+    out = np.fromiter(
+        (
+            int(Decimal(float(v)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+            for v in flat
+        ),
+        dtype=np.int64,
+        count=flat.size,
+    )
+    return out.reshape(vals.shape)
+
+
 def query_features_col(centroids, books, nprobe: int):
     """Column (cells, adctab6) for an embedding column: the probe-cell
     list (ann.probe_cells_col's exact ranking) plus the flattened M×K
-    ADC lookup table of the UNIT query against every codeword, with the
-    batch qparts' integer rounding (round(dot/|q| × 1e6) as int64)."""
+    ADC lookup table of the UNIT query against every codeword, computed
+    with the batch qparts' EXACT arithmetic — sequential left-fold dots
+    (dot_double's order), (dot / |q|) * 1e6 in that operation order, and
+    BigDecimal-HALF_UP rounding — so the stream table is bitwise equal
+    to batch's round(dot_double(qsube, cwe) / qnorm * 1e6)."""
     probes = probe_cells_col(centroids, nprobe)
     K = max(len(cids) for cids, _ in books.values())
     mats = [books[m][1] for m in range(PQ_M)]  # each K×PQ_SUB
@@ -128,12 +168,15 @@ def query_features_col(centroids, books, nprobe: int):
         if len(emb) == 0:
             return pd.Series([], dtype="object")
         E = np.vstack(emb.to_numpy()).astype(np.float64)
-        qn = np.linalg.norm(E, axis=1, keepdims=True)
+        ss = np.zeros(len(E), dtype=np.float64)
+        for j in range(E.shape[1]):  # norm2's fold order, not np.linalg.norm
+            ss += E[:, j] * E[:, j]
+        qn = np.sqrt(ss)[:, None]
         out = np.empty((len(E), PQ_M * K), dtype=np.int64)
         for m in range(PQ_M):
             sub = E[:, m * mats[m].shape[1] : (m + 1) * mats[m].shape[1]]
-            dots = sub @ mats[m].T / qn  # (batch, K), unit-normalized query
-            out[:, m * K : (m + 1) * K] = np.round(dots * 1e6).astype(np.int64)
+            dots = _fold_dot(sub, mats[m])  # (batch, K)
+            out[:, m * K : (m + 1) * K] = _round_half_up_1e6(dots / qn * 1e6)
         return pd.Series([row.tolist() for row in out])
 
     def col(emb):

@@ -279,7 +279,11 @@ def test_x9_span_kernel_executes_once(spark, sf_small):
     # nowhere downstream.
     df = QUERIES["x9_span_dedup"].build(spark, sf_small)
     tree = df._jdf.queryExecution().executedPlan().toString()
-    assert "transform(sequence(" not in tree  # span build not re-planned
+    # span build not re-planned downstream of the pin: if the checkpoint
+    # were dropped, the position explode (sequence(1, ...)) and the window
+    # hash projection (concat_ws inside md5) would reappear in this plan
+    assert "sequence(" not in tree
+    assert "concat_ws" not in tree
     assert tree.count("Scan ExistingRDD") >= 2  # both branches read the checkpoint
     # and the parquet scan of documents is gone from the final plan — the
     # only corpus read happens inside the (single) checkpoint job
@@ -296,6 +300,33 @@ def test_v13_ivfpq_is_all_equi_joins_with_broadcast_small_sides(spark, sf_small)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_v16_residual_ivfpq_plan_shape(spark, sf_small):
+    # the residual twin keeps v13's equi-join discipline for everything
+    # that scales with the corpus: codes never sit on the build side of a
+    # nested loop, candidates/lookup tables broadcast.  The ONE permitted
+    # nested-loop join is the |queries| x |cells| qcent cross product —
+    # both sides broadcast-tiny by construction (nq rows x 8 centroids)
+    df = QUERIES["v16_rivfpq_topk"].build(spark, sf_small)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # count on the raw tree string — formatted explain lists every node
+    # twice (tree line + numbered detail), which would double the count
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_v18_sweep_scores_corpus_once(spark, sf_small):
+    # the fused sweep's whole point: ONE ADC aggregate over the codes
+    # table serves all four nprobe levels — the plan must contain exactly
+    # one codes-side hash aggregate pair (partial+final) feeding the
+    # window passes, and no cartesian/nested-loop expansion
+    df = QUERIES["v18_ivfpq_nprobe_sweep"].build(spark, sf_small)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_t9_tokenize_executes_once(spark, sf_small):

@@ -111,9 +111,9 @@ def test_warm_session_index_materializes_all_artifacts(spark, sf_small):
 
     counts = warm_session_index(spark, sf_small)
     assert set(counts) == {
-        "emb", "sig16", "ivf_cells", "ivf_probes", "ivf_probes_eval", "exact_topk",
-        "exact_topk_v12", "pq_codes", "shingles", "mh_sig16",
-        "simhash16", "simhash64",
+        "emb", "sig16", "ivf_cells", "ivf_probes", "ivf_probes_eval",
+        "ivf_probes_sweep", "exact_topk", "exact_topk_v12", "pq_codes",
+        "rpq_codes", "shingles", "mh_sig16", "simhash16", "simhash64",
     }
     assert all(n > 0 for n in counts.values()), counts
     # every artifact (plus the max-df stat) is now resident in the cache
@@ -121,7 +121,8 @@ def test_warm_session_index_materializes_all_artifacts(spark, sf_small):
     keys = {k[2] for k in SI._SESSION_INDEX if k[0] == app and k[1] == sf_small}
     assert {"emb", "sig16", "ivf_scored", "ivf_cells", "exact_topk",
             "exact_topk_v12", "shingles", "mh_sig16", "simhash16",
-            "simhash64", "max_df", "pq_codewords", "pq_codes"} <= keys
+            "simhash64", "max_df", "pq_codewords", "pq_codes",
+            "rpq_codewords", "rpq_codes"} <= keys
 
 
 def test_pq_training_strictly_improves_recall(spark, sf_small):
@@ -152,6 +153,80 @@ def test_pq_training_strictly_improves_recall(spark, sf_small):
         }
         hits[iters] = len(exact & got)
     assert hits[PQ_ITERS] > hits[0], hits
+
+
+def test_encoding_adjudication_tightness_predicts_winner(spark, sf_small):
+    # v13 ships RAW PQ codes and v16 the textbook residual encoding; the
+    # dispatch between them is MEASURED, not assumed.  The geometry: for
+    # unit vectors ||x - c||^2 = 2 - 2*cos(x, c), so residuals are only
+    # smaller than the vectors (and residual quantization only wins) when
+    # the mean cosine to the assigned centroid exceeds 0.5.  This corpus
+    # sits far below (~0.19), so the tightness stat must predict raw
+    # winning the composed-recall eval — both sides from the queries'
+    # real plans (measured at this SF: raw 78 vs residual 72 of 250;
+    # independent numpy replication: recon MSE 0.62 raw vs 0.80 residual).
+    from fifteenmc_spark.operators.similarity import (
+        IVF_SEED_IDS,
+        V12_NQ,
+        _emb,
+        _exact_topk_v12,
+        _ivfpq_topk_plan,
+        cosine,
+    )
+
+    e = _emb(spark, sf_small).select("vec_id", "embedding")
+    cents = e.where(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
+        F.col("embedding").alias("ce")
+    )
+    tightness = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", cosine(F.col("embedding"), F.col("ce")).alias("sim"))
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("mx"))
+        .agg(F.avg("mx"))
+        .first()[0]
+    )
+    assert tightness < 0.5, tightness  # loose cells -> raw must win
+    exact = {
+        (r.qid, r.vec_id)
+        for r in _exact_topk_v12(spark, sf_small).select("qid", "vec_id").collect()
+    }
+    hits = {}
+    for residual in (False, True):
+        got = {
+            (r.qid, r.vec_id)
+            for r in _ivfpq_topk_plan(spark, sf_small, V12_NQ, residual=residual)
+            .select("qid", "vec_id")
+            .collect()
+        }
+        hits["residual" if residual else "raw"] = len(exact & got)
+    assert hits["raw"] > hits["residual"], (tightness, hits)
+
+
+def test_nprobe_sweep_reproduces_standalone_evals(spark, sf_small):
+    # The fused v18 sweep must be EXACT, not approximately fused: its
+    # nprobe=N_PROBE line is v14 (the standalone composed eval) and its
+    # nprobe=N_CELLS line is v12 (PQ-only — probing every cell disables
+    # the coarse filter by construction), per query.  This is the gate
+    # that the one-window-pass shortlist reconstruction equals the real
+    # per-nprobe shortlist + re-rank plans.
+    from fifteenmc_spark.operators.relational import QUERIES
+    from fifteenmc_spark.operators.similarity import N_CELLS, N_PROBE
+
+    sweep = {
+        (r.qid, r.nprobe): r.n_recovered
+        for r in QUERIES["v18_ivfpq_nprobe_sweep"].build(spark, sf_small).collect()
+    }
+    v14 = {
+        r.qid: r.n_recovered
+        for r in QUERIES["v14_ivfpq_recall"].build(spark, sf_small).collect()
+    }
+    v12 = {
+        r.qid: r.n_recovered
+        for r in QUERIES["v12_pq_recall"].build(spark, sf_small).collect()
+    }
+    assert all(sweep[(q, N_PROBE)] == n for q, n in v14.items())
+    assert all(sweep[(q, N_CELLS)] == n for q, n in v12.items())
 
 
 def test_invalidate_evicts_sf_dir_entries(spark, sf_small, tmp_path):
