@@ -43,6 +43,7 @@ _CHECK_FIRST = (
     "v16_rivfpq_topk",
     "v17_encoding_recall",
     "v18_ivfpq_nprobe_sweep",
+    "m5_image_meta",
     # newest driver row is r8 — rotate back through (verdict r9 item 1)
     "d1_scan_filter",
     "d2_inner_join",
@@ -87,8 +88,8 @@ _CHECK_FIRST = (
     "x7_jaccard_clusters",
     "x8_decontaminate",
     # r10-touched (codebook/query-side refactor; v13/v14 encoding
-    # adjudication) — fresh rows
-    "v11_pq_topk",
+    # adjudication) — fresh rows; v11 (newest row r9) yields its slot to
+    # the never-checked m5
     "v12_pq_recall",
     "v13_ivfpq_topk",
     "v14_ivfpq_recall",

@@ -1768,7 +1768,17 @@ X9_SAMPLE_NIBBLES = ("0", "1", "2", "3")
     "it.  Scale shape: the filter sits scan-side BETWEEN the hash "
     "projection and the exchange, so the md5 pass still covers the "
     "corpus (cheap codegen) while the dominant cost — the span-table "
-    "shuffle the x9 docstring sizes at ~L rows/doc — drops by s.",
+    "shuffle the x9 docstring sizes at ~L rows/doc — drops by s.  "
+    "CALLER-SELECTED by design, never auto-dispatched: x5_capped's "
+    "measured dispatch is legitimate because both its branches compute "
+    "the SAME answer (one oracle, the cap only reroutes the plan), but "
+    "x9 and x9_sampled return DIFFERENT result sets — the sample trades "
+    "1-(1-1/s)^c region recall for a 1/s shuffle, a recall/cost decision "
+    "only the consumer can price (a license-block scrubber needs x9's "
+    "exhaustiveness; a corpus-health monitor wants the sample).  An "
+    "engine-side size dispatch would silently change what a declared "
+    "query RETURNS as the corpus grows — the one thing a fixed oracle "
+    "contract exists to forbid.",
     f"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS tk

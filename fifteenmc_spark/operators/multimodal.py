@@ -1,10 +1,13 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched pandas functions via mapInPandas.
 
-The container has no image/audio libs, so the decode step is STUBBED
-(`decode_image` raises NotImplementedError; `fake_decode_meta` is the
-deterministic stand-in) — but the Spark-side plumbing is real and tested:
-schema, binary columns, mapInPandas batch shape, and the Arrow transfer.
+The decode step is gated behind an import probe (`HAS_IMAGING`): when an
+imaging library is installed `decode_image` is the real PIL decode, when
+not (this container) `fake_decode_meta` is the deterministic twin — the
+SAME mapInPandas path either way (`extract_image_meta` takes the decoder
+as an injectable), and the Spark-side plumbing is real and tested under
+both: schema, binary columns, batch shape, NULL/undecodable propagation,
+and the Arrow transfer.
 
 Scale design: payloads never enter a shuffle — feature extraction is a
 narrow mapInPandas over the scan; only the (small) extracted features move.
@@ -73,18 +76,93 @@ def synthesize_assets(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):
-    """Real decoder requires PIL/libjpeg — not in this container.  The
-    plumbing around it (schema, batching) is exercised via
-    fake_decode_meta instead."""
-    raise NotImplementedError("image decode requires an imaging library not present in this container")
+# optional-dependency probe, ONCE at import: the real decoder exists iff
+# an imaging library is installed; everything downstream (schema,
+# batching, mapInPandas plumbing) is identical either way
+try:
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:
+    _PILImage = None
+
+HAS_IMAGING = _PILImage is not None
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """(width, height) of an encoded image via the real imaging library.
+    Gated behind the import probe: when no imaging library is installed
+    (this container) it raises NotImplementedError and callers route
+    through fake_decode_meta — the SAME mapInPandas path either way
+    (test_multimodal parametrizes over both, skipif on HAS_IMAGING)."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image decode requires an imaging library not present in this container"
+        )
+    import io as _io
+
+    with _PILImage.open(_io.BytesIO(payload)) as im:
+        return (int(im.width), int(im.height))
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for decode: fake (width, height) from the
-    byte length — keeps the downstream schema and tests real."""
+    byte length — keeps the downstream schema and tests real, and gives
+    the m5 declared query an engine-portable oracle."""
     n = len(payload)
     return (n % 640 + 1, n % 480 + 1)
+
+
+def default_decoder():
+    """The decode dispatch: real library when present, deterministic twin
+    otherwise.  Resolved at call time (not import) so tests can monkey-
+    patch the probe."""
+    return decode_image if HAS_IMAGING else fake_decode_meta
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def extract_image_meta(assets: DataFrame, decoder=None) -> DataFrame:
+    """Decode → (width, height) over image payloads via mapInPandas — the
+    one multimodal path whose kernel depends on an optional library, so
+    the decoder is injectable: default_decoder() picks the real decode
+    when HAS_IMAGING else the deterministic twin, and the Spark-side
+    shape (binary column in, typed meta out, NULL payload → NULL meta,
+    undecodable payload → NULL meta instead of a poisoned batch) is
+    identical and tested under both.  Payloads never shuffle: the decode
+    is scan-side, only (asset_id, width, height) moves."""
+    dec = decoder if decoder is not None else default_decoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h = [], []
+            for p in pdf["payload"]:
+                wh = None
+                if p is not None:
+                    try:
+                        wh = dec(bytes(p))
+                    except Exception:
+                        wh = None  # undecodable asset -> NULL meta, row survives
+                w.append(None if wh is None else wh[0])
+                h.append(None if wh is None else wh[1])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
+                }
+            )
+
+    return (
+        assets.where(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema=IMAGE_META_SCHEMA)
+    )
 
 
 def _segment_batch(payloads):
@@ -293,6 +371,36 @@ def m3(spark, sf_dir):
     # checkpoint before the global sort: the range sampler would otherwise
     # re-execute the whole mapInPandas (Python workers) a second time
     return sample_frames(video).localCheckpoint(eager=False).orderBy("asset_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# m5: image meta extraction (the optional-dependency decode path)
+# ---------------------------------------------------------------------------
+@_register(
+    "m5_image_meta",
+    "Image meta extraction over binary payloads via mapInPandas — the "
+    "decode path whose kernel lives behind the optional-dependency probe "
+    "(extract_image_meta: real PIL decode when HAS_IMAGING, the "
+    "deterministic fake twin otherwise, one injectable-decoder plumbing "
+    "either way).  The DECLARED query pins the fake decoder so the "
+    "contract is engine-portable and environment-independent — (width, "
+    "height) = (bytes % 640 + 1, bytes % 480 + 1), which the oracle "
+    "recomputes relationally; on a real image corpus the real decoder "
+    "is the drop-in behind the same schema.  NULL payloads survive as "
+    "NULL meta (ingest QA counts the gap).  Scale shape: decode is "
+    "scan-side, payload bytes never shuffle, only (asset_id, width, "
+    "height) moves.",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS INT) AS width,
+           CAST(OCTET_LENGTH(ENCODE(text)) % 480 + 1 AS INT) AS height
+    FROM documents WHERE doc_id % 4 = 0 ORDER BY asset_id
+    """,
+    ("multimodal", "pandas-udf", "decode", "pipeline"),
+)
+def m5(spark, sf_dir):
+    a = synthesize_assets(spark, sf_dir)
+    return extract_image_meta(a, decoder=fake_decode_meta).orderBy("asset_id")
 
 
 # ---------------------------------------------------------------------------

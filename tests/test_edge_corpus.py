@@ -72,6 +72,9 @@ EDGE_QUERIES = [
     "m2_feature_extract",
     "m3_frame_sample",
     "m4_frame_dedup",
+    # m5 on pathological docs: empty text -> 0 bytes -> (1, 1) meta on
+    # both engines; the NULL-text doc is not an image asset here (9 % 4)
+    "m5_image_meta",
 ]
 
 
