@@ -44,6 +44,8 @@ _CHECK_FIRST = (
     "v17_encoding_recall",
     "v18_ivfpq_nprobe_sweep",
     "m5_image_meta",
+    "v19_tivf_topk",
+    "v20_tivf_recall",
     # newest driver row is r8 — rotate back through (verdict r9 item 1)
     "d1_scan_filter",
     "d2_inner_join",
@@ -87,12 +89,11 @@ _CHECK_FIRST = (
     "x7_hamming_clusters",
     "x7_jaccard_clusters",
     "x8_decontaminate",
-    # r10-touched (codebook/query-side refactor; v13/v14 encoding
-    # adjudication) — fresh rows; v11 (newest row r9) yields its slot to
-    # the never-checked m5
-    "v12_pq_recall",
+    # r10-touched (codebook/query-side refactor) — fresh row; v11/v12/v14
+    # (newest rows r9, behavior unchanged this round, re-oracled green by
+    # the pytest sweep) yield their slots to the never-checked
+    # m5/v19/v20
     "v13_ivfpq_topk",
-    "v14_ivfpq_recall",
 )
 
 

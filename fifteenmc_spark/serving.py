@@ -39,6 +39,7 @@ def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         _pq_index,
         _rpq_index,
         _sig,
+        _tivf_cells_probes,
     )
 
     counts: dict[str, int] = {}
@@ -51,6 +52,11 @@ def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     counts["ivf_probes_eval"] = probes_w.count()
     _, _, probes_sweep = _ivf_cells_probes(spark, sf_dir, N_CELLS, V12_NQ)
     counts["ivf_probes_sweep"] = probes_sweep.count()
+    _, tcells, tprobes = _tivf_cells_probes(spark, sf_dir, N_PROBE)
+    counts["tivf_cells"] = tcells.count()
+    counts["tivf_probes"] = tprobes.count()
+    _, _, tprobes_w = _tivf_cells_probes(spark, sf_dir, N_PROBE, V12_NQ)
+    counts["tivf_probes_eval"] = tprobes_w.count()
     _, _, pq_codes = _pq_index(spark, sf_dir)
     counts["pq_codes"] = pq_codes.count()
     counts["rpq_codes"] = _rpq_index(spark, sf_dir)[2].count()

@@ -129,6 +129,17 @@ def test_ivf_broadcasts_centroids_and_probes(spark, sf_small):
     assert "CartesianProduct" not in plan
 
 
+def test_tivf_broadcasts_centroids_and_probes(spark, sf_small):
+    # v19: same serving discipline as v5 with the trained centroids —
+    # the 8-row centroid table and the probe list broadcast; the corpus
+    # never sits on the build side of a shuffle join (the training
+    # loop's cross join lives inside the session-cached checkpoint, not
+    # in the serving plan)
+    plan = plan_of(QUERIES["v19_tivf_topk"].build(spark, sf_small))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_x5_intersection_aggregates_partially(spark, sf_small):
     # the pair-count groupBy must have a map-side partial stage — the
     # shuffle carries (doc_a, doc_b, partial count), never shingle rows

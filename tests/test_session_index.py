@@ -112,7 +112,8 @@ def test_warm_session_index_materializes_all_artifacts(spark, sf_small):
     counts = warm_session_index(spark, sf_small)
     assert set(counts) == {
         "emb", "sig16", "ivf_cells", "ivf_probes", "ivf_probes_eval",
-        "ivf_probes_sweep", "exact_topk", "exact_topk_v12", "pq_codes",
+        "ivf_probes_sweep", "tivf_cells", "tivf_probes", "tivf_probes_eval",
+        "exact_topk", "exact_topk_v12", "pq_codes",
         "rpq_codes", "shingles", "mh_sig16", "simhash16", "simhash64",
     }
     assert all(n > 0 for n in counts.values()), counts
@@ -122,7 +123,8 @@ def test_warm_session_index_materializes_all_artifacts(spark, sf_small):
     assert {"emb", "sig16", "ivf_scored", "ivf_cells", "exact_topk",
             "exact_topk_v12", "shingles", "mh_sig16", "simhash16",
             "simhash64", "max_df", "pq_codewords", "pq_codes",
-            "rpq_codewords", "rpq_codes"} <= keys
+            "rpq_codewords", "rpq_codes", "tivf_cents", "tivf_scored",
+            "tivf_cells"} <= keys
 
 
 def test_pq_training_strictly_improves_recall(spark, sf_small):
@@ -201,6 +203,23 @@ def test_encoding_adjudication_tightness_predicts_winner(spark, sf_small):
         }
         hits["residual" if residual else "raw"] = len(exact & got)
     assert hits["raw"] > hits["residual"], (tightness, hits)
+
+
+def test_coarse_quantizer_training_strictly_improves_membership_recall(spark, sf_small):
+    # The spherical-Lloyd-trained coarse quantizer (v19/v20) must put
+    # strictly more true neighbors inside the probed cells than the seed
+    # quantizer it starts from — the acceptance bar for the engine fix to
+    # the bottleneck v18 measured (composed recall loss = coarse-filter
+    # loss).  Measured over v20's own output (both quantizers' real
+    # cell/probe tables): 107 -> 112 of 250 at this SF, 88 -> 125 at
+    # sf0.01.
+    from fifteenmc_spark.operators.relational import QUERIES
+
+    rows = QUERIES["v20_tivf_recall"].build(spark, sf_small).collect()
+    rec = {}
+    for r in rows:
+        rec[r.quantizer] = rec.get(r.quantizer, 0) + r.n_recovered
+    assert rec["trained"] > rec["seed"], rec
 
 
 def test_nprobe_sweep_reproduces_standalone_evals(spark, sf_small):
