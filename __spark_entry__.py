@@ -46,6 +46,7 @@ _CHECK_FIRST = (
     "m5_image_meta",
     "v19_tivf_topk",
     "v20_tivf_recall",
+    "v21_tivfpq_topk",
     # newest driver row is r8 — rotate back through (verdict r9 item 1)
     "d1_scan_filter",
     "d2_inner_join",
@@ -89,11 +90,10 @@ _CHECK_FIRST = (
     "x7_hamming_clusters",
     "x7_jaccard_clusters",
     "x8_decontaminate",
-    # r10-touched (codebook/query-side refactor) — fresh row; v11/v12/v14
-    # (newest rows r9, behavior unchanged this round, re-oracled green by
-    # the pytest sweep) yield their slots to the never-checked
-    # m5/v19/v20
-    "v13_ivfpq_topk",
+    # v11-v14 (newest driver rows r9; this round's codebook/query-side
+    # refactor is behavior-identical and re-oracled green by the pytest
+    # sweep + driver_sim) yield their slots to the 9 never-checked
+    # queries — the window is exactly the 8 new + p8 + the 42 r8-stale
 )
 
 

@@ -1798,14 +1798,26 @@ def _rivfpq_topk_sql(iters: int, nq: int) -> str:
     """
 
 
-def _ivfpq_topk_plan(spark, sf_dir, nq: int = N_QUERY_VECS, residual: bool = False):
+def _ivfpq_topk_plan(
+    spark,
+    sf_dir,
+    nq: int = N_QUERY_VECS,
+    residual: bool = False,
+    trained: bool = False,
+):
     """The IVFADC plan for query vectors vec_id < ``nq`` — v13/v14 run it
     with raw codes (the corpus's MEASURED winner — see v13's docstring);
-    v16/v17 with residual=True (Jégou §V's residual encoding).  Both
-    encodings share the coarse pruning, the ADC tail, and the candidate
-    shape; only the code tables and the norm/numerator decomposition
-    differ."""
-    _, cells, probes = _ivf_cells_probes(spark, sf_dir, N_PROBE, nq)
+    v16/v17 with residual=True (Jégou §V's residual encoding); v21 with
+    trained=True (the spherical-k-means coarse quantizer, v19's cells —
+    the composition the v18→v20 measurements point at).  All variants
+    share the ADC tail and the candidate shape; only the cell tables
+    and/or code tables differ.  trained+residual is rejected: the
+    residual index is built against the seed cells, and v17 already
+    adjudicated residual encoding out on this corpus."""
+    if residual and trained:
+        raise ValueError("residual codes are built against the seed cells")
+    cp = _tivf_cells_probes if trained else _ivf_cells_probes
+    _, cells, probes = cp(spark, sf_dir, N_PROBE, nq)
     # (qid, vec_id) survivors of the coarse pruning — |queries| ×
     # (nprobe/ncells × corpus) rows, the candidate list a serving batch
     # materializes anyway; broadcast-small per batch
@@ -2504,6 +2516,62 @@ def v20(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# v21: trained-IVF + PQ — the composition the v18→v20 measurements built
+# ---------------------------------------------------------------------------
+def _tivfpq_topk_sql(iters: int, nq: int) -> str:
+    """IVFADC oracle with the TRAINED coarse quantizer: _pq_adc_ctes'
+    codebook/codes/query side + the trained-centroid fragment for
+    cells/probes + the shared cand/adc/tail."""
+    return f"""
+    WITH {_pq_adc_ctes(iters, nq)},
+    {_tivf_centroid_sql(TIVF_ITERS)},
+    ivfranked AS (
+      SELECT e.vec_id, t.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COS_SQL.format(a="e.embedding", b="t.cwe")} DESC, t.cid) AS rn
+      FROM embeddings e, tcw t),
+    cells AS (SELECT vec_id, cid AS cell FROM ivfranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cid AS cell FROM ivfranked
+               WHERE vec_id < {nq} AND rn <= {N_PROBE}),
+    cand AS (
+      SELECT p.qid, x.vec_id
+      FROM probes p JOIN cells x ON x.cell = p.cell AND x.vec_id <> p.qid),
+    adc AS (
+      SELECT cd.qid, c2.vec_id,
+             CAST(SUM(qp.qdot6) AS DOUBLE) / 1e6 AS adc,
+             CAST(SUM(c2.cw_ss6) AS DOUBLE) / 1e6 AS recon_ss
+      FROM codes c2
+      JOIN cand cd ON cd.vec_id = c2.vec_id
+      JOIN qparts qp ON qp.qid = cd.qid AND qp.m = c2.m AND qp.code = c2.code
+      GROUP BY cd.qid, c2.vec_id),
+    {_PQ_TAIL_SQL}
+    """
+
+
+@_register(
+    "v21_tivfpq_topk",
+    f"Trained-IVF + PQ top-{TOP_K}: v13's composed serving plan with the "
+    "coarse quantizer swapped for v19's spherical-k-means-trained cells "
+    "— the composition the round's measurement chain built: v18 proved "
+    "the composed recall gap is pure coarse-filter loss, v17 proved "
+    "better codes can't close it on this corpus, v20 proved training "
+    "lifts the coarse filter 0.35 → 0.51, and here the three compose: "
+    "composed recall@5 rises 0.27 → 0.38 at the SAME nprobe, bytes-per-"
+    "entry, and shortlist (numpy-replicated, strictly-improves "
+    "test-gated against v13's plan on the live eval set).  At 100 TB "
+    "this is the free-at-query-time win: the one-off training cost "
+    "(sample-bounded, like the PQ codebook) buys what doubling nprobe "
+    "— doubling every query's index read — would.  Plan shape identical "
+    "to v13: all-equi-join, candidate cells and ADC lookup broadcast, "
+    "codes never shuffle.",
+    _tivfpq_topk_sql(PQ_ITERS, N_QUERY_VECS),
+    ("similarity", "ann", "ivf", "pq", "trained", "pipeline"),
+)
+def v21(spark, sf_dir):
+    return _ivfpq_topk_plan(spark, sf_dir, N_QUERY_VECS, trained=True)
+
+
+# ---------------------------------------------------------------------------
 # v15: keep-one-per-cluster dedup APPLY for embeddings (p7's twin)
 # ---------------------------------------------------------------------------
 @_register(
@@ -2579,6 +2647,7 @@ for _name in (
     "v18_ivfpq_nprobe_sweep",
     "v19_tivf_topk",
     "v20_tivf_recall",
+    "v21_tivfpq_topk",
 ):
     QUERIES[_name] = _dc.replace(QUERIES[_name], oracle=_gate_oracle(QUERIES[_name].oracle))
 del _name

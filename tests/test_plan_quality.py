@@ -329,6 +329,16 @@ def test_v16_residual_ivfpq_plan_shape(spark, sf_small):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_v21_trained_ivfpq_is_all_equi_joins(spark, sf_small):
+    # v13's plan-shape contract must survive the quantizer swap: all
+    # equi-joins, candidates/lookup broadcast, no nested-loop expansion
+    df = QUERIES["v21_tivfpq_topk"].build(spark, sf_small)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_v18_sweep_scores_corpus_once(spark, sf_small):
     # the fused sweep's whole point: ONE ADC aggregate over the codes
     # table serves all four nprobe levels — the plan must contain exactly

@@ -222,6 +222,36 @@ def test_coarse_quantizer_training_strictly_improves_membership_recall(spark, sf
     assert rec["trained"] > rec["seed"], rec
 
 
+def test_trained_cells_strictly_improve_composed_recall(spark, sf_small):
+    # v21 (trained cells x PQ ADC) must recover strictly more of the
+    # exact top-k than v13's seed-cell composition at the same nprobe,
+    # bytes-per-entry, and shortlist — the round's measurement chain
+    # composing: better cells (v20) are the lever v18 identified, and
+    # the gain must survive the full serving plan (ADC shortlist + exact
+    # re-rank), not just cell membership.  Measured: 67 -> 95 of 250 at
+    # sf0.01 (0.27 -> 0.38), numpy-replicated before building.
+    from fifteenmc_spark.operators.similarity import (
+        V12_NQ,
+        _exact_topk_v12,
+        _ivfpq_topk_plan,
+    )
+
+    exact = {
+        (r.qid, r.vec_id)
+        for r in _exact_topk_v12(spark, sf_small).select("qid", "vec_id").collect()
+    }
+    hits = {}
+    for trained in (False, True):
+        got = {
+            (r.qid, r.vec_id)
+            for r in _ivfpq_topk_plan(spark, sf_small, V12_NQ, trained=trained)
+            .select("qid", "vec_id")
+            .collect()
+        }
+        hits["trained" if trained else "seed"] = len(exact & got)
+    assert hits["trained"] > hits["seed"], hits
+
+
 def test_nprobe_sweep_reproduces_standalone_evals(spark, sf_small):
     # The fused v18 sweep must be EXACT, not approximately fused: its
     # nprobe=N_PROBE line is v14 (the standalone composed eval) and its
