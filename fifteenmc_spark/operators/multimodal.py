@@ -279,7 +279,13 @@ def m1(spark, sf_dir):
 )
 def m2(spark, sf_dir):
     feats = extract_features(synthesize_assets(spark, sf_dir))
-    return feats.select("asset_id", "n_bytes", "codepoint_sum").orderBy("asset_id")
+    # checkpoint before the global sort: the range sampler would otherwise
+    # re-execute the feature mapInPandas a second time (m3's fix)
+    return (
+        feats.select("asset_id", "n_bytes", "codepoint_sum")
+        .localCheckpoint(eager=False)
+        .orderBy("asset_id")
+    )
 
 
 FRAME_SCHEMA = T.StructType(
@@ -400,7 +406,13 @@ def m3(spark, sf_dir):
 )
 def m5(spark, sf_dir):
     a = synthesize_assets(spark, sf_dir)
-    return extract_image_meta(a, decoder=fake_decode_meta).orderBy("asset_id")
+    # checkpoint before the global sort: the range sampler would otherwise
+    # re-execute the decode mapInPandas a second time (m3's fix)
+    return (
+        extract_image_meta(a, decoder=fake_decode_meta)
+        .localCheckpoint(eager=False)
+        .orderBy("asset_id")
+    )
 
 
 # ---------------------------------------------------------------------------
