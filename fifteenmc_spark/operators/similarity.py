@@ -2297,18 +2297,25 @@ def _tivf_centroids_plan(spark, sf_dir, iters: int):
     return cw
 
 
+def _tivf_centroids(spark, sf_dir):
+    """The trained centroid table (cid, cwe), session-cached — shared by
+    the batch index (_tivf_cells_probes) and the streaming serving tier
+    (which collects it as the broadcast-small closure constant)."""
+    return _session_cached(
+        spark,
+        sf_dir,
+        "tivf_cents",
+        lambda: _tivf_centroids_plan(spark, sf_dir, TIVF_ITERS).localCheckpoint(eager=False),
+    )
+
+
 def _tivf_cells_probes(spark, sf_dir, max_probe: int, nq: int = N_QUERY_VECS):
     """(e, cells, probes) for the TRAINED coarse quantizer — the
     _ivf_cells_probes twin with tivf_* session keys; the cell pick and
     probe ranking are the shared _cells_probes back half, so the two
     quantizers can never drift in tie-break or ranking semantics."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    cw = _session_cached(
-        spark,
-        sf_dir,
-        "tivf_cents",
-        lambda: _tivf_centroids_plan(spark, sf_dir, TIVF_ITERS).localCheckpoint(eager=False),
-    )
+    cw = _tivf_centroids(spark, sf_dir)
 
     def build_scored():
         return (

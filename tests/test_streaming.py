@@ -501,6 +501,54 @@ def test_streaming_ann_topk_equals_batch_v5_and_v1(spark, sf_small, tmp_path_fac
     assert rows_of(spark.table("sink_ann_v1").distinct()) == want_v1
 
 
+def test_streaming_ann_serves_trained_quantizer_equals_v19(spark, sf_small, tmp_path_factory):
+    """The streaming ANN tier is quantizer-AGNOSTIC (cells + centroids
+    are inputs), so the trained index (v19) serves through the same
+    operator with zero code changes — this pins the contract: stream
+    top-k against the trained cells/centroids equals batch v19 exactly.
+    The serving story follows the better index: v20 measured the trained
+    quantizer at 0.51 vs 0.35 membership recall, and online queries get
+    that recall the moment the session index swaps tables."""
+    from fifteenmc_spark.operators.relational import QUERIES
+    from fifteenmc_spark.operators.similarity import (
+        N_PROBE,
+        N_QUERY_VECS,
+        _emb,
+        _tivf_cells_probes,
+        _tivf_centroids,
+    )
+    from fifteenmc_spark.streaming import ann as ANN
+
+    e, tcells, _ = _tivf_cells_probes(spark, sf_small, N_PROBE)
+    corpus = e.select("vec_id", "embedding")
+    centroids = [
+        (r["cid"], list(r["cwe"]))
+        for r in _tivf_centroids(spark, sf_small).orderBy("cid").collect()
+    ]
+    queries = _emb(spark, sf_small).where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    want = {
+        (r["qid"], r["vec_id"], r["rnk"], round(r["sim"], 4))
+        for r in QUERIES["v19_tivf_topk"].build(spark, sf_small).collect()
+    }
+    assert want
+
+    out = tmp_path_factory.mktemp("tivf_stream")
+    queries.coalesce(1).write.mode("overwrite").parquet(str(out / "f0"))
+    stream = spark.readStream.schema(queries.schema).parquet(str(out) + "/*/")
+    W.run_to_memory(
+        ANN.topk_stream(stream, corpus, tcells, centroids, nprobe=N_PROBE),
+        "sink_ann_tivf",
+        output_mode="append",
+    )
+    got = {
+        (r["qid"], r["vec_id"], r["rnk"], round(r["sim"], 4))
+        for r in spark.table("sink_ann_tivf").distinct().collect()
+    }
+    assert got == want
+
+
 def test_streaming_span_registry_equals_batch_x9(spark, sf_small, tmp_path_factory):
     # stream≡batch contract for the span registry (x9's online twin —
     # the last dedup family with a bounded-state form): the distinct
