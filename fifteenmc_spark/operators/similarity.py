@@ -2014,6 +2014,13 @@ _EXACT_V12_CTES = f"""qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddin
     ("similarity", "ann", "ivf", "pq", "eval", "calibration", "pipeline"),
 )
 def v17(spark, sf_dir):
+    # sf0.1 shape note (r10, warm session index): ~2.4 s Spark = TWO full
+    # composed serving plans (raw ADC + residual ADC, each with shortlist
+    # window + exact re-rank) + the recall join — ~12 scheduled stages on
+    # the ~0.12 s/action local floor, but the in-process oracle pays MORE
+    # (~4.4 s: it retrains both codebooks per run, which the session
+    # index amortizes here), so the suite's slowest Spark query is also
+    # one of its best ratios (0.55x).
     exact = _exact_topk_v12(spark, sf_dir).select("qid", "vec_id")
     out = None
     for enc, res in (("raw", False), ("residual", True)):

@@ -33,7 +33,9 @@ from fifteenmc_spark.io import TABLES, read_table
 from fifteenmc_spark.operators.relational import QUERIES
 from fifteenmc_spark.session import get_spark
 
-# the six heaviest families by the r9 bench, per the r9 verdict (Next #5)
+# the six heaviest families by the r9 bench, per the r9 verdict (Next #5),
+# plus the r10-new heavy evals (two composed plans / fused sweep / trained
+# composition)
 SLOPE_QUERIES = (
     "x5_ngram_jaccard",
     "x9_span_dedup",
@@ -41,6 +43,9 @@ SLOPE_QUERIES = (
     "v11_pq_topk",
     "v13_ivfpq_topk",
     "t9_unigram_logprob",
+    "v17_encoding_recall",
+    "v18_ivfpq_nprobe_sweep",
+    "v21_tivfpq_topk",
 )
 SF_LO = os.environ.get("SLOPE_SF_LO", "/root/testdata/sf0.01")
 SF_HI = os.environ.get("SLOPE_SF_HI", "/root/testdata/sf0.1")
