@@ -1775,12 +1775,18 @@ def _rivfpq_topk_sql(iters: int, nq: int) -> str:
                  / SQRT(list_dot_product(q.qe, q.qe)) * 1e6)
                   AS BIGINT) AS qdot6
       FROM q, cw2),
+    centd AS (SELECT cid AS cell, CAST(ce AS DOUBLE[]) AS ced FROM c),
     qcent AS (
-      SELECT q.qid, c.cid AS cell,
-             CAST(ROUND(list_dot_product(q.qe, CAST(c.ce AS DOUBLE[]))
+      -- ced is pre-cast in its OWN CTE projection: an inline
+      -- CAST(c.ce AS DOUBLE[]) inside this cross product gets pushed by
+      -- DuckDB's optimizer below the validity gate and evaluated
+      -- speculatively on raw rows, where a NULL-element vector makes
+      -- list_dot_product raise (pinned by the edge-vector fixture)
+      SELECT q.qid, d.cell,
+             CAST(ROUND(list_dot_product(q.qe, d.ced)
                  / SQRT(list_dot_product(q.qe, q.qe)) * 1e6)
                   AS BIGINT) AS qc6
-      FROM q, c),
+      FROM q, centd d),
     cand AS (
       SELECT p.qid, x.vec_id
       FROM probes p JOIN cells x ON x.cell = p.cell AND x.vec_id <> p.qid),

@@ -41,6 +41,18 @@ V_QUERIES = [
     "v13_ivfpq_topk",
     "v14_ivfpq_recall",
     "v15_dedup_apply",
+    # r10 family: residual IVFADC (residual codewords stay normal-scale
+    # even with the 1e30 vector in-corpus — rc6/crosstab are codeword-
+    # side), encoding/nprobe/quantizer evals (the huge vector becomes an
+    # eval QUERY at V12_NQ=50 > corpus size — the unit-normalized query
+    # side must stay scale-free), trained quantizer (only one IVF seed id
+    # exists in this corpus, so training runs single-cell)
+    "v16_rivfpq_topk",
+    "v17_encoding_recall",
+    "v18_ivfpq_nprobe_sweep",
+    "v19_tivf_topk",
+    "v20_tivf_recall",
+    "v21_tivfpq_topk",
 ]
 
 
