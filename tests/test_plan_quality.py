@@ -301,6 +301,18 @@ def test_x9_span_kernel_executes_once(spark, sf_small):
     assert "Scan parquet" not in tree
 
 
+def test_m5_decode_kernel_executes_once(spark, sf_small):
+    # m5's decode mapInPandas feeds a global ORDER BY; without the
+    # checkpoint pin the range partitioner's sampling pass re-executes
+    # the Python kernel (the m3/x9 defect class).  Evidence the pin
+    # holds: the sorted plan reads the checkpoint RDD and carries no
+    # Python-eval node at all.
+    df = QUERIES["m5_image_meta"].build(spark, sf_small)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in tree and "ArrowEval" not in tree
+    assert "Scan ExistingRDD" in tree
+
+
 def test_v13_ivfpq_is_all_equi_joins_with_broadcast_small_sides(spark, sf_small):
     # IVFADC composes two prunings; its plan must stay equi-join-only —
     # candidate cells, the ADC lookup table, and the query side all
