@@ -70,17 +70,25 @@ _QFEAT_SCHEMA = StructType(
 )
 
 
-def build_pq_serving_index(spark, sf_dir, nprobe: int):
+def build_pq_serving_index(spark, sf_dir, nprobe: int, quantizer: str = "seed"):
     """(static, centroids, codebook): the codes-only serving layout.
 
     static = (vec_id, cell, codes array<int> dense 0..K-1 per sub-block,
     recon_ss6) — derived from the session-index artifacts, no embedding
     column.  codebook = {m: (sorted cids, ndarray K×PQ_SUB)} for the
-    query kernel's closure."""
-    from ..operators.similarity import _ivf_cells_probes, _pq_index
+    query kernel's closure.  ``quantizer`` picks the cell layout: "seed"
+    (v13's cells) or "trained" (v19/v21's spherical-k-means cells — the
+    serving tier follows whichever index the batch evals picked, same
+    operator either way)."""
+    from ..operators.similarity import (
+        _ivf_cells_probes,
+        _pq_index,
+        _tivf_cells_probes,
+    )
 
     _, cw, codes = _pq_index(spark, sf_dir)
-    _, cells, _ = _ivf_cells_probes(spark, sf_dir, nprobe)
+    cp = _tivf_cells_probes if quantizer == "trained" else _ivf_cells_probes
+    _, cells, _ = cp(spark, sf_dir, nprobe)
 
     books: dict[int, tuple[list[int], np.ndarray]] = {}
     rows = cw.select("m", "cid", "cwe").collect()

@@ -697,6 +697,81 @@ def test_streaming_pq_adc_serving_equals_batch(spark, sf_small, tmp_path_factory
     assert got == want
 
 
+def test_streaming_pq_adc_serves_trained_quantizer_equals_v21_front(spark, sf_small, tmp_path_factory):
+    # the codes-only serving tier is quantizer-agnostic too: built with
+    # quantizer="trained" it serves v21's cell layout (trained coarse
+    # cells x raw PQ codes) through the unchanged operator, and the
+    # stream top-k equals the batch ADC ranking over the TRAINED probed
+    # cells — the online form of the index the r10 evals picked
+    from pyspark.sql import Window as W2
+
+    from fifteenmc_spark.operators.similarity import (
+        N_PROBE,
+        N_QUERY_VECS,
+        TOP_K,
+        _emb,
+        _pq_index,
+        _pq_query_side,
+        _tivf_cells_probes,
+        _tivf_centroids,
+    )
+    from fifteenmc_spark.streaming import pq_ann as PQA
+
+    e, cw, codes = _pq_index(spark, sf_small)
+    _, tcells, tprobes = _tivf_cells_probes(spark, sf_small, N_PROBE)
+    q, qparts = _pq_query_side(e, cw, N_QUERY_VECS)
+    cand = (
+        tcells.join(tprobes.select("qid", "cell"), "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    adc = (
+        codes.join(cand, "vec_id")
+        .join(qparts, ["qid", "m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            (F.sum("qdot6").cast("double") / 1e6).alias("adc"),
+            (F.sum("cw_ss6").cast("double") / 1e6).alias("recon_ss"),
+        )
+    )
+    appx = adc.select(
+        "qid", "vec_id", F.round(F.col("adc") / F.sqrt("recon_ss"), 6).alias("sim")
+    )
+    wr = W2.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    want = {
+        (r["qid"], r["vec_id"], r["rnk"], round(r["sim"], 4))
+        for r in appx.select(
+            "qid", "vec_id", F.row_number().over(wr).alias("rnk"), F.round("sim", 4).alias("sim")
+        )
+        .where(F.col("rnk") <= TOP_K)
+        .collect()
+    }
+    assert want
+
+    static, books = PQA.build_pq_serving_index(spark, sf_small, N_PROBE, quantizer="trained")
+    assert "embedding" not in static.columns
+    centroids = [
+        (r["cid"], list(r["cwe"]))
+        for r in _tivf_centroids(spark, sf_small).orderBy("cid").collect()
+    ]
+    queries = _emb(spark, sf_small).where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = tmp_path_factory.mktemp("pq_ann_stream_trained")
+    queries.coalesce(1).write.mode("overwrite").parquet(str(out / "f0"))
+    stream = spark.readStream.schema(queries.schema).parquet(str(out) + "/*/")
+    W.run_to_memory(
+        PQA.topk_stream(stream, static, books, centroids, nprobe=N_PROBE),
+        "sink_pq_adc_trained",
+        output_mode="append",
+    )
+    got = {
+        (r["qid"], r["vec_id"], r["rnk"], round(r["sim"], 4))
+        for r in spark.table("sink_pq_adc_trained").distinct().collect()
+    }
+    assert got == want
+
+
 def test_streaming_sampled_span_registry_equals_batch_x9_sampled(spark, sf_small, tmp_path_factory):
     # the hash-mod mitigation online: with the same nibble bucket the
     # stream registry's flagged set equals batch x9_sampled — and the
