@@ -1810,6 +1810,7 @@ def _ivfpq_topk_plan(
     nq: int = N_QUERY_VECS,
     residual: bool = False,
     trained: bool = False,
+    nprobe: int = N_PROBE,
 ):
     """The IVFADC plan for query vectors vec_id < ``nq`` — v13/v14 run it
     with raw codes (the corpus's MEASURED winner — see v13's docstring);
@@ -1823,7 +1824,7 @@ def _ivfpq_topk_plan(
     if residual and trained:
         raise ValueError("residual codes are built against the seed cells")
     cp = _tivf_cells_probes if trained else _ivf_cells_probes
-    _, cells, probes = cp(spark, sf_dir, N_PROBE, nq)
+    _, cells, probes = cp(spark, sf_dir, nprobe, nq)
     # (qid, vec_id) survivors of the coarse pruning — |queries| ×
     # (nprobe/ncells × corpus) rows, the candidate list a serving batch
     # materializes anyway; broadcast-small per batch

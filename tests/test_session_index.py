@@ -278,6 +278,42 @@ def test_nprobe_sweep_reproduces_standalone_evals(spark, sf_small):
     assert all(sweep[(q, N_CELLS)] == n for q, n in v12.items())
 
 
+def test_nprobe_sweep_matches_standalone_plan_at_every_point(spark, sf_small):
+    # ...and not just at the endpoints: at EVERY swept nprobe the fused
+    # reconstruction's recovered set equals the real standalone composed
+    # plan (probes->cand->ADC->shortlist->re-rank) run at that nprobe —
+    # the interior points (1 and 4) are where a fusion bug that respects
+    # the endpoints would hide
+    from fifteenmc_spark.operators.relational import QUERIES
+    from fifteenmc_spark.operators.similarity import (
+        PROBE_SWEEP,
+        V12_NQ,
+        _exact_topk_v12,
+        _ivfpq_topk_plan,
+    )
+
+    exact = {
+        (r.qid, r.vec_id)
+        for r in _exact_topk_v12(spark, sf_small).select("qid", "vec_id").collect()
+    }
+    sweep = {
+        (r.qid, r.nprobe): r.n_recovered
+        for r in QUERIES["v18_ivfpq_nprobe_sweep"].build(spark, sf_small).collect()
+    }
+    for p in PROBE_SWEEP:
+        got = {
+            (r.qid, r.vec_id)
+            for r in _ivfpq_topk_plan(spark, sf_small, V12_NQ, nprobe=p)
+            .select("qid", "vec_id")
+            .collect()
+        }
+        standalone: dict = {}
+        for qid, vec_id in got & exact:
+            standalone[qid] = standalone.get(qid, 0) + 1
+        for qid in {q for q, _ in exact}:
+            assert sweep[(qid, p)] == standalone.get(qid, 0), (p, qid)
+
+
 def test_invalidate_evicts_sf_dir_entries(spark, sf_small, tmp_path):
     # direct: only the named sf_dir's entries drop
     SI.session_cached(spark, "/tmp/si_a", "k1", lambda: 1)
