@@ -1888,7 +1888,11 @@ def _ivfpq_topk_plan(
     "residual; composed recall 67 vs 54 of 250 at sf0.01) — v17 is the "
     "side-by-side eval an operator reads to pick per-corpus, and "
     "test_session_index.py gates that the tightness stat predicts the "
-    "winner.",
+    "winner.  Successor serving configuration: v21 runs this same plan "
+    "on the TRAINED coarse cells (composed recall 0.27 → 0.38 at equal "
+    "cost) — v13 stays on seed cells through r10 so its driver-row "
+    "history remains comparable; the serving default flips to the "
+    "trained layout once v19–v21 are driver-attested.",
     _ivfpq_topk_sql(PQ_ITERS, N_QUERY_VECS),
     ("similarity", "ann", "ivf", "pq", "pipeline"),
 )
