@@ -6,6 +6,8 @@ query that happens not to exercise it)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from fifteenmc_spark.operators import session_index as SI
@@ -340,6 +342,29 @@ def test_invalidate_evicts_sf_dir_entries(spark, sf_small, tmp_path):
     assert SI.session_cached(spark, d, "n_docs", build) == 5
     assert calls["n"] == 2
     SI.invalidate()  # leave no test residue for other cases
+
+
+def test_session_cache_keys_normalize_sf_dir_spellings(spark, tmp_path, monkeypatch):
+    # session_cached and invalidate key on abspath(sf_dir): a trailing
+    # slash or a relative spelling must hit (and be evicted from) the
+    # SAME entry as io.write_parquet's dirname(abspath(...)) invalidation
+    # — the r9 ADVICE hazard was write_parquet silently failing to evict
+    # an entry cached under a differently-spelled dir
+    d = str(tmp_path)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return calls["n"]
+
+    assert SI.session_cached(spark, d, "k", build) == 1
+    assert SI.session_cached(spark, d + "/", "k", build) == 1  # same entry
+    monkeypatch.chdir(os.path.dirname(d))
+    rel = os.path.basename(d)
+    assert SI.session_cached(spark, rel, "k", build) == 1  # same entry
+    assert SI.invalidate(rel + "/") == 1  # evicts the abspath-keyed entry
+    assert SI.session_cached(spark, d, "k", build) == 2  # rebuilt
+    SI.invalidate()
 
 
 def test_pq_lloyd_step_never_increases_sample_mse(spark, sf_small):
