@@ -56,6 +56,10 @@ EDGE_QUERIES = [
     "p4_stratified_sample",
     "p5_chunk_dedup",
     "p6_pii_scrub",
+    # p8 on pathological docs: NULL/empty docs contribute 0 tokens; the
+    # tiny single-doc sources push corpus >= n_sources*src_tokens, so the
+    # clamp-first branch of the overflow-safe rate runs on both engines
+    "p8_domain_mix",
     "x1_dedup_exact",
     "x4_simhash",
     # the 64-bit family drops NULL text at the SCAN (IsNotNull pushed into
@@ -136,3 +140,54 @@ def test_edge_null_doc_survives_p5_both_paths(spark, edge_dir):
         rows = {r["doc_id"]: r for r in chunk_dedup(spark, edge_dir, **kwargs).collect()}
         assert rows[9]["n_chunks"] == 0 and rows[9]["clean_text"] == ""
         assert len(rows) == len(EDGE_DOCS)
+
+
+def test_p8_rate_formula_is_overflow_safe_and_exact(spark):
+    # Pins p8's keep-rate arithmetic (operators/textops.py p8 + its
+    # oracle): least(PPM, corpus*PPM // (n*src)) computed clamp-first +
+    # two base-1000 stages must equal exact Python integer math at
+    # magnitudes where the naive corpus*1e6 WRAPS int64 (> ~9.2e12
+    # tokens — inside the 100 TB design point of ~2.5e13), on BOTH
+    # engines.  The formula is duplicated here on purpose: if the
+    # operator's expression drifts from this semantics, the registry
+    # oracle sweep only catches it at corpus sizes the testdata reaches.
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from fifteenmc_spark.operators.textops import _PPM
+
+    cases = [
+        (3, 1, 7),  # tiny, non-clamp
+        (123, 1, 7),  # tiny, clamp (corpus >= n*src)
+        (9_300_000_000_000, 1, 9_400_000_000_000),  # naive c*1e6 wraps here
+        (25_000_000_000_000, 8, 9_000_000_000_000),  # ~100 TB of tokens
+        (25_000_000_000_000, 8, 1_000_000_000_000),  # 100 TB, clamp branch
+        (9_200_000_000_000_000, 1, 9_210_000_000_000_000),  # documented ceiling edge
+    ]
+    want = [min(_PPM, c * _PPM // (n * s)) for c, n, s in cases]
+
+    df = spark.createDataFrame(
+        cases, "corpus_tokens long, n_sources long, src_tokens long"
+    )
+    expr = F.when(
+        F.expr("corpus_tokens >= n_sources * src_tokens"), F.lit(_PPM).cast("bigint")
+    ).otherwise(
+        F.expr(
+            "((corpus_tokens * 1000) div (n_sources * src_tokens)) * 1000"
+            " + (((corpus_tokens * 1000) % (n_sources * src_tokens)) * 1000)"
+            " div (n_sources * src_tokens)"
+        )
+    )
+    got = [r["r"] for r in df.select(expr.alias("r")).collect()]
+    assert got == want, (got, want)
+
+    con = duckdb.connect()
+    dgot = [
+        con.execute(
+            f"""SELECT CASE WHEN {c} >= {n} * {s} THEN {_PPM}
+                ELSE (({c} * 1000) // ({n} * {s})) * 1000
+                     + ((({c} * 1000) % ({n} * {s})) * 1000) // ({n} * {s}) END"""
+        ).fetchone()[0]
+        for c, n, s in cases
+    ]
+    assert dgot == want, (dgot, want)
