@@ -93,7 +93,9 @@ _CHECK_FIRST = (
     # v11-v14 (newest driver rows r9; this round's codebook/query-side
     # refactor is behavior-identical and re-oracled green by the pytest
     # sweep + driver_sim) yield their slots to the 9 never-checked
-    # queries — the window is exactly the 8 new + p8 + the 42 r8-stale
+    # queries — the window is exactly the 8 new + p8 + the 42 r8-stale.
+    # v22_tivf_nprobe_sweep (registered after the window was sized) is
+    # intentionally outside it and must LEAD r11's rotation.
 )
 
 

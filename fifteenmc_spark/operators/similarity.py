@@ -2048,36 +2048,29 @@ def v17(spark, sf_dir):
 PROBE_SWEEP = (1, 2, 4, N_CELLS)
 
 
-@_register(
-    "v18_ivfpq_nprobe_sweep",
-    f"IVF-PQ nprobe sweep: recall@{TOP_K} of the composed index (v13's "
-    f"raw encoding) at nprobe {PROBE_SWEEP}, fused into ONE plan — the "
-    "v9 min-probe-rank idiom extended through the ADC shortlist.  The "
-    "ADC score is nprobe-independent, so the corpus is scored once; "
-    "per (query, candidate) the probe rank mp of the candidate's cell "
-    "plus ONE running-count window pass over the approx ranking "
-    "reconstructs every nprobe's exact shortlist (a candidate is "
-    "shortlisted at nprobe p iff mp ≤ p and fewer than "
-    f"{PQ_SHORTLIST} better-approx candidates also have mp ≤ p — "
-    "candidate sets are nested in p, so one ordering serves all four), "
-    "and a second window pass over the exact-sim ranking of the "
-    "shortlist union yields every nprobe's top-k.  Reading the sweep "
-    "against v12's PQ-only line separates coarse-filter loss from "
-    f"quantization loss: at nprobe {N_CELLS} (= every cell) the "
-    "composed index IS full-corpus PQ, so the line converges to v12's "
-    "by construction and the gap at each smaller p is pure coarse-"
-    "filter loss — measured, not asserted.  At 100 TB the sweep is the "
-    "capacity-planning query: recall-per-probe directly prices "
-    "nprobe/ncells × index-bytes per query.",
-    f"""
-    WITH {_pq_adc_ctes(PQ_ITERS, V12_NQ)},
-    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+def _nprobe_sweep_sql(trained: bool) -> str:
+    """The fused nprobe-sweep oracle, quantizer-parametrized: v18 runs it
+    over the seed cells, v22 over the trained ones — everything from the
+    probe ranking down (window passes, shortlist reconstruction, recall
+    stack) is identical, only the centroid source differs."""
+    if trained:
+        head = f"""{_tivf_centroid_sql(TIVF_ITERS)},
+    ivfranked AS (
+      SELECT e.vec_id, t.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COS_SQL.format(a="e.embedding", b="t.cwe")} DESC, t.cid) AS rn
+      FROM embeddings e, tcw t)"""
+    else:
+        head = f"""c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
           WHERE vec_id IN {IVF_SEED_IDS}),
     ivfranked AS (
       SELECT e.vec_id, c.cid,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY {_COS_SQL.format(a="e.embedding", b="c.ce")} DESC, c.cid) AS rn
-      FROM embeddings e, c),
+      FROM embeddings e, c)"""
+    return f"""
+    WITH {_pq_adc_ctes(PQ_ITERS, V12_NQ)},
+    {head},
     cells AS (SELECT vec_id, cid AS cell FROM ivfranked WHERE rn = 1),
     proben AS (SELECT vec_id AS qid, cid AS cell, rn FROM ivfranked
                WHERE vec_id < {V12_NQ}),
@@ -2139,15 +2132,47 @@ PROBE_SWEEP = (1, 2, 4, N_CELLS)
           f"SELECT qid, {p} AS nprobe, n_topk, r{p} AS n_rec FROM agg"
           for p in PROBE_SWEEP)})
     ORDER BY qid, nprobe
-    """,
+    """
+
+
+@_register(
+    "v18_ivfpq_nprobe_sweep",
+    f"IVF-PQ nprobe sweep: recall@{TOP_K} of the composed index (v13's "
+    f"raw encoding) at nprobe {PROBE_SWEEP}, fused into ONE plan — the "
+    "v9 min-probe-rank idiom extended through the ADC shortlist.  The "
+    "ADC score is nprobe-independent, so the corpus is scored once; "
+    "per (query, candidate) the probe rank mp of the candidate's cell "
+    "plus ONE running-count window pass over the approx ranking "
+    "reconstructs every nprobe's exact shortlist (a candidate is "
+    "shortlisted at nprobe p iff mp ≤ p and fewer than "
+    f"{PQ_SHORTLIST} better-approx candidates also have mp ≤ p — "
+    "candidate sets are nested in p, so one ordering serves all four), "
+    "and a second window pass over the exact-sim ranking of the "
+    "shortlist union yields every nprobe's top-k.  Reading the sweep "
+    "against v12's PQ-only line separates coarse-filter loss from "
+    f"quantization loss: at nprobe {N_CELLS} (= every cell) the "
+    "composed index IS full-corpus PQ, so the line converges to v12's "
+    "by construction and the gap at each smaller p is pure coarse-"
+    "filter loss — measured, not asserted.  At 100 TB the sweep is the "
+    "capacity-planning query: recall-per-probe directly prices "
+    "nprobe/ncells × index-bytes per query.",
+    _nprobe_sweep_sql(trained=False),
     ("similarity", "ann", "ivf", "pq", "eval", "calibration", "pipeline"),
 )
 def v18(spark, sf_dir):
+    return _nprobe_sweep_plan(spark, sf_dir, trained=False)
+
+
+def _nprobe_sweep_plan(spark, sf_dir, trained: bool):
+    """The fused sweep plan, quantizer-parametrized (v18 seed / v22
+    trained) — the PQ codes, windows, and recall stack are shared; only
+    the cells/probes source differs."""
     from functools import reduce
     from operator import or_
 
     e, cw, codes = _pq_index(spark, sf_dir)
-    _, cells, probes = _ivf_cells_probes(spark, sf_dir, N_CELLS, V12_NQ)
+    cp = _tivf_cells_probes if trained else _ivf_cells_probes
+    _, cells, probes = cp(spark, sf_dir, N_CELLS, V12_NQ)
     q, qparts = _pq_query_side(e, cw, V12_NQ)
     mp = cells.join(F.broadcast(probes), "cell").select(
         "qid", "vec_id", F.col("rn").alias("mp")
@@ -2596,6 +2621,25 @@ def v21(spark, sf_dir):
     return _ivfpq_topk_plan(spark, sf_dir, N_QUERY_VECS, trained=True)
 
 
+@_register(
+    "v22_tivf_nprobe_sweep",
+    f"v18's fused nprobe sweep over the TRAINED coarse quantizer (v21's "
+    f"serving layout): composed recall@{TOP_K} at nprobe {PROBE_SWEEP} "
+    "in one plan — the capacity-planning table for the index the r10 "
+    "evals picked.  Measured at sf0.01: trained 0.272/0.380/0.464/0.504 "
+    "vs seed (v18) 0.168/0.268/0.424/0.504 — trained@1 ≈ seed@2, i.e. "
+    "training halves the index bytes read for the same recall, and both "
+    "curves converge to v12's PQ-only ceiling at full probe (probing "
+    "every cell disables the coarse filter regardless of quantizer — "
+    "the cross-quantizer invariant the sweep tests pin).  Same fused "
+    "machinery as v18: one ADC pass, two running-count window passes.",
+    _nprobe_sweep_sql(trained=True),
+    ("similarity", "ann", "ivf", "pq", "eval", "calibration", "trained", "pipeline"),
+)
+def v22(spark, sf_dir):
+    return _nprobe_sweep_plan(spark, sf_dir, trained=True)
+
+
 # ---------------------------------------------------------------------------
 # v15: keep-one-per-cluster dedup APPLY for embeddings (p7's twin)
 # ---------------------------------------------------------------------------
@@ -2673,6 +2717,7 @@ for _name in (
     "v19_tivf_topk",
     "v20_tivf_recall",
     "v21_tivfpq_topk",
+    "v22_tivf_nprobe_sweep",
 ):
     QUERIES[_name] = _dc.replace(QUERIES[_name], oracle=_gate_oracle(QUERIES[_name].oracle))
 del _name

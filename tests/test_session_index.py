@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from fifteenmc_spark.operators import session_index as SI
@@ -309,12 +310,16 @@ def test_nprobe_sweep_reproduces_standalone_evals(spark, sf_small):
     assert all(sweep[(q, N_CELLS)] == n for q, n in v12.items())
 
 
-def test_nprobe_sweep_matches_standalone_plan_at_every_point(spark, sf_small):
+@pytest.mark.parametrize("sweep_query,trained", [
+    ("v18_ivfpq_nprobe_sweep", False),
+    ("v22_tivf_nprobe_sweep", True),
+])
+def test_nprobe_sweep_matches_standalone_plan_at_every_point(spark, sf_small, sweep_query, trained):
     # ...and not just at the endpoints: at EVERY swept nprobe the fused
     # reconstruction's recovered set equals the real standalone composed
     # plan (probes->cand->ADC->shortlist->re-rank) run at that nprobe —
     # the interior points (1 and 4) are where a fusion bug that respects
-    # the endpoints would hide
+    # the endpoints would hide.  Parametrized over both quantizers.
     from fifteenmc_spark.operators.relational import QUERIES
     from fifteenmc_spark.operators.similarity import (
         PROBE_SWEEP,
@@ -329,12 +334,12 @@ def test_nprobe_sweep_matches_standalone_plan_at_every_point(spark, sf_small):
     }
     sweep = {
         (r.qid, r.nprobe): r.n_recovered
-        for r in QUERIES["v18_ivfpq_nprobe_sweep"].build(spark, sf_small).collect()
+        for r in QUERIES[sweep_query].build(spark, sf_small).collect()
     }
     for p in PROBE_SWEEP:
         got = {
             (r.qid, r.vec_id)
-            for r in _ivfpq_topk_plan(spark, sf_small, V12_NQ, nprobe=p)
+            for r in _ivfpq_topk_plan(spark, sf_small, V12_NQ, trained=trained, nprobe=p)
             .select("qid", "vec_id")
             .collect()
         }
@@ -343,6 +348,27 @@ def test_nprobe_sweep_matches_standalone_plan_at_every_point(spark, sf_small):
             standalone[qid] = standalone.get(qid, 0) + 1
         for qid in {q for q, _ in exact}:
             assert sweep[(qid, p)] == standalone.get(qid, 0), (p, qid)
+
+
+def test_sweeps_share_the_full_probe_ceiling(spark, sf_small):
+    # probing EVERY cell disables the coarse filter regardless of which
+    # quantizer ranked the cells, so v18@N_CELLS, v22@N_CELLS and v12's
+    # PQ-only recall must agree per query — the cross-quantizer invariant
+    # that pins both sweeps to the same ceiling
+    from fifteenmc_spark.operators.relational import QUERIES
+    from fifteenmc_spark.operators.similarity import N_CELLS
+
+    v12 = {
+        r.qid: r.n_recovered
+        for r in QUERIES["v12_pq_recall"].build(spark, sf_small).collect()
+    }
+    for name in ("v18_ivfpq_nprobe_sweep", "v22_tivf_nprobe_sweep"):
+        line = {
+            r.qid: r.n_recovered
+            for r in QUERIES[name].build(spark, sf_small).collect()
+            if r.nprobe == N_CELLS
+        }
+        assert line == v12, name
 
 
 def test_invalidate_evicts_sf_dir_entries(spark, sf_small, tmp_path):
