@@ -57,6 +57,11 @@ def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     counts["tivf_probes"] = tprobes.count()
     _, _, tprobes_w = _tivf_cells_probes(spark, sf_dir, N_PROBE, V12_NQ)
     counts["tivf_probes_eval"] = tprobes_w.count()
+    # full-probe sweep table for v22 — warmed exactly like the seed
+    # quantizer's (ivf_probes_sweep for v18), so the two fused sweeps
+    # bench under the same warm-index methodology
+    _, _, tprobes_sweep = _tivf_cells_probes(spark, sf_dir, N_CELLS, V12_NQ)
+    counts["tivf_probes_sweep"] = tprobes_sweep.count()
     _, _, pq_codes = _pq_index(spark, sf_dir)
     counts["pq_codes"] = pq_codes.count()
     counts["rpq_codes"] = _rpq_index(spark, sf_dir)[2].count()

@@ -53,6 +53,7 @@ V_QUERIES = [
     "v19_tivf_topk",
     "v20_tivf_recall",
     "v21_tivfpq_topk",
+    "v22_tivf_nprobe_sweep",
 ]
 
 
