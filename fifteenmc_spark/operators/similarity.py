@@ -1578,7 +1578,7 @@ def _residual_subs_plan(e, cells, cents):
     ).select("vec_id", "cell", F.col("s.m").alias("m"), F.col("s.sube").alias("sube"))
 
 
-def _rpq_index(spark, sf_dir, iters: int = PQ_ITERS):
+def _rpq_index(spark, sf_dir, iters: int = PQ_ITERS, trained: bool = False):
     """(e, cw, codes, cents, cents6): the residual-encoded IVFADC index,
     session-cached.
 
@@ -1593,18 +1593,31 @@ def _rpq_index(spark, sf_dir, iters: int = PQ_ITERS):
     the precomputed per-code term of the FAISS IVFADC formulation).
     cents6 = (cell, cent_ss6).  Memory path unchanged: the hot index is
     still M small ints + one BIGINT per vector plus a broadcast codebook
-    and the 8-row cell stats."""
+    and the 8-row cell stats.
+
+    ``trained=True`` builds the residual index against the TRAINED
+    coarse cells (v19's quantizer) instead of the seed cells — the
+    residuals, codebook, crosstab and cell stats all follow the centroid
+    table, so v23 can re-adjudicate the encoding question on the tighter
+    cells the serving default actually uses."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    _, cells, _ = _ivf_cells_probes(spark, sf_dir, N_PROBE)
-    cents = e.where(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
-    )
+    if trained:
+        _, cells, _ = _tivf_cells_probes(spark, sf_dir, N_PROBE)
+        cents = _tivf_centroids(spark, sf_dir).select(
+            F.col("cid").alias("cell"), F.col("cwe").alias("ce")
+        )
+    else:
+        _, cells, _ = _ivf_cells_probes(spark, sf_dir, N_PROBE)
+        cents = e.where(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
+            F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
+        )
+    kp = "trpq_" if trained else "rpq_"
     sfx = "" if iters == PQ_ITERS else f"_i{iters}"
 
     cw = _session_cached(
         spark,
         sf_dir,
-        f"rpq_codewords{sfx}",
+        f"{kp}codewords{sfx}",
         lambda: _codebook_plan(
             _residual_subs_plan(e, cells, cents).select("vec_id", "m", "sube"), iters
         ).localCheckpoint(eager=False),
@@ -1643,7 +1656,7 @@ def _rpq_index(spark, sf_dir, iters: int = PQ_ITERS):
             .localCheckpoint(eager=False)
         )
 
-    codes = _session_cached(spark, sf_dir, f"rpq_codes{sfx}", build_codes)
+    codes = _session_cached(spark, sf_dir, f"{kp}codes{sfx}", build_codes)
     cents6 = cents.select(
         "cell",
         F.round(dot_double(F.col("ce"), F.col("ce")) * 1e6).cast("bigint").alias("cent_ss6"),
@@ -1712,16 +1725,24 @@ def _ivfpq_topk_sql(iters: int, nq: int) -> str:
     """
 
 
-def _rivfpq_topk_sql(iters: int, nq: int) -> str:
+def _rivfpq_topk_sql(iters: int, nq: int, trained: bool = False) -> str:
     """Residual-IVFADC oracle SQL for query vectors vec_id < ``nq`` —
-    v16's oracle at N_QUERY_VECS; v17's encoding eval embeds it at V12_NQ.
+    v16's oracle at N_QUERY_VECS; v17's encoding eval embeds it at V12_NQ;
+    v23 embeds the trained=True form (the same residual machinery with
+    the ``c`` centroid CTE swapped for the trained table, so residuals,
+    codebook, crosstab and cell stats all follow the trained cells).
     Mirrors _rpq_index/_rpq_query_side CTE for CTE: residuals, residual
     codebook (Lloyd over rsub), crosstab rc6, cell stats, query table +
     per-cell qcent, then the shared ADC tail."""
+    if trained:
+        cents_cte = f"""{_tivf_centroid_sql(TIVF_ITERS)},
+    c AS (SELECT cid, cwe AS ce FROM tcw)"""
+    else:
+        cents_cte = f"""c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id IN {IVF_SEED_IDS})"""
     return f"""
     WITH mseq AS (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m),
-    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-          WHERE vec_id IN {IVF_SEED_IDS}),
+    {cents_cte},
     ivfranked AS (
       SELECT e.vec_id, c.cid,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1816,13 +1837,12 @@ def _ivfpq_topk_plan(
     with raw codes (the corpus's MEASURED winner — see v13's docstring);
     v16/v17 with residual=True (Jégou §V's residual encoding); v21 with
     trained=True (the spherical-k-means coarse quantizer, v19's cells —
-    the composition the v18→v20 measurements point at).  All variants
-    share the ADC tail and the candidate shape; only the cell tables
-    and/or code tables differ.  trained+residual is rejected: the
-    residual index is built against the seed cells, and v17 already
-    adjudicated residual encoding out on this corpus."""
-    if residual and trained:
-        raise ValueError("residual codes are built against the seed cells")
+    the composition the v18→v20 measurements point at); v23 with BOTH
+    (residual codes rebuilt against the trained cells — the
+    re-adjudication of the encoding question on the cells the serving
+    default actually uses, since v17's verdict was conditional on seed-
+    cell tightness).  All variants share the ADC tail and the candidate
+    shape; only the cell tables and/or code tables differ."""
     cp = _tivf_cells_probes if trained else _ivf_cells_probes
     _, cells, probes = cp(spark, sf_dir, nprobe, nq)
     # (qid, vec_id) survivors of the coarse pruning — |queries| ×
@@ -1846,7 +1866,7 @@ def _ivfpq_topk_plan(
             )
         )
         return _pq_rank_tail(e, q, adc)
-    e, cw, codes, cents, cents6 = _rpq_index(spark, sf_dir)
+    e, cw, codes, cents, cents6 = _rpq_index(spark, sf_dir, trained=trained)
     q, qparts, qcent = _rpq_query_side(e, cw, cents, nq)
     adc = (
         codes.join(F.broadcast(cand), "vec_id")
@@ -2032,12 +2052,20 @@ def v17(spark, sf_dir):
     # (~4.4 s: it retrains both codebooks per run, which the session
     # index amortizes here), so the suite's slowest Spark query is also
     # one of its best ratios (0.55x).
+    return _encoding_recall_plan(spark, sf_dir, trained=False)
+
+
+def _encoding_recall_plan(spark, sf_dir, trained: bool):
+    """raw-vs-residual composed recall over one quantizer's cells —
+    v17's eval body, quantizer-parametrized so v23 re-runs the identical
+    adjudication over the trained cells."""
     exact = _exact_topk_v12(spark, sf_dir).select("qid", "vec_id")
     out = None
     for enc, res in (("raw", False), ("residual", True)):
-        r = _recall_agg(exact, _ivfpq_topk_plan(spark, sf_dir, V12_NQ, residual=res)).select(
-            "qid", F.lit(enc).alias("encoding"), "n_topk", "n_recovered", "recall"
-        )
+        r = _recall_agg(
+            exact,
+            _ivfpq_topk_plan(spark, sf_dir, V12_NQ, residual=res, trained=trained),
+        ).select("qid", F.lit(enc).alias("encoding"), "n_topk", "n_recovered", "recall")
         out = r if out is None else out.unionByName(r)
     return out.orderBy("qid", "encoding")
 
@@ -2641,6 +2669,57 @@ def v22(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# v23: encoding re-adjudication over the TRAINED cells (v17 × v19)
+# ---------------------------------------------------------------------------
+@_register(
+    "v23_tencoding_recall",
+    f"ENCODING eval over the TRAINED quantizer: v17's raw-vs-residual "
+    f"composed recall@{TOP_K}, re-run with v19's spherical-k-means cells "
+    "— the residual index (residuals, codebook, crosstab, cell stats) "
+    "rebuilt against the trained centroids, not reused from the seed "
+    "ones.  Why this exists: v17's verdict (raw wins) was CONDITIONAL "
+    "on cell tightness (residual quantization wins iff mean cos-to-"
+    "centroid > 0.5), and it was measured on seed cells at ≈ 0.19; "
+    "training moves the stat (0.19 → 0.23 on this corpus), so the "
+    "adjudication must be re-run where serving actually lives — the "
+    "trained layout is the serving default.  MEASURED (mean recall@5, "
+    "raw vs residual): sf0.001 0.332 vs 0.352, sf0.01 0.380 vs 0.388, "
+    "sf0.1 0.224 vs 0.220 — the sign flips across SFs and the sf0.1 "
+    "per-query tally is 12 raw / 13 residual / 25 ties: a statistical "
+    "tie, consistent with tightness (0.20–0.23) still far below the "
+    "0.5 threshold where residual's variance win becomes decisive.  "
+    "Adjudication: serving stays raw-over-trained (v21) — equal recall "
+    "at a simpler index (no centroid cross-terms, no per-(query,cell) "
+    "scalar); a corpus whose trained cells cross 0.5 flips these rows "
+    "DECISIVELY, and THAT is the signal to re-point serving at the "
+    "residual index.  One ground-truth artifact, both encodings' real "
+    "plans over the same trained cells, one stacked output.",
+    f"""
+    WITH {_EXACT_V12_CTES},
+    rawq AS (SELECT qid, vec_id FROM ({_tivfpq_topk_sql(PQ_ITERS, V12_NQ)})),
+    resq AS (SELECT qid, vec_id FROM ({_rivfpq_topk_sql(PQ_ITERS, V12_NQ, trained=True)})),
+    got AS (
+      SELECT 'raw' AS encoding, qid, vec_id FROM rawq
+      UNION ALL
+      SELECT 'residual' AS encoding, qid, vec_id FROM resq)
+    SELECT e.qid, enc.encoding, CAST(COUNT(*) AS BIGINT) AS n_topk,
+           CAST(SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_recovered,
+           ROUND(SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS recall
+    FROM exact e
+    CROSS JOIN (SELECT 'raw' AS encoding UNION ALL SELECT 'residual') enc
+    LEFT JOIN got g ON g.encoding = enc.encoding AND g.qid = e.qid
+                   AND g.vec_id = e.vec_id
+    GROUP BY e.qid, enc.encoding ORDER BY e.qid, enc.encoding
+    """,
+    ("similarity", "ann", "ivf", "pq", "residual", "eval", "calibration", "trained", "pipeline"),
+)
+def v23(spark, sf_dir):
+    return _encoding_recall_plan(spark, sf_dir, trained=True)
+
+
+# ---------------------------------------------------------------------------
 # v15: keep-one-per-cluster dedup APPLY for embeddings (p7's twin)
 # ---------------------------------------------------------------------------
 @_register(
@@ -2718,6 +2797,7 @@ for _name in (
     "v20_tivf_recall",
     "v21_tivfpq_topk",
     "v22_tivf_nprobe_sweep",
+    "v23_tencoding_recall",
 ):
     QUERIES[_name] = _dc.replace(QUERIES[_name], oracle=_gate_oracle(QUERIES[_name].oracle))
 del _name

@@ -17,7 +17,76 @@ and non-zero counts double as a cheap ingest sanity check.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+# The coarse quantizer every serving surface uses unless the caller
+# explicitly asks for the seed layout.  "trained" = v19's spherical-
+# k-means cells — the r10 measurement chain's pick (v20: 2-probe cell
+# membership recall 0.35 -> 0.51; v21: composed IVFADC recall@5
+# 0.27 -> 0.38 at identical nprobe/bytes/shortlist; v22: trained@1
+# nprobe matches seed@2, halving the index bytes read per query).  The
+# seed layout stays first-class as the calibration baseline (v5/v13 and
+# their oracles are unchanged); flipping this constant back is the
+# entire rollback.
+DEFAULT_QUANTIZER = "trained"
+
+# default-quantizer -> declared serving query, per tier
+_ANN_QUERY = {"seed": "v5_ivf_topk", "trained": "v19_tivf_topk"}
+_IVFPQ_QUERY = {"seed": "v13_ivfpq_topk", "trained": "v21_tivfpq_topk"}
+
+
+def serving_cells_probes(spark: SparkSession, sf_dir: str, max_probe: int, nq: int | None = None):
+    """(e, cells, probes) for the DEFAULT serving quantizer — the single
+    dispatch point batch plans and index builders share, so 'which cells
+    does serving use' is answered in exactly one place."""
+    from .operators.similarity import (
+        N_QUERY_VECS,
+        _ivf_cells_probes,
+        _tivf_cells_probes,
+    )
+
+    cp = _tivf_cells_probes if DEFAULT_QUANTIZER == "trained" else _ivf_cells_probes
+    return cp(spark, sf_dir, max_probe, N_QUERY_VECS if nq is None else nq)
+
+
+def serving_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """The DEFAULT quantizer's centroid table collected as the
+    broadcast-small closure constant the streaming tiers take
+    ((cid, vector) sorted by cid — n_cells x dim, a few KB).  Streaming
+    ann/pq_ann stay quantizer-agnostic operators; this is where a
+    serving session gets 'the' centroids without naming a quantizer."""
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import IVF_SEED_IDS, _emb, _tivf_centroids
+
+    if DEFAULT_QUANTIZER == "trained":
+        rows = _tivf_centroids(spark, sf_dir).orderBy("cid").collect()
+        return [(r["cid"], list(r["cwe"])) for r in rows]
+    rows = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id").isin(*IVF_SEED_IDS))
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [(r["vec_id"], list(r["embedding"])) for r in rows]
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch ANN serving default: cell-probe top-k over the DEFAULT
+    quantizer with exact in-cell cosine (= v19 while the default is
+    trained; v5 is the seed-cell calibration baseline)."""
+    from .operators.relational import QUERIES
+
+    return QUERIES[_ANN_QUERY[DEFAULT_QUANTIZER]].build(spark, sf_dir)
+
+
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The codes-only (IVFADC) serving default: DEFAULT-quantizer cells
+    x raw PQ codes x exact shortlist re-rank (= v21 while the default is
+    trained; v13 is the seed-cell calibration baseline)."""
+    from .operators.relational import QUERIES
+
+    return QUERIES[_IVFPQ_QUERY[DEFAULT_QUANTIZER]].build(spark, sf_dir)
 
 
 def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
@@ -65,6 +134,7 @@ def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     _, _, pq_codes = _pq_index(spark, sf_dir)
     counts["pq_codes"] = pq_codes.count()
     counts["rpq_codes"] = _rpq_index(spark, sf_dir)[2].count()
+    counts["trpq_codes"] = _rpq_index(spark, sf_dir, trained=True)[2].count()
     counts["exact_topk"] = _exact_topk(spark, sf_dir).count()
     counts["exact_topk_v12"] = _exact_topk_v12(spark, sf_dir).count()
     counts["shingles"] = shingle_index(spark, sf_dir).count()

@@ -70,22 +70,26 @@ _QFEAT_SCHEMA = StructType(
 )
 
 
-def build_pq_serving_index(spark, sf_dir, nprobe: int, quantizer: str = "seed"):
+def build_pq_serving_index(spark, sf_dir, nprobe: int, quantizer: str | None = None):
     """(static, centroids, codebook): the codes-only serving layout.
 
     static = (vec_id, cell, codes array<int> dense 0..K-1 per sub-block,
     recon_ss6) — derived from the session-index artifacts, no embedding
     column.  codebook = {m: (sorted cids, ndarray K×PQ_SUB)} for the
     query kernel's closure.  ``quantizer`` picks the cell layout: "seed"
-    (v13's cells) or "trained" (v19/v21's spherical-k-means cells — the
-    serving tier follows whichever index the batch evals picked, same
-    operator either way)."""
+    (v13's cells) or "trained" (v19/v21's spherical-k-means cells); the
+    default (None) follows ``serving.DEFAULT_QUANTIZER`` — the serving
+    tier follows whichever index the batch evals picked, same operator
+    either way."""
     from ..operators.similarity import (
         _ivf_cells_probes,
         _pq_index,
         _tivf_cells_probes,
     )
+    from ..serving import DEFAULT_QUANTIZER
 
+    if quantizer is None:
+        quantizer = DEFAULT_QUANTIZER
     _, cw, codes = _pq_index(spark, sf_dir)
     cp = _tivf_cells_probes if quantizer == "trained" else _ivf_cells_probes
     _, cells, _ = cp(spark, sf_dir, nprobe)

@@ -54,6 +54,7 @@ V_QUERIES = [
     "v20_tivf_recall",
     "v21_tivfpq_topk",
     "v22_tivf_nprobe_sweep",
+    "v23_tencoding_recall",
 ]
 
 

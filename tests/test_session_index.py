@@ -116,8 +116,9 @@ def test_warm_session_index_materializes_all_artifacts(spark, sf_small):
     assert set(counts) == {
         "emb", "sig16", "ivf_cells", "ivf_probes", "ivf_probes_eval",
         "ivf_probes_sweep", "tivf_cells", "tivf_probes", "tivf_probes_eval",
-        "exact_topk", "exact_topk_v12", "pq_codes",
-        "rpq_codes", "shingles", "mh_sig16", "simhash16", "simhash64",
+        "tivf_probes_sweep", "exact_topk", "exact_topk_v12", "pq_codes",
+        "rpq_codes", "trpq_codes", "shingles", "mh_sig16", "simhash16",
+        "simhash64",
     }
     assert all(n > 0 for n in counts.values()), counts
     # every artifact (plus the max-df stat) is now resident in the cache
@@ -126,8 +127,8 @@ def test_warm_session_index_materializes_all_artifacts(spark, sf_small):
     assert {"emb", "sig16", "ivf_scored", "ivf_cells", "exact_topk",
             "exact_topk_v12", "shingles", "mh_sig16", "simhash16",
             "simhash64", "max_df", "pq_codewords", "pq_codes",
-            "rpq_codewords", "rpq_codes", "tivf_cents", "tivf_scored",
-            "tivf_cells"} <= keys
+            "rpq_codewords", "rpq_codes", "trpq_codewords", "trpq_codes",
+            "tivf_cents", "tivf_scored", "tivf_cells"} <= keys
 
 
 def test_pq_training_strictly_improves_recall(spark, sf_small):
@@ -206,6 +207,57 @@ def test_encoding_adjudication_tightness_predicts_winner(spark, sf_small):
         }
         hits["residual" if residual else "raw"] = len(exact & got)
     assert hits["raw"] > hits["residual"], (tightness, hits)
+
+
+def test_encoding_readjudication_over_trained_cells_is_a_tie(spark, sf_small):
+    # v23 re-runs the raw-vs-residual adjudication on the TRAINED cells
+    # (the serving default's layout).  MEASURED: the sign flips across
+    # SFs (residual +5 hits of 250 here, raw +2 of 250 at sf0.1) with
+    # trained tightness 0.20-0.23 still far below the 0.5 threshold — a
+    # statistical tie, so serving stays raw-over-trained (v21, the
+    # simpler index).  This gate encodes the adjudication's validity
+    # bounds rather than a winner: tightness below threshold AND neither
+    # encoding decisively ahead (>15% more hits).  If residual starts
+    # decisively winning — a tighter corpus, a retrained quantizer —
+    # this fails and forces the serving re-adjudication v23's docstring
+    # describes.
+    from fifteenmc_spark.operators.similarity import (
+        V12_NQ,
+        _exact_topk_v12,
+        _ivfpq_topk_plan,
+        _tivf_centroids,
+        _emb,
+        cosine,
+    )
+
+    e = _emb(spark, sf_small).select("vec_id", "embedding")
+    cw = _tivf_centroids(spark, sf_small).select(F.col("cwe").alias("ce"))
+    tightness = (
+        e.crossJoin(F.broadcast(cw))
+        .select("vec_id", cosine(F.col("embedding"), F.col("ce")).alias("sim"))
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("mx"))
+        .agg(F.avg("mx"))
+        .first()[0]
+    )
+    assert tightness < 0.5, tightness  # below the decisive-residual regime
+    exact = {
+        (r.qid, r.vec_id)
+        for r in _exact_topk_v12(spark, sf_small).select("qid", "vec_id").collect()
+    }
+    hits = {}
+    for residual in (False, True):
+        got = {
+            (r.qid, r.vec_id)
+            for r in _ivfpq_topk_plan(
+                spark, sf_small, V12_NQ, residual=residual, trained=True
+            )
+            .select("qid", "vec_id")
+            .collect()
+        }
+        hits["residual" if residual else "raw"] = len(exact & got)
+    assert hits["residual"] <= hits["raw"] * 1.15, (tightness, hits)
+    assert hits["raw"] <= hits["residual"] * 1.15, (tightness, hits)
 
 
 def test_spherical_lloyd_strictly_improves_cell_tightness(spark, sf_small):

@@ -503,28 +503,20 @@ def test_streaming_ann_topk_equals_batch_v5_and_v1(spark, sf_small, tmp_path_fac
 
 def test_streaming_ann_serves_trained_quantizer_equals_v19(spark, sf_small, tmp_path_factory):
     """The streaming ANN tier is quantizer-AGNOSTIC (cells + centroids
-    are inputs), so the trained index (v19) serves through the same
-    operator with zero code changes — this pins the contract: stream
-    top-k against the trained cells/centroids equals batch v19 exactly.
-    The serving story follows the better index: v20 measured the trained
-    quantizer at 0.51 vs 0.35 membership recall, and online queries get
-    that recall the moment the session index swaps tables."""
+    are inputs), and the serving DEFAULT is the trained index (v19): the
+    cells/centroids here come from the serving dispatch helpers with no
+    quantizer named anywhere, and the stream top-k equals batch v19
+    exactly.  The serving story follows the better index: v20 measured
+    the trained quantizer at 0.51 vs 0.35 membership recall, and online
+    queries get that recall because the default IS the trained layout."""
+    from fifteenmc_spark import serving
     from fifteenmc_spark.operators.relational import QUERIES
-    from fifteenmc_spark.operators.similarity import (
-        N_PROBE,
-        N_QUERY_VECS,
-        _emb,
-        _tivf_cells_probes,
-        _tivf_centroids,
-    )
+    from fifteenmc_spark.operators.similarity import N_PROBE, N_QUERY_VECS, _emb
     from fifteenmc_spark.streaming import ann as ANN
 
-    e, tcells, _ = _tivf_cells_probes(spark, sf_small, N_PROBE)
+    e, tcells, _ = serving.serving_cells_probes(spark, sf_small, N_PROBE)
     corpus = e.select("vec_id", "embedding")
-    centroids = [
-        (r["cid"], list(r["cwe"]))
-        for r in _tivf_centroids(spark, sf_small).orderBy("cid").collect()
-    ]
+    centroids = serving.serving_centroids(spark, sf_small)
     queries = _emb(spark, sf_small).where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -656,8 +648,10 @@ def test_streaming_pq_adc_serving_equals_batch(spark, sf_small, tmp_path_factory
     }
     assert want
 
-    # stream side: same artifacts through the serving layout
-    static, books = PQA.build_pq_serving_index(spark, sf_small, N_PROBE)
+    # stream side: same artifacts through the serving layout — the SEED
+    # cells are the calibration baseline now, so this test names them
+    # explicitly (the serving default is the trained quantizer)
+    static, books = PQA.build_pq_serving_index(spark, sf_small, N_PROBE, quantizer="seed")
     assert "embedding" not in static.columns  # codes-only static side
     centroids = [
         (r["vec_id"], list(r["embedding"]))
@@ -698,13 +692,14 @@ def test_streaming_pq_adc_serving_equals_batch(spark, sf_small, tmp_path_factory
 
 
 def test_streaming_pq_adc_serves_trained_quantizer_equals_v21_front(spark, sf_small, tmp_path_factory):
-    # the codes-only serving tier is quantizer-agnostic too: built with
-    # quantizer="trained" it serves v21's cell layout (trained coarse
-    # cells x raw PQ codes) through the unchanged operator, and the
-    # stream top-k equals the batch ADC ranking over the TRAINED probed
-    # cells — the online form of the index the r10 evals picked
+    # the codes-only serving tier's DEFAULT layout: built with no
+    # quantizer argument it serves v21's cell layout (trained coarse
+    # cells x raw PQ codes — serving.DEFAULT_QUANTIZER), and the stream
+    # top-k equals the batch ADC ranking over the TRAINED probed cells —
+    # the online form of the index the r10 evals picked, now the default
     from pyspark.sql import Window as W2
 
+    from fifteenmc_spark import serving
     from fifteenmc_spark.operators.similarity import (
         N_PROBE,
         N_QUERY_VECS,
@@ -713,10 +708,10 @@ def test_streaming_pq_adc_serves_trained_quantizer_equals_v21_front(spark, sf_sm
         _pq_index,
         _pq_query_side,
         _tivf_cells_probes,
-        _tivf_centroids,
     )
     from fifteenmc_spark.streaming import pq_ann as PQA
 
+    assert serving.DEFAULT_QUANTIZER == "trained"
     e, cw, codes = _pq_index(spark, sf_small)
     _, tcells, tprobes = _tivf_cells_probes(spark, sf_small, N_PROBE)
     q, qparts = _pq_query_side(e, cw, N_QUERY_VECS)
@@ -748,12 +743,11 @@ def test_streaming_pq_adc_serves_trained_quantizer_equals_v21_front(spark, sf_sm
     }
     assert want
 
-    static, books = PQA.build_pq_serving_index(spark, sf_small, N_PROBE, quantizer="trained")
+    # the DEFAULT layout — no quantizer parameter anywhere on the
+    # serving side of this test
+    static, books = PQA.build_pq_serving_index(spark, sf_small, N_PROBE)
     assert "embedding" not in static.columns
-    centroids = [
-        (r["cid"], list(r["cwe"]))
-        for r in _tivf_centroids(spark, sf_small).orderBy("cid").collect()
-    ]
+    centroids = serving.serving_centroids(spark, sf_small)
     queries = _emb(spark, sf_small).where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
