@@ -350,12 +350,22 @@ def compute_reach(
     max_rounds: int = MAX_ROUNDS_DEFAULT,
     hops_per_round: int = HOPS_PER_ROUND_DEFAULT,
     strategy: str = "auto",
+    dense: bool = False,
 ) -> DataFrame:
-    """The `reach` gold table (SURVEY.md §1.1, B6): one row per
-    (node_idx, category) for every node and every POI category —
-    ``dist_m FLOAT, time_s FLOAT, poi_id BIGINT``, NULL when unreachable
-    within ``limit_m`` (reference: inf / -1 sentinels,
-    precompute_poi_reach.py:159-218).  Categories are sanitized keys (F7).
+    """The `reach` gold table (SURVEY.md §1.1, B6): ``node_idx, category,
+    dist_m FLOAT, time_s FLOAT, poi_id BIGINT``.  Categories are
+    sanitized keys (F7).
+
+    SPARSE by default: one row per REACHED (node, category) pair.  The
+    reference emits full length-N arrays per category (inf / -1 for
+    unreachable, precompute_poi_reach.py:159-218), but at 100 TB the
+    dense node × category cube stores the unreachable fraction as
+    explicit rows — on a country-scale graph with sparse POI categories
+    that fraction dominates, and every downstream aggregate/point query
+    already treats absent and NULL identically.  ``dense=True`` (or
+    ``densify_reach`` on an existing sparse table) materializes the
+    reference's cube — NULL rows where unreachable — which is the shape
+    the reference-hash parity sinks need.
 
     Materialized once, partitioned by category on write — point queries
     then read one node's rows, never touching the graph."""
@@ -370,19 +380,34 @@ def compute_reach(
         hops_per_round=hops_per_round,
         strategy=strategy,
     )
+    sparse = reached.select(
+        "node_idx",
+        "category",
+        F.col("dist_m").cast("float").alias("dist_m"),
+        geo.walking_time_s(F.col("dist_m"), speed_mps).cast("float").alias("time_s"),
+        "poi_id",
+    )
+    if dense:
+        return densify_reach(sparse, nodes, seeds.select("category").distinct())
+    return sparse
 
-    # dense (node × category) frame: reference emits full length-N arrays
-    # per category; NULL rows here are its inf/-1 entries
-    grid = nodes.select("node_idx").crossJoin(seeds.select("category").distinct())
-    return (
-        grid.join(reached, ["node_idx", "category"], "left")
-        .select(
-            "node_idx",
-            "category",
-            F.col("dist_m").cast("float").alias("dist_m"),
-            geo.walking_time_s(F.col("dist_m"), speed_mps).cast("float").alias("time_s"),
-            "poi_id",
-        )
+
+def densify_reach(
+    sparse: DataFrame, nodes: DataFrame, categories: DataFrame | None = None
+) -> DataFrame:
+    """Sparse reach → the reference's dense node × category cube (one row
+    per (node, category) for EVERY node, NULL dist/time/poi when
+    unreachable).  A sink-side projection: the grid is a lattice
+    crossJoin of the node ids against the (tiny, broadcast) category
+    list, and the sparse table left-joins onto it — no recompute."""
+    cats = categories if categories is not None else sparse.select("category").distinct()
+    grid = nodes.select("node_idx").crossJoin(F.broadcast(cats))
+    return grid.join(sparse, ["node_idx", "category"], "left").select(
+        "node_idx",
+        "category",
+        F.col("dist_m").cast("float").alias("dist_m"),
+        F.col("time_s").cast("float").alias("time_s"),
+        "poi_id",
     )
 
 
@@ -415,13 +440,18 @@ def reach_from_sentinels(df: DataFrame) -> DataFrame:
     )
 
 
-def write_reference_shaped(reach: DataFrame, path: str) -> None:
+def write_reference_shaped(reach: DataFrame, path: str, nodes: DataFrame | None = None) -> None:
     """K3-parity sink: the reach table in the reference's sentinel
     convention, parquet partitioned by category (the Spark-native stand-in
     for one npz array set per category key,
-    precompute_poi_reach.py:159-170)."""
+    precompute_poi_reach.py:159-170).  The reference artifact is DENSE
+    (full length-N arrays) — pass ``nodes`` to densify a sparse-form
+    table at this sink boundary; a table that is already dense writes
+    unchanged."""
     from ..io import write_parquet
 
+    if nodes is not None:
+        reach = densify_reach(reach, nodes)
     write_parquet(reach_with_sentinels(reach), path, partition_by=["category"])
 
 

@@ -188,8 +188,11 @@ def reach_ctx(spark, fx):
     pois_sdf = spark.createDataFrame(
         snapped[["poi_id", "category", "node_idx"]].astype({"node_idx": "int32"})
     )
+    # dense=True: the golden/sentinel/pivot tests assert the reference's
+    # full node x category cube; the engine default is the sparse form
+    # (test_sparse_reach_default_equals_dense_reached_set)
     reach_df = reach.compute_reach(
-        fx["gnodes"], fx["gedges"], pois_sdf, limit_m=LIMIT_M
+        fx["gnodes"], fx["gedges"], pois_sdf, limit_m=LIMIT_M, dense=True
     ).cache()
     return {"snapped": snapped, "pois_sdf": pois_sdf, "reach": reach_df}
 
@@ -230,6 +233,7 @@ def test_reach_hop_batching_equivalent(fx, reach_ctx, hops):
             limit_m=LIMIT_M,
             hops_per_round=hops,
             strategy="frontier",
+            dense=True,
         )
         .orderBy("node_idx", "category")
         .toPandas()
@@ -284,7 +288,7 @@ def test_reach_local_strategy_equivalent(fx, reach_ctx):
     frontier = (
         reach.compute_reach(
             fx["gnodes"], fx["gedges"], reach_ctx["pois_sdf"], limit_m=LIMIT_M,
-            strategy="frontier",
+            strategy="frontier", dense=True,
         )
         .orderBy("node_idx", "category")
         .toPandas()
@@ -292,12 +296,39 @@ def test_reach_local_strategy_equivalent(fx, reach_ctx):
     local = (
         reach.compute_reach(
             fx["gnodes"], fx["gedges"], reach_ctx["pois_sdf"], limit_m=LIMIT_M,
-            strategy="local",
+            strategy="local", dense=True,
         )
         .orderBy("node_idx", "category")
         .toPandas()
     )
     pd.testing.assert_frame_equal(local, frontier, check_exact=False, atol=1e-6)
+
+
+def test_sparse_reach_default_equals_dense_reached_set(fx, reach_ctx):
+    # the engine-default SPARSE gold table is exactly the dense cube's
+    # reached rows (row-count assert from the r10 verdict), and
+    # densify_reach round-trips it to the reference's full cube
+    sparse_sdf = reach.compute_reach(
+        fx["gnodes"], fx["gedges"], reach_ctx["pois_sdf"], limit_m=LIMIT_M
+    ).cache()
+    sparse = sparse_sdf.orderBy("node_idx", "category").toPandas()
+    dense = reach_ctx["reach"].orderBy("node_idx", "category").toPandas()
+    assert not sparse["dist_m"].isna().any()  # no unreachable rows stored
+    assert len(sparse) == int(dense["dist_m"].notna().sum())  # O(reached)
+    # pandas renders the dense cube's nullable poi_id as float64
+    want = dense[dense["dist_m"].notna()].astype({"poi_id": "int64"}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        sparse.reset_index(drop=True), want, check_exact=False, atol=1e-6
+    )
+    re_dense = (
+        reach.densify_reach(sparse_sdf, fx["gnodes"])
+        .orderBy("node_idx", "category")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        re_dense, dense.reset_index(drop=True), check_exact=False, atol=1e-6
+    )
+    sparse_sdf.unpersist()
 
 
 def test_reach_seed_nodes_zero(reach_ctx):
@@ -398,6 +429,34 @@ def test_point_to_point_path(fx):
         adj[int(r.src)].append((int(r.dst), float(r.w)))
     want = gf._single_source_dijkstra(adj, int(a["node_idx"]), n)[int(b["node_idx"])]
     assert abs(path["cum_m"].iloc[-1] - want) < 1e-2
+
+
+def test_backtrack_collects_o_path_not_o_reached(spark, monkeypatch):
+    # the pointer-doubling backtrack's driver transfer is the CHAIN, not
+    # the settled state: a star of 5000 settled nodes hanging off a
+    # 6-node spine must reach the driver as exactly 6 collected rows
+    # (every .collect() in the helper is counted via a spy)
+    # Spark 4: instances are the classic subclass, which overrides
+    # collect — patching the abstract pyspark.sql.DataFrame misses it
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    # spine: tip=5 at dist 5.0, prev chain 5->4->3->2->1->0, root 0
+    spine = [(i, float(i), i - 1 if i > 0 else None) for i in range(6)]
+    star = [(100 + j, 4.5, j % 6) for j in range(5000)]  # settled bystanders
+    state = spark.createDataFrame(spine + star, "node_idx INT, dist_m DOUBLE, prev INT")
+
+    counted = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        counted.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    chain = query._backtrack_chain(state, 5, 5.0)
+    assert chain == [5, 4, 3, 2, 1, 0]
+    assert sum(counted) == len(chain), counted  # O(path) driver transfer
 
 
 def test_path_to_nearest_poi(fx, reach_ctx):

@@ -152,7 +152,8 @@ def test_bench_scale_snap_matches_golden(spark, bfx):
 def test_bench_scale_reach_matches_golden(bfx, strategy):
     got_all = (
         reach.compute_reach(
-            bfx["gnodes"], bfx["gedges"], bfx["pois_sdf"], limit_m=LIMIT_M, strategy=strategy
+            bfx["gnodes"], bfx["gedges"], bfx["pois_sdf"], limit_m=LIMIT_M,
+            strategy=strategy, dense=True,  # golden checks every node's row
         )
         .cache()
     )
