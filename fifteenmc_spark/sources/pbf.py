@@ -263,11 +263,31 @@ def _pt(lon, lat):
     return F.struct(lon.alias("lon"), lat.alias("lat"))
 
 
+def bbox_filter_elements(elements: DataFrame, bbox: tuple) -> DataFrame:
+    """Complete-object bbox filter over the elements contract: keep an
+    element iff ANY of its geometry points falls inside ``bbox =
+    (minlon, minlat, maxlon, maxlat)``, bounds inclusive — the osmium
+    ``extract -b … -s complete_ways`` semantics the reference runs per
+    tile (extract_map_from_json.py:60-74, grid_extraction_script.py:32-49):
+    a way/relation clipped by the box keeps its full geometry, so graphs
+    built from a tile extract have no torn edges at the border."""
+    minlon, minlat, maxlon, maxlat = (float(x) for x in bbox)
+    inside = F.exists(
+        F.col("geometry"),
+        lambda p: (p["lon"] >= F.lit(minlon))
+        & (p["lon"] <= F.lit(maxlon))
+        & (p["lat"] >= F.lit(minlat))
+        & (p["lat"] <= F.lit(maxlat)),
+    )
+    return elements.where(inside)
+
+
 def read_pbf_elements(
     spark: SparkSession,
     path: str,
     keep_untagged: bool = False,
     max_rel_depth: int = 2,
+    bbox: tuple | None = None,
 ) -> DataFrame:
     """S1 end-to-end: .pbf → the `elements` contract, geometry resolved.
 
@@ -286,7 +306,13 @@ def read_pbf_elements(
     fails (snap_poi_to_nodes.py:127-141 keep_relations fallback).  The
     default 2 covers real OSM (multipolygon-in-multipolygon); rare
     site→multipolygon→multipolygon nests need ``max_rel_depth=3``
-    (fixture-tested both ways)."""
+    (fixture-tested both ways).
+
+    ``bbox`` (minlon, minlat, maxlon, maxlat) applies the complete-object
+    tile filter AFTER geometry assembly (bbox_filter_elements) — the twin
+    of the reference's per-tile osmium extract, which likewise reads the
+    whole file and emits one tile's objects
+    (extract_map_from_json.py:60-74)."""
     raw = read_pbf_raw(spark, path)
     # node coords are joined twice (way refs, relation members); at real
     # scale this frame is the big dimension — cache only the 3 columns.
@@ -370,12 +396,13 @@ def read_pbf_elements(
     out = nodes.unionByName(ways).unionByName(relations)
     if not keep_untagged:
         out = out.where(F.size("tag_keys") > 0)
-    return out.select(
+    out = out.select(
         "elem_id",
         "elem_type",
         F.map_from_arrays("tag_keys", "tag_vals").alias("tags"),
         "geometry",
     )
+    return bbox_filter_elements(out, bbox) if bbox is not None else out
 
 
 def pbf_graph_inputs(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
@@ -471,10 +498,20 @@ def register_pbf_source(spark: SparkSession) -> None:
     spark.dataSource.register(PbfDataSource)
 
 
-def ingest_pbf(spark: SparkSession, pbf_path: str, out_dir: str) -> None:
+def ingest_pbf(
+    spark: SparkSession, pbf_path: str, out_dir: str, bbox: tuple | None = None
+) -> None:
     """The S1 utility the reference lacks a Spark twin for: materialize the
     elements contract as parquet, partitioned by elem_type so POI scans
-    (mostly nodes) and graph scans (ways) prune each other away."""
+    (mostly nodes) and graph scans (ways) prune each other away.
+
+    ``bbox`` makes this the engine's per-tile extract — the incremental
+    "write one tile's data to disk" field-debugging utility the reference
+    runs through osmium (extract_map_from_json.py:60-100, minus the
+    Docker fallback and the empty-extract cleanup, which a parquet dir
+    listing answers directly)."""
     from ..io import write_parquet
 
-    write_parquet(read_pbf_elements(spark, pbf_path), out_dir, partition_by=["elem_type"])
+    write_parquet(
+        read_pbf_elements(spark, pbf_path, bbox=bbox), out_dir, partition_by=["elem_type"]
+    )

@@ -164,6 +164,42 @@ def test_pbf_ingest_parquet_roundtrip(spark, pbf_path, tmp_path, elements):
     assert back.where(F.col("elem_type") == "node").count() == 2
 
 
+def test_pbf_bbox_ingest_equals_full_ingest_filtered(spark, pbf_path, tmp_path, elements):
+    # ingest_pbf(bbox=...) is the per-tile osmium-extract twin
+    # (extract_map_from_json.py:60-74): the bbox ingest must equal the
+    # full ingest filtered by the complete-object predicate (keep an
+    # element iff ANY geometry point falls in the box), with the kept
+    # objects' geometry UNclipped
+    bbox = (18.599, 54.369, 18.6025, 54.3712)  # nodes 100/101/200 inside
+
+    def inside(pts):
+        return any(
+            bbox[0] <= p["lon"] <= bbox[2] and bbox[1] <= p["lat"] <= bbox[3]
+            for p in pts
+        )
+
+    full = pbf.read_pbf_elements(spark, pbf_path).collect()  # tagged, like ingest
+    want = {
+        (r["elem_id"], r["elem_type"]): [tuple(p) for p in r["geometry"]]
+        for r in full
+        if inside(r["geometry"])
+    }
+    # the fixture exercises all outcomes: a dropped way (502 fully
+    # outside), a kept way crossing the border (501), a kept relation
+    # whose own node member is outside (900 via way 501's vertices)
+    assert (502, "way") not in want and (501, "way") in want and (900, "relation") in want
+    assert 0 < len(want) < len(full)
+
+    out = str(tmp_path / "elements_tile_pq")
+    pbf.ingest_pbf(spark, pbf_path, out, bbox=bbox)
+    back = spark.read.parquet(out)
+    got = {
+        (r["elem_id"], r["elem_type"]): [tuple(p) for p in r["geometry"]]
+        for r in back.collect()
+    }
+    assert got == want  # same objects, geometry complete (not clipped)
+
+
 def test_pbf_random_roundtrip(spark, tmp_path):
     """Property-style codec roundtrip: random ids (including deltas that
     zigzag negative), extreme coordinates, and unicode tags survive
