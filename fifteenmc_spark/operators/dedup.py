@@ -1094,52 +1094,92 @@ def _capped_intersections(ex: DataFrame, t: float, max_df: int) -> DataFrame:
     )
 
 
+# Dispatch threshold on the HIGH-DF OCCUPANCY: the capped plan's entire
+# premise is a viral TAIL — a few shingles above the cap over a rare-
+# shingle bulk.  When the high-df slice is instead the BULK of the index
+# (a bounded-vocabulary corpus where every shingle is common), path 2
+# degenerates: every doc's prefix is all-high-df, the prefix self-join
+# approaches all-pairs, and the split verify re-joins candidates against
+# nearly the whole index.  MEASURED on the r11 scale-slope synth corpus
+# (50k docs, ~30-word vocab, every shingle df >> 64, high_frac ≈ 1.0):
+# capped 403.6 s vs plain index join 42.0 s at the same answer — a
+# max_df-only dispatch picks the 10x-worse plan.  At high_frac <= 0.10
+# the high slice is bounded by a tenth of the index rows, so the path-2
+# joins stay a small fraction of path 1's cap-bounded volume.
+X5_HIGH_DF_FRAC = 0.10
+
+
+def _df_stats(spark, sf_dir, cap: int) -> tuple:
+    """Session-cached (max_df, high_frac): the corpus max document
+    frequency and the fraction of shingle OCCURRENCES whose shingle's df
+    exceeds ``cap`` — x5_capped's dispatch statistics, the same kind of
+    catalog-style index stats a table format keeps next to the data.
+    One aggregation job per (session, cap) instead of one per dispatch."""
+
+    def build():
+        row = (
+            shingle_index(spark, sf_dir)
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.max("df").alias("mx"),
+                (
+                    F.sum(F.when(F.col("df") > cap, F.col("df")).otherwise(F.lit(0)))
+                    / F.sum("df")
+                ).alias("hf"),
+            )
+            .first()
+        )
+        return (row["mx"], None if row["hf"] is None else float(row["hf"]))
+
+    return _session_cached(spark, sf_dir, f"df_stats_{cap}", build)
+
+
 def _max_df(spark, sf_dir) -> int | None:
-    """Session-cached corpus max document frequency — x5_capped's dispatch
-    statistic, the same kind of catalog-style index stat a table format
-    keeps next to the data.  One aggregation job per session instead of
-    one per dispatch."""
-    return _session_cached(
-        spark,
-        sf_dir,
-        "max_df",
-        lambda: shingle_index(spark, sf_dir)
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .agg(F.max("df"))
-        .first()[0],
-    )
+    """Corpus max document frequency, via the cached _df_stats pair."""
+    return _df_stats(spark, sf_dir, X5_MAX_DF)[0]
 
 
 @_register(
     "x5_ngram_jaccard_capped",
-    "x5 with the document-frequency guard: when the measured max df "
-    f"exceeds {X5_MAX_DF}, shingles above the cap never enter the "
-    "candidate self-join (sum(df²) stays linear — one viral shingle can "
-    "no longer quadratic the plan) and all-high-df pairs are recovered "
-    "losslessly via high-df prefix collisions; when max df is within the "
-    "cap (this corpus), a one-scalar dispatch picks the plain index join "
-    "— the guard paths are provably empty.  Same answer as x5 either "
-    "way — the oracle is the exact computation.",
+    "x5 with the document-frequency guard: when the measured df stats "
+    f"show a viral TAIL above the {X5_MAX_DF} cap (max df over it, but "
+    f"high-df occupancy <= {X5_HIGH_DF_FRAC:.0%} of index rows), shingles "
+    "above the cap never enter the candidate self-join (sum(df²) stays "
+    "linear — one viral shingle can no longer quadratic the plan) and "
+    "all-high-df pairs are recovered losslessly via high-df prefix "
+    "collisions.  When max df is within the cap (this corpus) the guard "
+    "paths are provably empty, and when the high slice is the BULK of "
+    "the index (bounded-vocab corpora — r11 measured the capped plan "
+    "10x WORSE there) the tail premise is false; both dispatch to the "
+    "plain index join on the two cached catalog scalars.  Same answer "
+    "as x5 every way — the oracle is the exact computation.",
     QUERIES["x5_ngram_jaccard"].oracle,
     ("dedup", "jaccard", "df-cap", "pipeline"),
 )
-def x5_capped(spark, sf_dir, cap: int = X5_MAX_DF):
-    # Measured dispatch (same pattern as the reach strategies and d8): when
-    # the corpus's MAX document frequency is within the cap, path 2 and the
-    # split verify of the capped plan are provably empty — the df-capped
-    # machinery would only re-derive the plain index join at ~3x the cost
-    # (measured 4.6 s vs 1.2 s at sf0.1).  One scalar aggregate over the
-    # dfreq table (already a required input of either plan) decides.
-    # ``cap`` is parameterized so tests can bind it below the corpus max
-    # and exercise THIS function's capped branch, not just the helper
-    # (test_x5_capped_dispatch_capped_branch).
+def x5_capped(
+    spark, sf_dir, cap: int = X5_MAX_DF, high_frac_max: float = X5_HIGH_DF_FRAC
+):
+    # Measured dispatch (same pattern as the reach strategies and d8),
+    # TWO cached catalog scalars over the dfreq table (already a required
+    # input of either plan):
+    # - max df within the cap → path 2 and the split verify are provably
+    #   empty; the capped machinery would only re-derive the plain index
+    #   join at ~3x the cost (measured 4.6 s vs 1.2 s at sf0.1) → plain.
+    # - max df OVER the cap but high-df occupancy above ``high_frac_max``
+    #   → the viral-tail premise is false (the high slice is the bulk of
+    #   the index) and the capped plan degenerates (r11 scale-slope synth
+    #   corpus: 403.6 s capped vs 42.0 s plain at 10x sf0.1) → plain.
+    # - genuine viral tail (max df over cap, occupancy small) → capped.
+    # ``cap``/``high_frac_max`` are parameterized so tests can bind them
+    # around the corpus stats and exercise THIS function's capped branch,
+    # not just the helper (test_x5_capped_dispatch_capped_branch).
     ex = shingle_index(spark, sf_dir)
-    max_df = _max_df(spark, sf_dir)
-    if max_df is not None and max_df <= cap:
-        inter = _index_join_intersections(ex)
-    else:
+    max_df, high_frac = _df_stats(spark, sf_dir, cap)
+    if max_df is not None and max_df > cap and high_frac <= high_frac_max:
         inter = _capped_intersections(ex, X5_THRESHOLD, cap)
+    else:
+        inter = _index_join_intersections(ex)
     return _jaccard_from_intersections(ex, inter)
 
 

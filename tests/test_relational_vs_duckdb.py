@@ -50,15 +50,33 @@ def test_x5_capped_equivalence(spark, sf_small, max_df):
 
 
 def test_x5_capped_dispatch_capped_branch(spark, sf_small):
-    """The REGISTERED x5_capped function's else-branch (capped plan) must
-    be wired correctly — drive it by binding the cap below the corpus's
-    max df, where the dispatch cannot take the plain-index shortcut."""
+    """The REGISTERED x5_capped function's capped branch must be wired
+    correctly — drive it by binding the cap below the corpus's max df AND
+    lifting the occupancy threshold (this small corpus has no viral tail,
+    so the real threshold would correctly dispatch to the plain join)."""
     from fifteenmc_spark.operators.dedup import x5_capped
 
     base = QUERIES["x5_ngram_jaccard"].build(spark, sf_small).collect()
-    capped = x5_capped(spark, sf_small, cap=3).collect()
+    capped = x5_capped(spark, sf_small, cap=3, high_frac_max=1.0).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, capped))
     assert len(base) > 0
+
+
+def test_x5_capped_dispatch_refuses_bulk_high_df(spark, sf_small):
+    """When the high-df slice is the BULK of the index (occupancy over the
+    threshold), the dispatch must take the plain join even though max df
+    exceeds the cap — the r11 scale measurement: on a bounded-vocab 10x
+    corpus with high_frac ~ 1.0 the capped plan ran 403.6 s vs the plain
+    join's 42.0 s.  The capped plan is the only x5 shape with a window
+    (the per-doc prefix rank), so its absence identifies the branch."""
+    from fifteenmc_spark.operators.dedup import _df_stats, x5_capped
+
+    max_df, high_frac = _df_stats(spark, sf_small, 3)
+    assert max_df > 3 and high_frac > 0.0  # premise: cap exceeded, tail not tiny
+    df = x5_capped(spark, sf_small, cap=3, high_frac_max=0.0)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "window" not in plan.lower(), "dispatch took the capped branch"
+    assert df.count() > 0
 
 
 def test_x5_prefix_filter_equivalence(spark, sf_small):

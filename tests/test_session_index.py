@@ -126,7 +126,7 @@ def test_warm_session_index_materializes_all_artifacts(spark, sf_small):
     keys = {k[2] for k in SI._SESSION_INDEX if k[0] == app and k[1] == sf_small}
     assert {"emb", "sig16", "ivf_scored", "ivf_cells", "exact_topk",
             "exact_topk_v12", "shingles", "mh_sig16", "simhash16",
-            "simhash64", "max_df", "pq_codewords", "pq_codes",
+            "simhash64", "df_stats_64", "pq_codewords", "pq_codes",
             "rpq_codewords", "rpq_codes", "trpq_codewords", "trpq_codes",
             "tivf_cents", "tivf_scored", "tivf_cells"} <= keys
 
