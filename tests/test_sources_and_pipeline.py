@@ -219,8 +219,12 @@ def test_pipeline_end_to_end(spark, tmp_path):
     one_cat = reach.where(F.col("category") == "supermarket")
     plan = one_cat._sc._jvm.PythonSQLUtils.explainString(one_cat._jdf.queryExecution(), "formatted")
     assert "PartitionFilters: [" in plan
+    # sparse gold table (r11): one row per REACHED node for the category —
+    # present, non-null, and bounded by the node count (the dense cube is
+    # a sink-side option, covered by test_reach_sentinel_sink_roundtrip)
     n = one_cat.count()
-    assert n == len(nodes_pdf)  # dense: one row per node for the category
+    assert 0 < n <= len(nodes_pdf)
+    assert one_cat.where(F.col("dist_m").isNull()).count() == 0
 
     # reach distances round-trip: parquet read equals computed frame
     want = g.reach.where(F.col("category") == "supermarket").agg(F.sum("dist_m")).first()[0]
