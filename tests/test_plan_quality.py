@@ -351,6 +351,21 @@ def test_v21_trained_ivfpq_is_all_equi_joins(spark, sf_small):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_v23_trained_residual_plan_shape(spark, sf_small):
+    # the trained-residual composition (v23's residual side — the one
+    # plan r11 added) keeps v16's discipline: codes equi-join only, the
+    # single permitted nested-loop is the broadcast-tiny |queries| x
+    # |cells| qcent product, everything else broadcast hash
+    from fifteenmc_spark.operators.similarity import V12_NQ, _ivfpq_topk_plan
+
+    df = _ivfpq_topk_plan(spark, sf_small, V12_NQ, residual=True, trained=True)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_v18_sweep_scores_corpus_once(spark, sf_small):
     # the fused sweep's whole point: ONE ADC aggregate over the codes
     # table serves all four nprobe levels — the plan must contain exactly
