@@ -49,6 +49,22 @@ def _scaler(min_x, max_x, min_y, max_y, width, height, pad):
     return to_px
 
 
+def _network_scene(nodes, edges, width, height, max_edges, max_nodes, what):
+    """Shared gather step for the network preview twins (SVG + PNG): the
+    bounded hash samples and the pixel scaler."""
+    e_cols = ["u_lon", "u_lat", "v_lon", "v_lat"] + (
+        ["highway"] if "highway" in edges.columns else []
+    )
+    e = _hash_sample(edges.select(*e_cols), max_edges)
+    n = _hash_sample(nodes.select("lon", "lat"), max_nodes)
+    xs = [r["lon"] for r in n] + [r["u_lon"] for r in e] + [r["v_lon"] for r in e]
+    ys = [r["lat"] for r in n] + [r["u_lat"] for r in e] + [r["v_lat"] for r in e]
+    if not xs:
+        raise ValueError(f"{what}: empty inputs")
+    to_px = _scaler(min(xs), max(xs), min(ys), max(ys), width, height, pad=20)
+    return e, n, e_cols, to_px
+
+
 def write_network_svg(
     nodes: DataFrame,
     edges: DataFrame,
@@ -65,16 +81,9 @@ def write_network_svg(
     needs (lon, lat).  Inputs above the caps are down-sampled
     distributed-side by deterministic hash order (see ``_hash_sample``) so
     the preview covers the whole extent reproducibly."""
-    e_cols = ["u_lon", "u_lat", "v_lon", "v_lat"] + (
-        ["highway"] if "highway" in edges.columns else []
+    e, n, e_cols, to_px = _network_scene(
+        nodes, edges, width, height, max_edges, max_nodes, "write_network_svg"
     )
-    e = _hash_sample(edges.select(*e_cols), max_edges)
-    n = _hash_sample(nodes.select("lon", "lat"), max_nodes)
-    xs = [r["lon"] for r in n] + [r["u_lon"] for r in e] + [r["v_lon"] for r in e]
-    ys = [r["lat"] for r in n] + [r["u_lat"] for r in e] + [r["v_lat"] for r in e]
-    if not xs:
-        raise ValueError("write_network_svg: empty inputs")
-    to_px = _scaler(min(xs), max(xs), min(ys), max(ys), width, height, pad=20)
 
     colors: dict[str, str] = {}
     parts = [
@@ -102,34 +111,16 @@ def write_network_svg(
     return path
 
 
-def write_path_svg(
-    edges: DataFrame,
-    path_steps: DataFrame,
-    path: str,
-    width: int = 900,
-    height: int = 900,
-    radius_m: float = 1000.0,
-    max_edges: int = 60_000,
-) -> str:
-    """Path-overlay preview (K7 twin of the reference's
-    `test_path.py:336-364` `render_local_png`): the local walking network
-    around the route, the route polyline on top, and start / destination-POI
-    markers (edges + route only, like the reference render — no node
-    scatter).
-
-    ``path_steps`` is the §3.3 path output (seq, lon, lat, ...;
-    `plans/query.py: path_to_nearest_poi`) — bounded by the reach limit, so
-    collecting it is cheap.  The network context is pruned SPARK-SIDE to a
-    ``radius_m`` halo around the route's bounding box (the reference prunes
-    by haversine radius around the query point) and hash-down-sampled to
-    ``max_edges`` — the reference uses `RandomState(0).choice`; a hash
-    order is the distributed equivalent of that fixed-seed sample."""
+def _path_scene(edges, path_steps, width, height, radius_m, max_edges, what):
+    """Shared gather step for the path-overlay twins (SVG + PNG): the
+    collected route, the halo-pruned + hash-sampled local network, and
+    the pixel scaler."""
     steps = [
         (r["seq"], float(r["lon"]), float(r["lat"]))
         for r in path_steps.select("seq", "lon", "lat").orderBy("seq").collect()
     ]
     if not steps:
-        raise ValueError("write_path_svg: empty path")
+        raise ValueError(f"{what}: empty path")
     p_lons = [s[1] for s in steps]
     p_lats = [s[2] for s in steps]
     import math
@@ -154,6 +145,34 @@ def write_path_svg(
     xs = p_lons + [r["u_lon"] for r in e] + [r["v_lon"] for r in e]
     ys = p_lats + [r["u_lat"] for r in e] + [r["v_lat"] for r in e]
     to_px = _scaler(min(xs), max(xs), min(ys), max(ys), width, height, pad=20)
+    return steps, e, to_px
+
+
+def write_path_svg(
+    edges: DataFrame,
+    path_steps: DataFrame,
+    path: str,
+    width: int = 900,
+    height: int = 900,
+    radius_m: float = 1000.0,
+    max_edges: int = 60_000,
+) -> str:
+    """Path-overlay preview (K7 twin of the reference's
+    `test_path.py:336-364` `render_local_png`): the local walking network
+    around the route, the route polyline on top, and start / destination-POI
+    markers (edges + route only, like the reference render — no node
+    scatter).
+
+    ``path_steps`` is the §3.3 path output (seq, lon, lat, ...;
+    `plans/query.py: path_to_nearest_poi`) — bounded by the reach limit, so
+    collecting it is cheap.  The network context is pruned SPARK-SIDE to a
+    ``radius_m`` halo around the route's bounding box (the reference prunes
+    by haversine radius around the query point) and hash-down-sampled to
+    ``max_edges`` — the reference uses `RandomState(0).choice`; a hash
+    order is the distributed equivalent of that fixed-seed sample."""
+    steps, e, to_px = _path_scene(
+        edges, path_steps, width, height, radius_m, max_edges, "write_path_svg"
+    )
 
     parts = [
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
@@ -333,3 +352,180 @@ def write_grid_svg(
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(parts))
     return path
+
+
+# ---------------------------------------------------------------------------
+# K7 raster twins — real .png artifacts, stdlib encoder (zlib + struct)
+# ---------------------------------------------------------------------------
+# The reference's actual raster sinks are matplotlib PNGs
+# (graph_construction.py:97-121 save_network_png; test_path.py:335-364
+# render_local_png).  This container has no imaging library, but PNG
+# itself is just zlib-compressed filtered scanlines in CRC-framed chunks
+# — so the raster twins encode an RGB numpy buffer directly and stay
+# dependency-free like the SVG twins.  Same bounded scene gathering
+# (_network_scene/_path_scene), same palette; rasterization is dense
+# point-plotting along each segment (the sampled scene is bounded, so
+# the loop is driver-cheap by construction).
+
+
+def _hex_rgb(h: str) -> tuple:
+    return (int(h[1:3], 16), int(h[3:5], 16), int(h[5:7], 16))
+
+
+def _png_bytes(rgb) -> bytes:
+    """HxWx3 uint8 → PNG bytes: 8-bit/truecolor, filter 0 per scanline."""
+    import struct
+    import zlib
+
+    h, w, _ = rgb.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _blank(width: int, height: int):
+    import numpy as np
+
+    return np.full((height, width, 3), 255, dtype=np.uint8)
+
+
+def _plot_segment(img, x0, y0, x1, y1, rgb):
+    """Dense point-plot along the segment (one sample per pixel of the
+    longer axis) — clipped to the buffer."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    n = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
+    xs = np.clip(np.round(np.linspace(x0, x1, n)).astype(int), 0, w - 1)
+    ys = np.clip(np.round(np.linspace(y0, y1, n)).astype(int), 0, h - 1)
+    img[ys, xs] = rgb
+
+
+def _plot_disk(img, x, y, r, rgb):
+    import numpy as np
+
+    h, w, _ = img.shape
+    y0, y1 = max(int(y - r), 0), min(int(y + r) + 1, h)
+    x0, x1 = max(int(x - r), 0), min(int(x + r) + 1, w)
+    if y0 >= y1 or x0 >= x1:
+        return
+    yy, xx = np.mgrid[y0:y1, x0:x1]
+    mask = (yy - y) ** 2 + (xx - x) ** 2 <= r * r
+    img[y0:y1, x0:x1][mask] = rgb
+
+
+def write_network_png(
+    nodes: DataFrame,
+    edges: DataFrame,
+    path: str,
+    width: int = 900,
+    height: int = 900,
+    max_edges: int = 50_000,
+    max_nodes: int = 50_000,
+) -> str:
+    """Raster twin of ``write_network_svg`` (the reference's
+    `save_network_png` shape): per-highway-class edge colors over faint
+    node dots, written as a real .png."""
+    e, n, e_cols, to_px = _network_scene(
+        nodes, edges, width, height, max_edges, max_nodes, "write_network_png"
+    )
+    img = _blank(width, height)
+    colors: dict[str, tuple] = {}
+    for r in e:
+        hw = (r["highway"] or "") if "highway" in e_cols else ""
+        hw = str(hw).strip().lower()
+        if hw not in colors:
+            colors[hw] = (
+                _hex_rgb(_PALETTE[len(colors) % len(_PALETTE)]) if hw else (128, 128, 128)
+            )
+        x1, y1 = to_px(r["u_lon"], r["u_lat"])
+        x2, y2 = to_px(r["v_lon"], r["v_lat"])
+        _plot_segment(img, x1, y1, x2, y2, colors[hw])
+    gray = (179, 179, 179)
+    for r in n:
+        x, y = to_px(r["lon"], r["lat"])
+        _plot_disk(img, x, y, 1.2, gray)
+    with open(path, "wb") as f:
+        f.write(_png_bytes(img))
+    return path
+
+
+def write_path_png(
+    edges: DataFrame,
+    path_steps: DataFrame,
+    path: str,
+    width: int = 900,
+    height: int = 900,
+    radius_m: float = 1000.0,
+    max_edges: int = 60_000,
+) -> str:
+    """Raster twin of ``write_path_svg`` (the reference's
+    `render_local_png` shape): the halo-pruned local network in gray, the
+    route polyline in red, start/POI marker disks."""
+    steps, e, to_px = _path_scene(
+        edges, path_steps, width, height, radius_m, max_edges, "write_path_png"
+    )
+    img = _blank(width, height)
+    gray = (158, 158, 158)
+    for r in e:
+        x1, y1 = to_px(r["u_lon"], r["u_lat"])
+        x2, y2 = to_px(r["v_lon"], r["v_lat"])
+        _plot_segment(img, x1, y1, x2, y2, gray)
+    route = _hex_rgb("#d62728")
+    px = [to_px(lo, la) for _, lo, la in steps]
+    for (x1, y1), (x2, y2) in zip(px, px[1:]):
+        _plot_segment(img, x1, y1, x2, y2, route)
+    _plot_disk(img, *px[0], 5, _hex_rgb("#2ca02c"))
+    _plot_disk(img, *px[-1], 5, _hex_rgb("#ff7f0e"))
+    with open(path, "wb") as f:
+        f.write(_png_bytes(img))
+    return path
+
+
+def read_png_rgb(path: str):
+    """Decode a filter-0 truecolor PNG written by ``_png_bytes`` back to
+    an HxWx3 uint8 array — the test-side verifier (no imaging library in
+    the container, so the roundtrip check is also stdlib)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        assert crc == (zlib.crc32(tag + body) & 0xFFFFFFFF), f"bad CRC in {tag!r}"
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            assert (depth, ctype) == (8, 2), "not 8-bit truecolor"
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    stride = 1 + w * 3
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        assert row[0] == 0, "non-zero scanline filter"
+        out[y] = np.frombuffer(row[1:], dtype=np.uint8).reshape(w, 3)
+    return out

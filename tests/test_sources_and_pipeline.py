@@ -444,3 +444,61 @@ def test_plot_path_overlay_svg(spark, tmp_path):
     # the route polyline has one point per path step
     poly = next(el for el in root.iter() if el.tag.rsplit("}", 1)[-1] == "polyline")
     assert len(poly.get("points").split()) == 3
+
+
+def test_plot_sinks_png_raster_roundtrip(spark, tmp_path):
+    """K7 raster twins (reference save_network_png / render_local_png):
+    real .png artifacts from the stdlib encoder — verified by a stdlib
+    decoder (chunk CRCs, IHDR truecolor, zlib scanlines): dimensions,
+    white background, the palette's edge colors and the route/marker
+    colors present, and byte-identical across two writes (deterministic
+    like every other sink)."""
+    import numpy as np
+
+    from fifteenmc_spark import plot as plot_sink
+
+    nodes = spark.createDataFrame(
+        [(0, 18.60, 54.37), (1, 18.61, 54.372), (2, 18.62, 54.371)],
+        "node_idx INT, lon DOUBLE, lat DOUBLE",
+    )
+    edges = spark.createDataFrame(
+        [
+            (18.60, 54.37, 18.61, 54.372, "footway"),
+            (18.61, 54.372, 18.62, 54.371, "residential"),
+        ],
+        "u_lon DOUBLE, u_lat DOUBLE, v_lon DOUBLE, v_lat DOUBLE, highway STRING",
+    )
+    p1 = plot_sink.write_network_png(nodes, edges, str(tmp_path / "net.png"))
+    img = plot_sink.read_png_rgb(p1)
+    assert img.shape == (900, 900, 3)
+    colors = {tuple(c) for c in np.unique(img.reshape(-1, 3), axis=0)}
+    assert (255, 255, 255) in colors  # background
+    # both highway classes drawn in the first two palette colors
+    assert plot_sink._hex_rgb(plot_sink._PALETTE[0]) in colors
+    assert plot_sink._hex_rgb(plot_sink._PALETTE[1]) in colors
+    p2 = plot_sink.write_network_png(nodes, edges, str(tmp_path / "net2.png"))
+    assert open(p1, "rb").read() == open(p2, "rb").read()  # deterministic
+
+    steps = spark.createDataFrame(
+        [
+            (0, 18.60, 54.37, 0.0, 0.0),
+            (1, 18.61, 54.372, 700.0, 700.0),
+            (2, 18.62, 54.371, 750.0, 1450.0),
+        ],
+        "seq INT, lon DOUBLE, lat DOUBLE, step_m DOUBLE, cum_m DOUBLE",
+    )
+    # an in-halo edge OFF the route — the route polyline overdraws edges
+    # it coincides with, so this is the one that must stay gray
+    pedges = spark.createDataFrame(
+        [
+            (18.60, 54.37, 18.61, 54.372),
+            (18.605, 54.371, 18.615, 54.372),
+        ],
+        "u_lon DOUBLE, u_lat DOUBLE, v_lon DOUBLE, v_lat DOUBLE",
+    )
+    pp = plot_sink.write_path_png(pedges, steps, str(tmp_path / "path.png"))
+    pimg = plot_sink.read_png_rgb(pp)
+    pcolors = {tuple(c) for c in np.unique(pimg.reshape(-1, 3), axis=0)}
+    for hexc in ("#d62728", "#2ca02c", "#ff7f0e"):  # route, start, poi
+        assert plot_sink._hex_rgb(hexc) in pcolors
+    assert (158, 158, 158) in pcolors  # local network gray
