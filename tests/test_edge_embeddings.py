@@ -55,6 +55,7 @@ V_QUERIES = [
     "v21_tivfpq_topk",
     "v22_tivf_nprobe_sweep",
     "v23_tencoding_recall",
+    "v24_ncells_sweep",
 ]
 
 

@@ -260,6 +260,27 @@ def test_encoding_readjudication_over_trained_cells_is_a_tie(spark, sf_small):
     assert hits["raw"] <= hits["residual"] * 1.15, (tightness, hits)
 
 
+def test_ncells_sweep_8_point_pins_to_v20_trained_row(spark, sf_small):
+    # v24's seed pool nests: its first 8 ids ARE IVF_SEED_IDS, so the
+    # ncells=8 point (nprobe 8/4 = 2 = N_PROBE) must reproduce v20's
+    # trained-quantizer row exactly — the cross-query invariant that
+    # keeps the sweep honest about measuring the SERVING quantizer at
+    # its own operating point
+    from fifteenmc_spark.operators.relational import QUERIES
+
+    v24 = {
+        (r["qid"], r["n_topk"], r["n_recovered"], r["recall"])
+        for r in QUERIES["v24_ncells_sweep"].build(spark, sf_small).collect()
+        if r["ncells"] == 8
+    }
+    v20 = {
+        (r["qid"], r["n_topk"], r["n_recovered"], r["recall"])
+        for r in QUERIES["v20_tivf_recall"].build(spark, sf_small).collect()
+        if r["quantizer"] == "trained"
+    }
+    assert v24 and v24 == v20
+
+
 def test_spherical_lloyd_strictly_improves_cell_tightness(spark, sf_small):
     # the spherical-k-means objective: corpus mean max-cosine to the
     # assigned centroid must strictly rise from the seed init to the
