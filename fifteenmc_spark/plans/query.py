@@ -69,6 +69,15 @@ def _backtrack_chain(state: DataFrame, tip_idx: int, tip_dist: float) -> list[in
             .localCheckpoint()
         )
         length *= 2
+    else:
+        # The loop exhausted _MAX_DOUBLINGS with the walk still extending:
+        # a >2^_MAX_DOUBLINGS-node walking path always means corrupted
+        # prev pointers (a cycle), so fail loudly rather than return a
+        # plausible-looking truncated chain with a wrong cum_m (r11 ADVICE).
+        raise RuntimeError(
+            f"path backtrack did not converge within 2^{_MAX_DOUBLINGS} nodes "
+            f"from tip {tip_idx}; prev pointers likely contain a cycle"
+        )
     rows = chain.orderBy("offset").collect()  # O(path) — the only chain-sized collect
     return [int(r["node_idx"]) for r in rows]
 

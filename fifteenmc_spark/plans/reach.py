@@ -446,12 +446,29 @@ def write_reference_shaped(reach: DataFrame, path: str, nodes: DataFrame | None 
     for one npz array set per category key,
     precompute_poi_reach.py:159-170).  The reference artifact is DENSE
     (full length-N arrays) — pass ``nodes`` to densify a sparse-form
-    table at this sink boundary; a table that is already dense writes
-    unchanged."""
+    table at this sink boundary.  Without ``nodes`` the input is ASSERTED
+    dense (count == n_distinct_nodes * n_categories): since r11 the reach
+    gold table is sparse by default, and silently writing a sparse table
+    would drop every inf/-1 sentinel row and break downstream
+    reference-hash parity with no local error (r11 ADVICE)."""
     from ..io import write_parquet
 
     if nodes is not None:
         reach = densify_reach(reach, nodes)
+    else:
+        shape = reach.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("node_idx").alias("nodes"),
+            F.countDistinct("category").alias("cats"),
+        ).first()
+        if shape["n"] != shape["nodes"] * shape["cats"]:
+            raise ValueError(
+                "write_reference_shaped requires a DENSE reach table when "
+                f"nodes is not given: got {shape['n']} rows for "
+                f"{shape['nodes']} nodes x {shape['cats']} categories "
+                f"(expected {shape['nodes'] * shape['cats']}); the sparse "
+                "default reach table must be densified (pass nodes=...)"
+            )
     write_parquet(reach_with_sentinels(reach), path, partition_by=["category"])
 
 

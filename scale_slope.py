@@ -6,10 +6,14 @@ where the per-round bench (one SF, floor-dominated) can only argue it.
 Method (r11, after the r10 ADVICE):
 - Three points instead of two: sf0.01 and sf0.1 from the driver testdata
   plus a SYNTHESIZED 10x-sf0.1 corpus (documents + embeddings matched to
-  the source tables' distributions — vocab, doc-length mix, lang/source
-  mix, dup rate, per-label unit-norm embedding clusters; seed=42; the
-  other eight tables are symlinked from sf0.1 since no slope query
-  touches them).  Two points fit any line; the third exposes curvature.
+  the source tables' distributions — token FREQUENCY profile (words drawn
+  from the concatenated source token stream, so the shingle-df shape the
+  x5/x3/x9 plans are sensitive to carries over), doc-length mix,
+  lang/source mix, dup rate, per-label unit-norm embedding clusters;
+  seed=42; the other eight tables are symlinked from sf0.1 since no slope
+  query touches them).  Two points fit any line; the third exposes
+  curvature.  The cache marker fingerprints the source tables and
+  invalidates on regeneration.
 - The Spark action floor (measured noop write, recorded per SF) is
   SUBTRACTED from the Spark samples before fitting, clamped at 1 ms —
   without this the scheduler constant flattens every exponent at small
@@ -84,18 +88,41 @@ def synth_10x(src_dir: str, out_dir: str, factor: int = SYNTH_FACTOR) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # Marker embeds a fingerprint of the SOURCE tables (size+mtime of the
+    # two synthesized inputs, plus the factor and a method version): a
+    # regenerated sf0.1 testdata invalidates the cached synth corpus
+    # instead of being silently reused (r11 ADVICE).
+    def _fingerprint() -> str:
+        parts = [f"factor={factor}", "method=freqweighted-v2"]
+        for t in ("documents", "embeddings"):
+            st = os.stat(os.path.join(src_dir, f"{t}.parquet"))
+            parts.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
+        return "\n".join(parts) + "\n"
+
     marker = os.path.join(out_dir, f".synth_{factor}x_ok")
+    fp = _fingerprint()
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            if f.read() == fp:
+                return out_dir
+        # stale: wipe the cached corpus (symlinks included) and regenerate
+        for name in os.listdir(out_dir):
+            os.remove(os.path.join(out_dir, name))
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(42)
 
     docs = pq.read_table(os.path.join(src_dir, "documents.parquet")).to_pandas()
-    words = np.array(sorted({w for t in docs["text"] for w in t.split()}))
+    # Draw words FREQUENCY-WEIGHTED from the concatenated source token
+    # stream, not uniformly from the vocab set: the shingle df profile is
+    # the exact statistic the x5/x3/x9 slope points and the
+    # X5_HIGH_DF_FRAC dispatch threshold are calibrated on, and a uniform
+    # draw makes every shingle common (high_frac ~= 1.0), an adversarial
+    # synthesis artifact rather than a matched decade (r11 ADVICE).
+    token_stream = np.concatenate([t.split() for t in docs["text"] if t])
     lens = docs["text"].str.split().str.len().to_numpy()
     n = len(docs) * factor
     out_lens = rng.choice(lens, size=n)
-    texts = [" ".join(rng.choice(words, size=int(k))) for k in out_lens]
+    texts = [" ".join(rng.choice(token_stream, size=int(k))) for k in out_lens]
     # plant exact duplicates at the source rate (copies of earlier docs)
     n_dup = max(1, round(docs["text"].duplicated().sum() / len(docs) * n))
     for i in rng.choice(np.arange(1, n), size=n_dup, replace=False):
@@ -142,7 +169,7 @@ def synth_10x(src_dir: str, out_dir: str, factor: int = SYNTH_FACTOR) -> str:
         if not os.path.exists(dst):
             os.symlink(os.path.join(src_dir, f"{t}.parquet"), dst)
     with open(marker, "w") as f:
-        f.write("ok\n")
+        f.write(fp)
     return out_dir
 
 

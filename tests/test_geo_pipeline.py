@@ -389,6 +389,26 @@ def test_reach_sentinel_sink_roundtrip(reach_ctx, tmp_path):
     pd.testing.assert_frame_equal(restored, want, check_exact=False, atol=1e-6)
 
 
+def test_reference_sink_refuses_sparse_without_nodes(spark, tmp_path):
+    """r11 ADVICE: the K3-parity sink must not silently write a sparse
+    reach table — the reference artifact is dense, and a sparse write
+    would drop every inf/-1 row with no local error."""
+    sparse = spark.createDataFrame(
+        # node 1 is missing the "cafe" row -> 3 rows != 2 nodes x 2 cats
+        [(0, "cafe", 10.0, 7.5, 3), (0, "park", 20.0, 15.0, 4), (1, "park", 5.0, 3.8, 4)],
+        "node_idx INT, category STRING, dist_m DOUBLE, time_s DOUBLE, poi_id BIGINT",
+    )
+    with pytest.raises(ValueError, match="DENSE"):
+        reach.write_reference_shaped(sparse, str(tmp_path / "refuse"))
+    # with nodes supplied the same sparse table densifies and writes fine
+    nodes = spark.createDataFrame([(0,), (1,)], "node_idx INT")
+    out = str(tmp_path / "densified")
+    reach.write_reference_shaped(sparse, out, nodes=nodes)
+    back = spark.read.parquet(out).toPandas()
+    assert len(back) == 4
+    assert int(np.isinf(back["dist_m"]).sum()) == 1  # the missing (1, cafe) row
+
+
 # ---------------------------------------------------------------------------
 # G7 point query + G4/G5 path query (B7)
 # ---------------------------------------------------------------------------
@@ -457,6 +477,16 @@ def test_backtrack_collects_o_path_not_o_reached(spark, monkeypatch):
     chain = query._backtrack_chain(state, 5, 5.0)
     assert chain == [5, 4, 3, 2, 1, 0]
     assert sum(counted) == len(chain), counted  # O(path) driver transfer
+
+
+def test_backtrack_raises_on_prev_cycle(spark, monkeypatch):
+    # r11 ADVICE: corrupted prev pointers (a cycle) must raise, not
+    # return a plausible-looking truncated chain with wrong cum_m
+    monkeypatch.setattr(query, "_MAX_DOUBLINGS", 3)
+    cyc = [(0, 1.0, 1), (1, 1.0, 2), (2, 1.0, 0)]  # 0 -> 1 -> 2 -> 0
+    state = spark.createDataFrame(cyc, "node_idx INT, dist_m DOUBLE, prev INT")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        query._backtrack_chain(state, 0, 1.0)
 
 
 def test_path_to_nearest_poi(fx, reach_ctx):
