@@ -27,9 +27,16 @@ gets (serving.warm_session_index is the explicit form).  The cold
 first-touch cost is visible in the recorded [min, max] spread of
 whichever query built the feed.  Every query still executes its own
 relational logic per run; no query's computed result is memoized
-(the cache discipline in session_index.py).  A warm-up pass touches every table first
-(parquet footers + JVM JIT) so per-query numbers measure the queries,
-matching BASELINE.md's "warm session" definition.  The DuckDB oracle is
+(the cache discipline in session_index.py).  A warm-up pass touches every
+table first (parquet footers + JVM JIT), then — since r12 — runs the WHOLE
+suite once untimed (BENCH_WARMUP=0 disables): the r11 record showed the
+session floor doubling between runs purely from warm-up state, which
+uniformly inflated ~100 sub-second medians and manufactured phantom
+regressions.  The action floor is measured again after warm-up (the
+pre-warm-up sample is recorded as action_floor_cold_s), and
+queries_floor_adj carries floor-subtracted medians — the numbers a
+round-over-round comparison should use.  Per-query numbers measure the
+queries, matching BASELINE.md's "warm session" definition.  The DuckDB oracle is
 timed on the same queries by default and the line carries duckdb_total +
 spark_vs_duckdb_ratio (BASELINE.md target: within 2x of DuckDB at sf0.1);
 set BENCH_DUCKDB=0 to skip the DuckDB half.
@@ -75,11 +82,35 @@ def main() -> None:
     # be read honestly — a 0.4 s query vs a 0.05 s DuckDB time is the
     # floor, not a plan problem (the r6 audit's x1 analysis, now a
     # first-class number in the record).
-    floor = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(par).repartition(par).write.format("noop").mode("overwrite").save()
-        floor = min(floor, time.perf_counter() - t0)
+    def _measure_floor() -> float:
+        f = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(par).repartition(par).write.format("noop").mode("overwrite").save()
+            f = min(f, time.perf_counter() - t0)
+        return f
+
+    floor = _measure_floor()
+
+    # Discarded warm-up pass over the WHOLE suite (r11 verdict item 6):
+    # the recorded floor doubled between r10 and r11 runs (0.16 -> 0.31 s)
+    # purely from JVM/codegen warm-up state, manufacturing 14 phantom
+    # per-query "regressions".  One untimed pass compiles every query's
+    # codegen stages and builds every session-index feed BEFORE timing
+    # starts, so all recorded samples are uniformly warm.  (queries_run1
+    # therefore no longer shows the cold feed build — the warm-up pass
+    # absorbs it; it remains as a same-state noise reference.)
+    # BENCH_WARMUP=0 restores the old cold-run-1 behavior.
+    floor_cold = None
+    if os.environ.get("BENCH_WARMUP", "1") != "0":
+        for name, q in QUERIES.items():
+            try:
+                q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception:  # noqa: BLE001 — the timed loop records the error
+                pass
+        # re-measure after warm-up: the floor the timed samples actually sit
+        # on (the pre-warm-up sample is kept for the record)
+        floor_cold, floor = floor, _measure_floor()
 
     # median-of-N (not best-of-N): host-load noise swings ±2x on the same
     # code within an hour, and a best-of can't distinguish a real
@@ -128,9 +159,18 @@ def main() -> None:
         "queries": timings,
         "queries_spread": spreads,
         "queries_run1": run1,
+        # floor-adjusted medians (clamped at 1 ms): the number a
+        # round-over-round regression comparison should use — the raw
+        # medians of ~100 sub-second queries move in lockstep with the
+        # session floor, not with plan changes (r11 verdict item 6)
+        "queries_floor_adj": {
+            k: round(max(v - floor, 1e-3), 4) for k, v in ok.items()
+        },
         "sf": sf,
         "action_floor_s": round(floor, 4),
     }
+    if floor_cold is not None:
+        out["action_floor_cold_s"] = round(floor_cold, 4)
     if errors:
         out["bench_errors"] = errors
     if any(v is None for v in timings.values()):
@@ -256,7 +296,13 @@ def _write_full_record(out: dict, path: str | None = None) -> None:
         history.append(
             {
                 k: prev.get(k)
-                for k in ("value", "duckdb_total", "spark_vs_duckdb_ratio", "sf")
+                for k in (
+                    "value",
+                    "duckdb_total",
+                    "spark_vs_duckdb_ratio",
+                    "sf",
+                    "action_floor_s",
+                )
                 if k in prev
             }
             | {"n_queries": len(prev.get("queries", {}))}
