@@ -1846,3 +1846,118 @@ def x9_sampled(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     return _span_dup(spans)
+
+
+# bucket-space size for x9_prefiltered's singleton prefilter: the flagged
+# side is bounded by min(#dup hashes, this) rows — ALWAYS broadcastable,
+# independent of corpus size (2^22 longs ~ 34 MB worst case)
+X9_PREFILTER_BUCKETS = 1 << 22
+
+
+@_register(
+    "x9_span_dedup_prefiltered",
+    "x9's sizing mitigation (c) as a tested operator: the SAME answer as "
+    "x9 (same oracle, bit-identical result) with a singleton-hash "
+    "frequency prefilter between the exact df aggregate and the "
+    "join-back.  Why: at 100 TB the span table (~L rows/doc) is the "
+    "engine's dominant shuffle and it crosses the wire TWICE in x9 — "
+    "once into the df aggregate (unavoidable: exactness requires "
+    "counting every hash) and once into the join-back, where the "
+    "flagged-hash side has outgrown broadcast.  But almost every span "
+    "hash is a singleton (df=1) and can never join; shipping singletons "
+    "into the join shuffle is pure waste.  How: flag the xxhash64-bucket "
+    f"(mod {X9_PREFILTER_BUCKETS}) of every DUP hash — a projection of "
+    "the already-computed exact dup table, distinct-compressed to at "
+    f"most {X9_PREFILTER_BUCKETS} longs, so the flag side stays "
+    "broadcastable at ANY corpus size — then broadcast-SEMI-join the "
+    "span table against it scan-side.  This is a one-hash Bloom filter "
+    "expressed as pure JVM DataFrame ops (no UDF, no sketch library): "
+    "membership in the flagged-bucket set is exact, so no dup span is "
+    "ever dropped (its own bucket is flagged by construction) and the "
+    "join-back input shrinks from N spans to dup occurrences plus "
+    "false-positive singletons at rate ~1-exp(-D/M) (D dup hashes, "
+    f"M={X9_PREFILTER_BUCKETS} buckets) — graceful saturation: when "
+    "D >> M the prefilter passes everything and the plan degrades to "
+    "exactly x9, never to a wrong answer.  k independent bucket "
+    "functions would raise cost k-fold and take the FP rate to "
+    "(1-exp(-D/M))^k; one suffices while D/M << 1, the regime the "
+    "operator exists for (low-dup-density corpora where the join-back "
+    "waste is maximal).  n_occ stays exact: it comes from the full-table "
+    "df aggregate, and the prefilter is content-keyed on h so a "
+    "surviving hash keeps ALL its occurrences.",
+    # the oracle IS x9's oracle — the prefilter is answer-preserving by
+    # construction, which is the declared contract being tested
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS tk
+      FROM documents WHERE TRIM(text) <> ''),
+    sp AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             md5(array_to_string(tk[i:i+{SPAN_W - 1}], ' ')) AS h
+      FROM toks, UNNEST(generate_series(1, LEN(tk) - {SPAN_W} + 1)) AS t(i)
+      WHERE LEN(tk) >= {SPAN_W}),
+    dup AS (
+      SELECT h, CAST(COUNT(*) AS INT) AS n_occ
+      FROM sp GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id))
+    SELECT sp.doc_id, sp.pos, sp.h, dup.n_occ
+    FROM sp JOIN dup USING (h)
+    ORDER BY sp.doc_id, sp.pos
+    """,
+    ("dedup", "spans", "pipeline"),
+)
+def x9_prefiltered(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    # span kernel pinned exactly as in x9: it feeds the df aggregate AND
+    # the (now prefiltered) join-back
+    spans = span_rows(d).localCheckpoint(eager=False)
+    # exact df pass — identical to x9's; pinned because it feeds BOTH the
+    # flag build and the join-back (different subtrees, so exchange reuse
+    # cannot dedupe them — the multi-consumer re-execution class)
+    dup = (
+        spans.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).cast("int").alias("n_occ"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .select("h", "n_occ")
+        .localCheckpoint(eager=False)
+    )
+    bkt = F.pmod(F.xxhash64("h"), F.lit(X9_PREFILTER_BUCKETS))
+    flag = dup.select(bkt.alias("bkt")).distinct()
+    pre = (
+        spans.withColumn("bkt", bkt)
+        .join(F.broadcast(flag), "bkt", "leftsemi")
+        .drop("bkt")
+    )
+    return (
+        pre.join(dup, "h").select("doc_id", "pos", "h", "n_occ").orderBy("doc_id", "pos")
+    )
+
+
+def x9_prefilter_reduction(spark, sf_dir) -> dict:
+    """Measurement helper (not a declared query): how much of the span
+    table the singleton prefilter removes from the join-back input on
+    ``sf_dir``'s corpus.  Returns {n_spans, n_prefiltered, n_dup_rows,
+    reduction} — the evidence row the 10x-synth bench records."""
+    d = read_table(spark, sf_dir, "documents")
+    spans = span_rows(d).localCheckpoint(eager=False)
+    dup = (
+        spans.groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .select("h")
+        .localCheckpoint(eager=False)
+    )
+    bkt = F.pmod(F.xxhash64("h"), F.lit(X9_PREFILTER_BUCKETS))
+    flag = dup.select(bkt.alias("bkt")).distinct()
+    n_spans = spans.count()
+    n_pre = spans.withColumn("bkt", bkt).join(F.broadcast(flag), "bkt", "leftsemi").count()
+    n_dup_rows = spans.join(dup, "h", "leftsemi").count()
+    return {
+        "n_spans": n_spans,
+        "n_prefiltered": n_pre,
+        "n_dup_rows": n_dup_rows,
+        "reduction": round(1.0 - n_pre / max(n_spans, 1), 4),
+    }

@@ -62,6 +62,10 @@ SLOPE_QUERIES = (
     "x5_ngram_jaccard_capped",
     "x3_minhash_lsh_pairs",
     "x9_span_dedup",
+    # mitigation (c): same answer as x9, singleton-hash prefilter before
+    # the join-back — the slope run also records its join-input reduction
+    # at each SF (x9_prefilter_reduction below)
+    "x9_span_dedup_prefiltered",
     "v1_cosine_topk",
     "v11_pq_topk",
     "v13_ivfpq_topk",
@@ -226,6 +230,7 @@ def main() -> None:
     }
     times: dict[str, dict[str, list[float]]] = {}
     floors: list[float] = []
+    prefilter_rows: list[dict] = []
 
     for sf_dir in sf_dirs:
         floor = _warm(spark, sf_dir)
@@ -247,7 +252,13 @@ def main() -> None:
                 d_samples.append(time.perf_counter() - t0)
             times.setdefault(name, {}).setdefault("spark", []).append(_median(s_samples))
             times[name].setdefault("duck", []).append(_median(d_samples))
+        # evidence row for x9 mitigation (c): join-back input reduction at
+        # this SF (r11 verdict item 3's "Done" condition for the 10x point)
+        from fifteenmc_spark.operators.dedup import x9_prefilter_reduction
+
+        prefilter_rows.append({"sf_dir": sf_dir} | x9_prefilter_reduction(spark, sf_dir))
     out["action_floor_s"] = [round(f, 4) for f in floors]
+    out["x9_prefilter_reduction"] = prefilter_rows
 
     watch, superlinear = [], []
     for name in SLOPE_QUERIES:

@@ -391,6 +391,39 @@ def test_t9_tokenize_executes_once(spark, sf_small):
     assert tree.count("Scan ExistingRDD") >= 2
 
 
+def test_x9_prefiltered_equals_x9(spark, sf_small):
+    # mitigation (c) is answer-preserving BY CONSTRUCTION: a dup span's
+    # own bucket is always flagged, and n_occ comes from the full-table
+    # exact df aggregate — so the result sets must be bit-identical
+    full = sorted(
+        map(tuple, QUERIES["x9_span_dedup"].build(spark, sf_small).collect())
+    )
+    pre = sorted(
+        map(tuple, QUERIES["x9_span_dedup_prefiltered"].build(spark, sf_small).collect())
+    )
+    assert full and pre == full
+
+
+def test_x9_prefilter_drops_singletons_and_plan_shape(spark, sf_small):
+    # the point of the prefilter: the join-back input shrinks from N
+    # spans to ~dup occurrences (+ bucket false positives), and the
+    # membership test is a broadcast SEMI join — the span table never
+    # shuffles for it.  The span kernel stays pinned (executes once).
+    from fifteenmc_spark.operators.dedup import x9_prefilter_reduction
+
+    red = x9_prefilter_reduction(spark, sf_small)
+    assert red["n_dup_rows"] <= red["n_prefiltered"] < red["n_spans"]
+    assert red["reduction"] > 0.5, red  # most sf-corpus spans are singletons
+    df = QUERIES["x9_span_dedup_prefiltered"].build(spark, sf_small)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in tree and "LeftSemi" in tree
+    assert "CartesianProduct" not in tree
+    # kernel pinned exactly as x9's: no tokenize/window downstream, no
+    # parquet re-scan — every consumer reads the checkpointed span table
+    assert "sequence(" not in tree and "concat_ws" not in tree
+    assert "Scan parquet" not in tree
+
+
 def test_x9_sampled_is_content_keyed_subset(spark, sf_small):
     # hash-mod sampling is keyed on span CONTENT: every sampled flagged
     # occurrence must appear in the full x9 answer with the SAME n_occ
