@@ -1832,6 +1832,7 @@ def _ivfpq_topk_plan(
     residual: bool = False,
     trained: bool = False,
     nprobe: int = N_PROBE,
+    seeds: tuple = IVF_SEED_IDS,
 ):
     """The IVFADC plan for query vectors vec_id < ``nq`` — v13/v14 run it
     with raw codes (the corpus's MEASURED winner — see v13's docstring);
@@ -1843,8 +1844,17 @@ def _ivfpq_topk_plan(
     default actually uses, since v17's verdict was conditional on seed-
     cell tightness).  All variants share the ADC tail and the candidate
     shape; only the cell tables and/or code tables differ."""
-    cp = _tivf_cells_probes if trained else _ivf_cells_probes
-    _, cells, probes = cp(spark, sf_dir, nprobe, nq)
+    if trained:
+        _, cells, probes = _tivf_cells_probes(spark, sf_dir, nprobe, nq, seeds=seeds)
+    else:
+        assert seeds == IVF_SEED_IDS, "seed-quantizer plans take no seed pool"
+        _, cells, probes = _ivf_cells_probes(spark, sf_dir, nprobe, nq)
+    if residual:
+        # residual codes are trained against the DEFAULT 8-cell layouts
+        # only — the serving layout serves raw codes (v13/v17/v23's
+        # measured adjudication), so a non-default pool never composes
+        # with residual encoding
+        assert seeds == IVF_SEED_IDS, "residual codes exist for the default cells only"
     # (qid, vec_id) survivors of the coarse pruning — |queries| ×
     # (nprobe/ncells × corpus) rows, the candidate list a serving batch
     # materializes anyway; broadcast-small per batch
@@ -2457,6 +2467,35 @@ def _tivf_centroid_sql(iters: int, seeds: tuple = IVF_SEED_IDS, tag: str = "") -
     return ",\n    ".join(parts)
 
 
+def _tivf_topk_plan(spark, sf_dir, nprobe: int = N_PROBE, seeds: tuple = IVF_SEED_IDS):
+    """Trained-IVF cell-probe top-k (v19's plan), parameterized by probe
+    count and seed pool so the SERVING layout (serving.SERVING_NCELLS
+    cells off TIVF_SEED_POOL, nprobe scaled to hold the scan fraction)
+    runs the identical plan shape as the declared 8-cell calibration
+    query — centroids broadcast, cells the partition key, a query reads
+    nprobe/ncells of the corpus."""
+    e, cells, probes = _tivf_cells_probes(spark, sf_dir, nprobe, seeds=seeds)
+    probes = probes.drop("rn")
+    qv = e.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(e, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "vec_id", cosine(F.col("qe"), F.col("embedding")).alias("sim"))
+    )
+    wrank = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cand.select("qid", "vec_id", "sim", F.row_number().over(wrank).alias("rnk"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id", "rnk", F.round("sim", 4).alias("sim"))
+        .orderBy("qid", "rnk")
+    )
+
+
 @_register(
     "v19_tivf_topk",
     f"Trained-IVF top-{TOP_K}: v5's cell-probe search with the coarse "
@@ -2502,26 +2541,7 @@ def _tivf_centroid_sql(iters: int, seeds: tuple = IVF_SEED_IDS, tag: str = "") -
     ("similarity", "ann", "ivf", "trained", "pipeline"),
 )
 def v19(spark, sf_dir):
-    e, cells, probes = _tivf_cells_probes(spark, sf_dir, N_PROBE)
-    probes = probes.drop("rn")
-    qv = e.where(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
-    cand = (
-        F.broadcast(probes)
-        .join(cells, "cell")
-        .where(F.col("vec_id") != F.col("qid"))
-        .join(e, "vec_id")
-        .join(F.broadcast(qv), "qid")
-        .select("qid", "vec_id", cosine(F.col("qe"), F.col("embedding")).alias("sim"))
-    )
-    wrank = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        cand.select("qid", "vec_id", "sim", F.row_number().over(wrank).alias("rnk"))
-        .where(F.col("rnk") <= TOP_K)
-        .select("qid", "vec_id", "rnk", F.round("sim", 4).alias("sim"))
-        .orderBy("qid", "rnk")
-    )
+    return _tivf_topk_plan(spark, sf_dir)
 
 
 @_register(

@@ -20,8 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 # The coarse quantizer every serving surface uses unless the caller
-# explicitly asks for the seed layout.  "trained" = v19's spherical-
-# k-means cells — the r10 measurement chain's pick (v20: 2-probe cell
+# explicitly asks for the seed layout.  "trained" = spherical-k-means
+# cells — the r10 measurement chain's pick (v20: 2-probe cell
 # membership recall 0.35 -> 0.51; v21: composed IVFADC recall@5
 # 0.27 -> 0.38 at identical nprobe/bytes/shortlist; v22: trained@1
 # nprobe matches seed@2, halving the index bytes read per query).  The
@@ -30,23 +30,58 @@ from pyspark.sql import DataFrame, SparkSession
 # entire rollback.
 DEFAULT_QUANTIZER = "trained"
 
-# default-quantizer -> declared serving query, per tier
+# The serving CELL COUNT (r11 verdict item 2, acting on what v24
+# measured): ncells is the knob that grows with the corpus at 100 TB
+# (FAISS sizes it ~sqrt(N)), and v24 measured finer cells buying recall
+# at CONSTANT scan fraction — membership recall 0.500 -> 0.520 (sf0.01)
+# and 0.448 -> 0.572 (sf0.001) moving 8 -> 16 cells at 25% of the index
+# read.  The composed v21-shape check agrees: IVFADC recall@5
+# 0.380 -> 0.408 (sf0.01) and 0.332 -> 0.400 (sf0.001) at the same
+# 25% scan (test-gated strictly-no-worse in test_serving_default.py).
+# SERVING_NPROBE holds the scan fraction at the 8-cell default's
+# nprobe/ncells = 2/8: a serving query still reads 25% of the index —
+# the recall gain is pure quantizer capacity, not extra bytes.  The
+# declared queries v19/v21 stay on the 8-cell layout as calibration
+# baselines with unchanged oracles; rolling back = SERVING_NCELLS = 8.
+SERVING_NCELLS = 16
+SERVING_NPROBE = SERVING_NCELLS // 4  # = the calibration scan fraction
+
+# default-quantizer -> declared CALIBRATION query, per tier (the serving
+# plans run the same plan shapes at the serving layout via the
+# parameterized builders below)
 _ANN_QUERY = {"seed": "v5_ivf_topk", "trained": "v19_tivf_topk"}
 _IVFPQ_QUERY = {"seed": "v13_ivfpq_topk", "trained": "v21_tivfpq_topk"}
 
 
-def serving_cells_probes(spark: SparkSession, sf_dir: str, max_probe: int, nq: int | None = None):
-    """(e, cells, probes) for the DEFAULT serving quantizer — the single
-    dispatch point batch plans and index builders share, so 'which cells
-    does serving use' is answered in exactly one place."""
+def serving_seeds() -> tuple:
+    """The DEFAULT quantizer's seed pool: the first SERVING_NCELLS ids of
+    the deterministic TIVF_SEED_POOL (whose first 8 ARE the calibration
+    layout's IVF_SEED_IDS — the v24 sweep's construction, so the 8-cell
+    calibration rows stay directly comparable)."""
+    from .operators.similarity import TIVF_SEED_POOL
+
+    return TIVF_SEED_POOL[:SERVING_NCELLS]
+
+
+def serving_cells_probes(
+    spark: SparkSession, sf_dir: str, max_probe: int | None = None, nq: int | None = None
+):
+    """(e, cells, probes) for the DEFAULT serving quantizer AND layout —
+    the single dispatch point batch plans and index builders share, so
+    'which cells does serving use' is answered in exactly one place.
+    ``max_probe`` defaults to SERVING_NPROBE (the constant-scan-fraction
+    probe count)."""
     from .operators.similarity import (
         N_QUERY_VECS,
         _ivf_cells_probes,
         _tivf_cells_probes,
     )
 
-    cp = _tivf_cells_probes if DEFAULT_QUANTIZER == "trained" else _ivf_cells_probes
-    return cp(spark, sf_dir, max_probe, N_QUERY_VECS if nq is None else nq)
+    mp = SERVING_NPROBE if max_probe is None else max_probe
+    q = N_QUERY_VECS if nq is None else nq
+    if DEFAULT_QUANTIZER == "trained":
+        return _tivf_cells_probes(spark, sf_dir, mp, q, seeds=serving_seeds())
+    return _ivf_cells_probes(spark, sf_dir, mp, q)
 
 
 def serving_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
@@ -60,7 +95,7 @@ def serving_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[
     from .operators.similarity import IVF_SEED_IDS, _emb, _tivf_centroids
 
     if DEFAULT_QUANTIZER == "trained":
-        rows = _tivf_centroids(spark, sf_dir).orderBy("cid").collect()
+        rows = _tivf_centroids(spark, sf_dir, serving_seeds()).orderBy("cid").collect()
         return [(r["cid"], list(r["cwe"])) for r in rows]
     rows = (
         _emb(spark, sf_dir)
@@ -72,21 +107,37 @@ def serving_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[
 
 
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The batch ANN serving default: cell-probe top-k over the DEFAULT
-    quantizer with exact in-cell cosine (= v19 while the default is
-    trained; v5 is the seed-cell calibration baseline)."""
+    """The batch ANN serving default: cell-probe top-k with exact
+    in-cell cosine over the DEFAULT quantizer at the SERVING layout
+    (SERVING_NCELLS trained cells, SERVING_NPROBE probes — v19's plan
+    shape at the v24-measured capacity; v19/v5 are the 8-cell
+    calibration baselines)."""
     from .operators.relational import QUERIES
+    from .operators.similarity import _tivf_topk_plan
 
-    return QUERIES[_ANN_QUERY[DEFAULT_QUANTIZER]].build(spark, sf_dir)
+    if DEFAULT_QUANTIZER == "trained":
+        return _tivf_topk_plan(spark, sf_dir, SERVING_NPROBE, serving_seeds())
+    return QUERIES[_ANN_QUERY["seed"]].build(spark, sf_dir)
 
 
 def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The codes-only (IVFADC) serving default: DEFAULT-quantizer cells
-    x raw PQ codes x exact shortlist re-rank (= v21 while the default is
-    trained; v13 is the seed-cell calibration baseline)."""
+    """The codes-only (IVFADC) serving default: SERVING-layout trained
+    cells x raw PQ codes x exact shortlist re-rank (v21's plan shape at
+    the v24-measured capacity; v21/v13 are the 8-cell calibration
+    baselines)."""
     from .operators.relational import QUERIES
+    from .operators.similarity import N_QUERY_VECS, _ivfpq_topk_plan
 
-    return QUERIES[_IVFPQ_QUERY[DEFAULT_QUANTIZER]].build(spark, sf_dir)
+    if DEFAULT_QUANTIZER == "trained":
+        return _ivfpq_topk_plan(
+            spark,
+            sf_dir,
+            N_QUERY_VECS,
+            trained=True,
+            nprobe=SERVING_NPROBE,
+            seeds=serving_seeds(),
+        )
+    return QUERIES[_IVFPQ_QUERY["seed"]].build(spark, sf_dir)
 
 
 def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
@@ -124,6 +175,12 @@ def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     _, tcells, tprobes = _tivf_cells_probes(spark, sf_dir, N_PROBE)
     counts["tivf_cells"] = tcells.count()
     counts["tivf_probes"] = tprobes.count()
+    # the SERVING layout (SERVING_NCELLS trained cells at the constant
+    # scan fraction) — what ann_topk/ivfpq_topk and the streaming tiers
+    # actually serve
+    _, scells, sprobes = serving_cells_probes(spark, sf_dir)
+    counts[f"tivf{SERVING_NCELLS}_cells"] = scells.count()
+    counts[f"tivf{SERVING_NCELLS}_probes"] = sprobes.count()
     _, _, tprobes_w = _tivf_cells_probes(spark, sf_dir, N_PROBE, V12_NQ)
     counts["tivf_probes_eval"] = tprobes_w.count()
     # full-probe sweep table for v22 — warmed exactly like the seed

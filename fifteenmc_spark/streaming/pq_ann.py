@@ -77,22 +77,25 @@ def build_pq_serving_index(spark, sf_dir, nprobe: int, quantizer: str | None = N
     recon_ss6) — derived from the session-index artifacts, no embedding
     column.  codebook = {m: (sorted cids, ndarray K×PQ_SUB)} for the
     query kernel's closure.  ``quantizer`` picks the cell layout: "seed"
-    (v13's cells) or "trained" (v19/v21's spherical-k-means cells); the
-    default (None) follows ``serving.DEFAULT_QUANTIZER`` — the serving
-    tier follows whichever index the batch evals picked, same operator
+    (v13's cells) or "trained" (the SERVING layout — serving.SERVING_NCELLS
+    spherical-k-means cells, the v24-measured capacity); the default
+    (None) follows ``serving.DEFAULT_QUANTIZER`` — the serving tier
+    follows whichever index the batch evals picked, same operator
     either way."""
     from ..operators.similarity import (
         _ivf_cells_probes,
         _pq_index,
         _tivf_cells_probes,
     )
-    from ..serving import DEFAULT_QUANTIZER
+    from ..serving import DEFAULT_QUANTIZER, serving_seeds
 
     if quantizer is None:
         quantizer = DEFAULT_QUANTIZER
     _, cw, codes = _pq_index(spark, sf_dir)
-    cp = _tivf_cells_probes if quantizer == "trained" else _ivf_cells_probes
-    _, cells, _ = cp(spark, sf_dir, nprobe)
+    if quantizer == "trained":
+        _, cells, _ = _tivf_cells_probes(spark, sf_dir, nprobe, seeds=serving_seeds())
+    else:
+        _, cells, _ = _ivf_cells_probes(spark, sf_dir, nprobe)
 
     books: dict[int, tuple[list[int], np.ndarray]] = {}
     rows = cw.select("m", "cid", "cwe").collect()

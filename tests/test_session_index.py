@@ -116,7 +116,8 @@ def test_warm_session_index_materializes_all_artifacts(spark, sf_small):
     assert set(counts) == {
         "emb", "sig16", "ivf_cells", "ivf_probes", "ivf_probes_eval",
         "ivf_probes_sweep", "tivf_cells", "tivf_probes", "tivf_probes_eval",
-        "tivf_probes_sweep", "exact_topk", "exact_topk_v12", "pq_codes",
+        "tivf_probes_sweep", "tivf16_cells", "tivf16_probes",
+        "exact_topk", "exact_topk_v12", "pq_codes",
         "rpq_codes", "trpq_codes", "shingles", "mh_sig16", "simhash16",
         "simhash64",
     }
@@ -128,7 +129,8 @@ def test_warm_session_index_materializes_all_artifacts(spark, sf_small):
             "exact_topk_v12", "shingles", "mh_sig16", "simhash16",
             "simhash64", "df_stats_64", "pq_codewords", "pq_codes",
             "rpq_codewords", "rpq_codes", "trpq_codewords", "trpq_codes",
-            "tivf_cents", "tivf_scored", "tivf_cells"} <= keys
+            "tivf_cents", "tivf_scored", "tivf_cells",
+            "tivf_cents_c16", "tivf_c16_scored", "tivf_c16_cells"} <= keys
 
 
 def test_pq_training_strictly_improves_recall(spark, sf_small):

@@ -501,20 +501,21 @@ def test_streaming_ann_topk_equals_batch_v5_and_v1(spark, sf_small, tmp_path_fac
     assert rows_of(spark.table("sink_ann_v1").distinct()) == want_v1
 
 
-def test_streaming_ann_serves_trained_quantizer_equals_v19(spark, sf_small, tmp_path_factory):
+def test_streaming_ann_serves_the_serving_layout(spark, sf_small, tmp_path_factory):
     """The streaming ANN tier is quantizer-AGNOSTIC (cells + centroids
-    are inputs), and the serving DEFAULT is the trained index (v19): the
-    cells/centroids here come from the serving dispatch helpers with no
-    quantizer named anywhere, and the stream top-k equals batch v19
-    exactly.  The serving story follows the better index: v20 measured
-    the trained quantizer at 0.51 vs 0.35 membership recall, and online
-    queries get that recall because the default IS the trained layout."""
+    are inputs), and the serving DEFAULT is the 16-cell trained layout
+    at the constant scan fraction (r12): the cells/centroids here come
+    from the serving dispatch helpers with no quantizer or layout named
+    anywhere, and the stream top-k equals the batch serving plan
+    exactly.  The serving story follows the measured index: v20 picked
+    trained over seed cells, v24 picked 16 over 8 cells at equal scan,
+    and online queries get that recall because the default IS that
+    layout."""
     from fifteenmc_spark import serving
-    from fifteenmc_spark.operators.relational import QUERIES
-    from fifteenmc_spark.operators.similarity import N_PROBE, N_QUERY_VECS, _emb
+    from fifteenmc_spark.operators.similarity import N_QUERY_VECS, _emb, _tivf_topk_plan
     from fifteenmc_spark.streaming import ann as ANN
 
-    e, tcells, _ = serving.serving_cells_probes(spark, sf_small, N_PROBE)
+    e, tcells, _ = serving.serving_cells_probes(spark, sf_small)
     corpus = e.select("vec_id", "embedding")
     centroids = serving.serving_centroids(spark, sf_small)
     queries = _emb(spark, sf_small).where(F.col("vec_id") < N_QUERY_VECS).select(
@@ -522,7 +523,9 @@ def test_streaming_ann_serves_trained_quantizer_equals_v19(spark, sf_small, tmp_
     )
     want = {
         (r["qid"], r["vec_id"], r["rnk"], round(r["sim"], 4))
-        for r in QUERIES["v19_tivf_topk"].build(spark, sf_small).collect()
+        for r in _tivf_topk_plan(
+            spark, sf_small, serving.SERVING_NPROBE, serving.serving_seeds()
+        ).collect()
     }
     assert want
 
@@ -530,7 +533,7 @@ def test_streaming_ann_serves_trained_quantizer_equals_v19(spark, sf_small, tmp_
     queries.coalesce(1).write.mode("overwrite").parquet(str(out / "f0"))
     stream = spark.readStream.schema(queries.schema).parquet(str(out) + "/*/")
     W.run_to_memory(
-        ANN.topk_stream(stream, corpus, tcells, centroids, nprobe=N_PROBE),
+        ANN.topk_stream(stream, corpus, tcells, centroids, nprobe=serving.SERVING_NPROBE),
         "sink_ann_tivf",
         output_mode="append",
     )
@@ -691,17 +694,17 @@ def test_streaming_pq_adc_serving_equals_batch(spark, sf_small, tmp_path_factory
     assert got == want
 
 
-def test_streaming_pq_adc_serves_trained_quantizer_equals_v21_front(spark, sf_small, tmp_path_factory):
+def test_streaming_pq_adc_serves_the_serving_layout(spark, sf_small, tmp_path_factory):
     # the codes-only serving tier's DEFAULT layout: built with no
-    # quantizer argument it serves v21's cell layout (trained coarse
-    # cells x raw PQ codes — serving.DEFAULT_QUANTIZER), and the stream
-    # top-k equals the batch ADC ranking over the TRAINED probed cells —
-    # the online form of the index the r10 evals picked, now the default
+    # quantizer argument it serves the SERVING layout (16 trained coarse
+    # cells x raw PQ codes at the constant scan fraction —
+    # serving.DEFAULT_QUANTIZER + SERVING_NCELLS), and the stream top-k
+    # equals the batch ADC ranking over those probed cells — the online
+    # form of the index the r10-r12 evals picked, now the default
     from pyspark.sql import Window as W2
 
     from fifteenmc_spark import serving
     from fifteenmc_spark.operators.similarity import (
-        N_PROBE,
         N_QUERY_VECS,
         TOP_K,
         _emb,
@@ -712,8 +715,11 @@ def test_streaming_pq_adc_serves_trained_quantizer_equals_v21_front(spark, sf_sm
     from fifteenmc_spark.streaming import pq_ann as PQA
 
     assert serving.DEFAULT_QUANTIZER == "trained"
+    N_PROBE = serving.SERVING_NPROBE
     e, cw, codes = _pq_index(spark, sf_small)
-    _, tcells, tprobes = _tivf_cells_probes(spark, sf_small, N_PROBE)
+    _, tcells, tprobes = _tivf_cells_probes(
+        spark, sf_small, N_PROBE, seeds=serving.serving_seeds()
+    )
     q, qparts = _pq_query_side(e, cw, N_QUERY_VECS)
     cand = (
         tcells.join(tprobes.select("qid", "cell"), "cell")
