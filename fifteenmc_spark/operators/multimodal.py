@@ -87,15 +87,61 @@ except ImportError:
 HAS_IMAGING = _PILImage is not None
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png_meta(payload: bytes) -> tuple[int, int]:
+    """(width, height) of a PNG payload via a REAL stdlib decode — no
+    imaging library needed: PNG is zlib-compressed scanlines in
+    CRC-framed chunks (the same format knowledge plot.py's raster sinks
+    encode with), so the meta decode is a signature check + a CRC-verified
+    chunk walk + the IHDR header.  Every chunk's CRC is verified, so a
+    truncated or bit-flipped payload raises (→ NULL meta through
+    extract_image_meta) instead of yielding plausible garbage dims.
+    This closes the container's real-decode gap for PNG payloads; other
+    formats still need the probed imaging library (decode_image)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, dims, saw_end = 8, None, False
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+            raise ValueError(f"bad CRC in PNG chunk {tag!r}")
+        if tag == b"IHDR":
+            w, h = struct.unpack(">II", body[:8])
+            dims = (int(w), int(h))
+        if tag == b"IEND":
+            saw_end = True
+            break
+        pos += 12 + ln
+    if dims is None:
+        raise ValueError("PNG payload has no IHDR chunk")
+    if not saw_end:
+        raise ValueError("truncated PNG: no IEND chunk")
+    return dims
+
+
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """(width, height) of an encoded image via the real imaging library.
-    Gated behind the import probe: when no imaging library is installed
-    (this container) it raises NotImplementedError and callers route
-    through fake_decode_meta — the SAME mapInPandas path either way
-    (test_multimodal parametrizes over both, skipif on HAS_IMAGING)."""
+    """(width, height) of an encoded image: the real imaging library when
+    installed; PNG payloads decode for REAL even without one (the stdlib
+    chunk walk, decode_png_meta).  Only a non-PNG payload with no library
+    raises NotImplementedError, routing callers to fake_decode_meta — the
+    SAME mapInPandas path every way (test_multimodal_decode parametrizes
+    over fake / stdlib-PNG / PIL, the last skipif on HAS_IMAGING)."""
     if _PILImage is None:
+        if payload[:8] == _PNG_SIG:
+            return decode_png_meta(payload)
         raise NotImplementedError(
-            "image decode requires an imaging library not present in this container"
+            "non-PNG image decode requires an imaging library not present "
+            "in this container"
         )
     import io as _io
 
@@ -386,9 +432,12 @@ def m3(spark, sf_dir):
     "m5_image_meta",
     "Image meta extraction over binary payloads via mapInPandas — the "
     "decode path whose kernel lives behind the optional-dependency probe "
-    "(extract_image_meta: real PIL decode when HAS_IMAGING, the "
-    "deterministic fake twin otherwise, one injectable-decoder plumbing "
-    "either way).  The DECLARED query pins the fake decoder so the "
+    "(extract_image_meta: real PIL decode when HAS_IMAGING; PNG payloads "
+    "decode for REAL even without it via the stdlib chunk-walk "
+    "decode_png_meta — CRC-verified, exercised in-container; the "
+    "deterministic fake twin covers non-PNG with no library — one "
+    "injectable-decoder plumbing every way).  The DECLARED query pins "
+    "the fake decoder so the "
     "contract is engine-portable and environment-independent — (width, "
     "height) = (bytes % 640 + 1, bytes % 480 + 1), which the oracle "
     "recomputes relationally; on a real image corpus the real decoder "

