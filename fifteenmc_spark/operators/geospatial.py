@@ -267,3 +267,79 @@ def g4(spark, sf_dir):
         .select("point_id", "grid_id")
         .orderBy("point_id", "grid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# g5: per-tile occupancy report + empty-tile flag (the cleanup twin)
+# ---------------------------------------------------------------------------
+# points confined to the WEST 40% of the bbox so the east tile columns
+# are genuinely EMPTY — the case the report exists for
+_G5_FRAC = 0.4
+
+_G5_SQL = f"""
+    WITH cells AS (
+      SELECT r.range AS row, c.range AS col,
+             CAST({_G["c0_lon"]!r} AS DOUBLE) - c.range * CAST({_G["dlon_t"]!r} AS DOUBLE) AS clon,
+             CAST({_G["c0_lat"]!r} AS DOUBLE) - r.range * CAST({_G["dlat_t"]!r} AS DOUBLE) AS clat
+      FROM range(0, {_G["n_cols"]}) c CROSS JOIN range(0, {_G["n_rows"]}) r),
+    tiles AS (
+      SELECT 'r' || row || '_c' || col AS grid_id,
+             clon - {0.5 * _G["dlon_t"]!r} - {_G["dlon_b"]!r} AS bminlon,
+             clat - {0.5 * _G["dlat_t"]!r} - {_G["dlat_b"]!r} AS bminlat,
+             clon + {0.5 * _G["dlon_t"]!r} + {_G["dlon_b"]!r} AS bmaxlon,
+             clat + {0.5 * _G["dlat_t"]!r} + {_G["dlat_b"]!r} AS bmaxlat
+      FROM cells
+      WHERE NOT (clon + {0.5 * _G["dlon_t"]!r} <= {_G["minlon"]!r}
+                 OR clon - {0.5 * _G["dlon_t"]!r} >= {_G["maxlon"]!r})
+        AND NOT (clat + {0.5 * _G["dlat_t"]!r} <= {_G["minlat"]!r}
+                 OR clat - {0.5 * _G["dlat_t"]!r} >= {_G["maxlat"]!r})),
+    pts AS (
+      SELECT CAST(range AS INT) AS point_id,
+             {_G["minlon"]!r} + (CAST((range * 37 + 11) % 193 AS DOUBLE) / 193.0)
+                 * {(_G["maxlon"] - _G["minlon"]) * _G5_FRAC!r} AS lon,
+             {_G["minlat"]!r} + (CAST((range * 53 + 29) % 181 AS DOUBLE) / 181.0)
+                 * {_G["maxlat"] - _G["minlat"]!r} AS lat
+      FROM range(0, 80)),
+    asg AS (
+      SELECT p.point_id, t.grid_id
+      FROM pts p JOIN tiles t
+        ON p.lon >= t.bminlon AND p.lon < t.bmaxlon
+       AND p.lat >= t.bminlat AND p.lat < t.bmaxlat)
+    SELECT t.grid_id,
+           CAST(COUNT(a.point_id) AS BIGINT) AS n_points,
+           COUNT(a.point_id) = 0 AS is_empty
+    FROM tiles t LEFT JOIN asg a ON a.grid_id = t.grid_id
+    GROUP BY t.grid_id
+    ORDER BY t.grid_id
+    """
+
+
+@_register(
+    "g5_tile_occupancy",
+    "Per-tile occupancy report with empty-tile flag (the relational core "
+    "of the reference's per-tile cleanup loop, extract_map_from_json.py:"
+    "86-100: osmium count per extracted tile + delete the empties): "
+    "every lattice tile appears — a LEFT join from the tile table, so "
+    "zero-point tiles report n_points=0 / is_empty=TRUE instead of "
+    "vanishing from a bare groupBy.  Points are confined to the west "
+    "40% of the bbox so the east tile columns are genuinely empty.  "
+    "ingest_pbf_tiles (sources/pbf.py) is the materialized form: ingest "
+    "per-tile extracts, report counts, drop empty tile dirs.",
+    _G5_SQL,
+    ("geo", "grid", "cleanup"),
+)
+def g5(spark, sf_dir):
+    minlon, minlat, maxlon, maxlat = BBOX
+    i = F.col("id")
+    pts = spark.range(80).select(
+        i.cast("int").alias("point_id"),
+        (F.lit(minlon) + (((i * 37 + 11) % 193).cast("double") / 193.0)
+         * ((maxlon - minlon) * _G5_FRAC)).alias("lon"),
+        (F.lit(minlat) + (((i * 53 + 29) % 181).cast("double") / 181.0)
+         * (maxlat - minlat)).alias("lat"),
+    )
+    tiles = grid_mod.generate_tiles(spark, BBOX, TILE_KM, BUFFER_KM)
+    asg = grid_mod.assign_points_to_tiles(pts, tiles, use_buffer=True).select(
+        "point_id", "grid_id"
+    )
+    return grid_mod.tile_occupancy(asg, tiles).orderBy("grid_id")

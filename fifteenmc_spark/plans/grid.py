@@ -134,3 +134,23 @@ def k_nearest_tiles(tiles: DataFrame, lon: float, lat: float, k: int = 5) -> Dat
         / 1000.0
     )
     return tiles.withColumn("dist_km", d_km).orderBy("dist_km", "grid_id").limit(k)
+
+
+def tile_occupancy(assigned: DataFrame, tiles: DataFrame) -> DataFrame:
+    """Per-tile occupancy report (grid_id, n_points, is_empty) with EVERY
+    tile present — empty tiles included via a LEFT join from the lattice.
+    The relational core of the reference's per-tile empty-extract cleanup
+    (extract_map_from_json.py:86-100: osmium count per tile + delete the
+    zero-element extracts): consumers drop is_empty tiles (cleanup) or
+    alert on them (ingest QA).  Scale shape: counts are a map-side-
+    combinable aggregate on the assignment table; the tile lattice is
+    broadcast-tiny by construction."""
+    counts = assigned.groupBy("grid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    n = F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+    return (
+        tiles.select("grid_id")
+        .join(F.broadcast(counts), "grid_id", "left")
+        .select("grid_id", n.alias("n_points"), (n == 0).alias("is_empty"))
+    )

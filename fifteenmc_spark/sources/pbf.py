@@ -508,10 +508,52 @@ def ingest_pbf(
     ``bbox`` makes this the engine's per-tile extract — the incremental
     "write one tile's data to disk" field-debugging utility the reference
     runs through osmium (extract_map_from_json.py:60-100, minus the
-    Docker fallback and the empty-extract cleanup, which a parquet dir
-    listing answers directly)."""
+    Docker fallback, which is environment plumbing; the empty-extract
+    cleanup loop is ingest_pbf_tiles below)."""
     from ..io import write_parquet
 
     write_parquet(
         read_pbf_elements(spark, pbf_path, bbox=bbox), out_dir, partition_by=["elem_type"]
     )
+
+
+def ingest_pbf_tiles(
+    spark: SparkSession,
+    pbf_path: str,
+    out_root: str,
+    tiles: dict,
+    drop_empty: bool = True,
+) -> dict:
+    """The reference's per-tile extract loop WITH the empty-extract
+    cleanup (extract_map_from_json.py:86-100: osmium extract per tile,
+    ``osmium count`` each artifact, delete the zero-element extracts):
+    ingest each ``tiles[tile_id] = (minlon, minlat, maxlon, maxlat)``
+    bbox under ``out_root/tile=<tile_id>/`` (elem_type-partitioned, the
+    ingest_pbf layout) and — with ``drop_empty`` — remove tile dirs whose
+    extract holds zero elements, so the partition listing contains only
+    occupied tiles.  Returns the cleanup summary {tile_id: n_elements}
+    with dropped tiles reported at 0 (the report the reference's loop
+    prints as it deletes).
+
+    Scale shape: the .pbf is decoded and geometry-resolved ONCE (the
+    element table is pinned — N bbox filters are scan-side predicates
+    over the checkpoint, not N re-decodes; the reference re-reads the
+    planet file per osmium run).  The count is taken on the WRITTEN
+    artifact, like osmium count — it verifies the extract on disk, not
+    the plan that produced it."""
+    import os
+    import shutil
+
+    elements = read_pbf_elements(spark, pbf_path).localCheckpoint(eager=False)
+    summary: dict = {}
+    for tid, bbox in tiles.items():
+        sub = bbox_filter_elements(elements, bbox)
+        tdir = os.path.join(out_root, f"tile={tid}")
+        from ..io import write_parquet
+
+        write_parquet(sub, tdir, partition_by=["elem_type"])
+        n = int(spark.read.schema(elements.schema).parquet(tdir).count())
+        summary[str(tid)] = n
+        if drop_empty and n == 0:
+            shutil.rmtree(tdir)
+    return summary

@@ -200,6 +200,40 @@ def test_pbf_bbox_ingest_equals_full_ingest_filtered(spark, pbf_path, tmp_path, 
     assert got == want  # same objects, geometry complete (not clipped)
 
 
+def test_pbf_tile_ingest_reports_and_drops_empty_tiles(spark, pbf_path, tmp_path):
+    # the reference's per-tile cleanup loop (extract_map_from_json.py:
+    # 86-100): ingest two tiles — one covering the fixture, one over
+    # open ocean — the empty tile is reported at 0 elements AND absent
+    # from the partition listing; the occupied tile ingests the same
+    # rows a direct bbox ingest would
+    import os
+
+    out_root = str(tmp_path / "tiles")
+    tiles = {
+        "r0_c0": (18.59, 54.36, 18.61, 54.38),  # covers the fixture
+        "r9_c9": (0.0, 0.0, 0.1, 0.1),  # open ocean: no elements
+    }
+    summary = pbf.ingest_pbf_tiles(spark, pbf_path, out_root, tiles)
+    assert summary["r9_c9"] == 0 and summary["r0_c0"] > 0
+    listed = sorted(os.listdir(out_root))
+    assert "tile=r0_c0" in listed and "tile=r9_c9" not in listed
+    # the kept tile's extract equals the single-tile bbox ingest
+    direct = str(tmp_path / "direct")
+    pbf.ingest_pbf(spark, pbf_path, direct, bbox=tiles["r0_c0"])
+    got = {
+        (r["elem_id"], r["elem_type"])
+        for r in spark.read.parquet(os.path.join(out_root, "tile=r0_c0")).collect()
+    }
+    want = {(r["elem_id"], r["elem_type"]) for r in spark.read.parquet(direct).collect()}
+    assert got == want
+    assert summary["r0_c0"] == len(want)
+    # drop_empty=False keeps the empty dir for inspection, same report
+    out2 = str(tmp_path / "tiles_keep")
+    summary2 = pbf.ingest_pbf_tiles(spark, pbf_path, out2, tiles, drop_empty=False)
+    assert summary2 == summary
+    assert "tile=r9_c9" in sorted(os.listdir(out2))
+
+
 def test_pbf_random_roundtrip(spark, tmp_path):
     """Property-style codec roundtrip: random ids (including deltas that
     zigzag negative), extreme coordinates, and unicode tags survive
