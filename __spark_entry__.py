@@ -44,6 +44,8 @@ _CHECK_FIRST = (
     # new in r12 — never driver-checked
     "x9_span_dedup_prefiltered",
     "g5_tile_occupancy",
+    "v25_serving_tivf_topk",
+    "v26_serving_ivfpq_topk",
     # newest driver row is r10 — rotate back through
     "d1_scan_filter",
     "d2_inner_join",

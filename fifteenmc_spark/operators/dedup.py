@@ -931,12 +931,19 @@ def _prefix_filtered_intersections(ex: DataFrame, t: float) -> DataFrame:
     — any pair with Jaccard >= t provably collides inside both prefixes —
     then verify candidates against the full index.
 
-    Use when sum(df²) explodes (heavy-tailed shingle frequencies at corpus
-    scale): the candidate join touches only the rare-shingle prefix slice.
-    On THIS corpus (df <= 25, near-dup-rich) it measured 10x slower than
-    _index_join_intersections — 310k candidates whose verification re-join
-    expands to 16M rows vs 2.8M pair rows for the plain index join.
-    Equivalence is pinned by test_x5_prefix_filter_equivalence."""
+    Use when sum(df²) explodes from a heavy TAIL (few viral shingles over
+    a rare-shingle bulk): the candidate join touches only the rare-shingle
+    prefix slice.  On THIS corpus (df <= 25, near-dup-rich) it measured
+    10x slower than _index_join_intersections — 310k candidates whose
+    verification re-join expands to 16M rows vs 2.8M pair rows for the
+    plain index join.  On a shingle-SATURATED corpus it is far worse, not
+    better (r12 measured 522.8 s vs 33.1 s plain on the 10x bounded-vocab
+    decade, max_df 139 / high_frac 0.997): when every shingle is common,
+    each doc's "rarest" prefix entries are still high-df, so the prefix
+    self-join inherits the same df² blowup it exists to avoid — prefix
+    pruning needs df DIVERSITY, which neither tail shape of this corpus
+    family provides.  Equivalence is pinned by
+    test_x5_prefix_filter_equivalence."""
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")

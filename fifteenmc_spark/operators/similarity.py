@@ -2496,6 +2496,37 @@ def _tivf_topk_plan(spark, sf_dir, nprobe: int = N_PROBE, seeds: tuple = IVF_SEE
     )
 
 
+def _tivf_topk_sql(nprobe: int = N_PROBE, seeds: tuple = IVF_SEED_IDS) -> str:
+    """Trained-IVF cell-probe top-k oracle, layout-parameterized like
+    _tivf_topk_plan (v19 = defaults; v25 = the serving layout)."""
+    return f"""
+    WITH {_tivf_centroid_sql(TIVF_ITERS, seeds)},
+    ranked AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COS_SQL.format(a="e.embedding", b="c.cwe")} DESC, c.cid) AS rn
+      FROM embeddings e, tcw c),
+    cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cid AS cell FROM ranked
+               WHERE vec_id < {N_QUERY_VECS} AND rn <= {nprobe}),
+    qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < {N_QUERY_VECS}),
+    cand AS (
+      SELECT p.qid, x.vec_id,
+             {_COS_SQL.format(a="qv.qe", b="e.embedding")} AS sim
+      FROM probes p
+      JOIN cells x ON x.cell = p.cell AND x.vec_id <> p.qid
+      JOIN embeddings e ON e.vec_id = x.vec_id
+      JOIN qv ON qv.qid = p.qid),
+    rr AS (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+      FROM cand)
+    SELECT qid, vec_id, rnk, ROUND(sim, 4) AS sim
+    FROM rr WHERE rnk <= {TOP_K} ORDER BY qid, rnk
+    """
+
+
 @_register(
     "v19_tivf_topk",
     f"Trained-IVF top-{TOP_K}: v5's cell-probe search with the coarse "
@@ -2512,32 +2543,7 @@ def _tivf_topk_plan(spark, sf_dir, nprobe: int = N_PROBE, seeds: tuple = IVF_SEE
     "side-by-side eval, test-gated strictly-improves).  Serving shape "
     "identical to v5: centroids broadcast, cells are the partition "
     "key, a query touches nprobe/ncells of the corpus.",
-    f"""
-    WITH {_tivf_centroid_sql(TIVF_ITERS)},
-    ranked AS (
-      SELECT e.vec_id, c.cid,
-             ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                 ORDER BY {_COS_SQL.format(a="e.embedding", b="c.cwe")} DESC, c.cid) AS rn
-      FROM embeddings e, tcw c),
-    cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
-    probes AS (SELECT vec_id AS qid, cid AS cell FROM ranked
-               WHERE vec_id < {N_QUERY_VECS} AND rn <= {N_PROBE}),
-    qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-           WHERE vec_id < {N_QUERY_VECS}),
-    cand AS (
-      SELECT p.qid, x.vec_id,
-             {_COS_SQL.format(a="qv.qe", b="e.embedding")} AS sim
-      FROM probes p
-      JOIN cells x ON x.cell = p.cell AND x.vec_id <> p.qid
-      JOIN embeddings e ON e.vec_id = x.vec_id
-      JOIN qv ON qv.qid = p.qid),
-    rr AS (
-      SELECT qid, vec_id, sim,
-             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
-      FROM cand)
-    SELECT qid, vec_id, rnk, ROUND(sim, 4) AS sim
-    FROM rr WHERE rnk <= {TOP_K} ORDER BY qid, rnk
-    """,
+    _tivf_topk_sql(),
     ("similarity", "ann", "ivf", "trained", "pipeline"),
 )
 def v19(spark, sf_dir):
@@ -2634,13 +2640,16 @@ def v20(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # v21: trained-IVF + PQ — the composition the v18→v20 measurements built
 # ---------------------------------------------------------------------------
-def _tivfpq_topk_sql(iters: int, nq: int) -> str:
+def _tivfpq_topk_sql(
+    iters: int, nq: int, seeds: tuple = IVF_SEED_IDS, nprobe: int = N_PROBE
+) -> str:
     """IVFADC oracle with the TRAINED coarse quantizer: _pq_adc_ctes'
     codebook/codes/query side + the trained-centroid fragment for
-    cells/probes + the shared cand/adc/tail."""
+    cells/probes + the shared cand/adc/tail.  ``seeds``/``nprobe``
+    parameterize the layout (v21 = defaults; v26 = the serving layout)."""
     return f"""
     WITH {_pq_adc_ctes(iters, nq)},
-    {_tivf_centroid_sql(TIVF_ITERS)},
+    {_tivf_centroid_sql(TIVF_ITERS, seeds)},
     ivfranked AS (
       SELECT e.vec_id, t.cid,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -2648,7 +2657,7 @@ def _tivfpq_topk_sql(iters: int, nq: int) -> str:
       FROM embeddings e, tcw t),
     cells AS (SELECT vec_id, cid AS cell FROM ivfranked WHERE rn = 1),
     probes AS (SELECT vec_id AS qid, cid AS cell FROM ivfranked
-               WHERE vec_id < {nq} AND rn <= {N_PROBE}),
+               WHERE vec_id < {nq} AND rn <= {nprobe}),
     cand AS (
       SELECT p.qid, x.vec_id
       FROM probes p JOIN cells x ON x.cell = p.cell AND x.vec_id <> p.qid),
@@ -2865,6 +2874,64 @@ def v24(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# v25/v26: the SERVING layout as declared queries (driver-attested)
+# ---------------------------------------------------------------------------
+# The layout serving.py dispatches to (SERVING_NCELLS=16 trained cells,
+# nprobe 4 = the calibration default's 25% scan fraction — the r12 flip
+# v24 measured).  Declared here so the layout a user actually gets is
+# DRIVER-ATTESTED, not only test-gated; test_serving_default pins
+# serving.ann_topk/ivfpq_topk row-equal to v25/v26, so the dispatch
+# point and the declared queries cannot drift apart silently.
+V25_NPROBE = 4  # = SERVING_NCELLS // 4, the constant scan fraction
+
+
+@_register(
+    "v25_serving_tivf_topk",
+    f"The ANN serving DEFAULT as a declared query: trained-IVF top-{TOP_K} "
+    f"at the 16-cell SERVING layout ({len(TIVF_SEED_POOL)} spherical-"
+    f"k-means cells off the deterministic seed pool, nprobe {V25_NPROBE} "
+    "— the same 25% scan fraction as the 8-cell calibration default, so "
+    "v25 vs v19 isolates pure quantizer capacity).  This is what "
+    "serving.ann_topk returns (row-equality pinned in "
+    "test_serving_default); v19 stays the 8-cell calibration baseline.  "
+    "Measured at the r12 flip: membership recall 0.500 -> 0.520 (sf0.01) "
+    "and 0.448 -> 0.572 (sf0.001) at constant bytes read — v24's ncells "
+    "axis acted on.  Plan shape identical to v19: centroids broadcast, "
+    "cells the partition key, a query reads nprobe/ncells of the corpus.",
+    _tivf_topk_sql(V25_NPROBE, TIVF_SEED_POOL),
+    ("similarity", "ann", "ivf", "trained", "serving", "pipeline"),
+)
+def v25(spark, sf_dir):
+    return _tivf_topk_plan(spark, sf_dir, V25_NPROBE, TIVF_SEED_POOL)
+
+
+@_register(
+    "v26_serving_ivfpq_topk",
+    f"The codes-only (IVFADC) serving DEFAULT as a declared query: "
+    f"trained-IVF x raw PQ codes x exact shortlist re-rank at the "
+    f"16-cell SERVING layout (nprobe {V25_NPROBE}, constant 25% scan "
+    "fraction).  This is what serving.ivfpq_topk returns (row-equality "
+    "pinned in test_serving_default); v21 stays the 8-cell calibration "
+    "baseline.  Measured at the r12 flip: composed recall@5 "
+    "0.380 -> 0.408 (sf0.01) and 0.332 -> 0.400 (sf0.001) at equal "
+    "scan, strictly-no-worse test-gated.  Plan shape identical to "
+    "v13/v21: all-equi-join, candidate cells and ADC lookup broadcast, "
+    "codes never shuffle.",
+    _tivfpq_topk_sql(PQ_ITERS, N_QUERY_VECS, TIVF_SEED_POOL, V25_NPROBE),
+    ("similarity", "ann", "ivf", "pq", "trained", "serving", "pipeline"),
+)
+def v26(spark, sf_dir):
+    return _ivfpq_topk_plan(
+        spark,
+        sf_dir,
+        N_QUERY_VECS,
+        trained=True,
+        nprobe=V25_NPROBE,
+        seeds=TIVF_SEED_POOL,
+    )
+
+
+# ---------------------------------------------------------------------------
 # v15: keep-one-per-cluster dedup APPLY for embeddings (p7's twin)
 # ---------------------------------------------------------------------------
 @_register(
@@ -2944,6 +3011,8 @@ for _name in (
     "v22_tivf_nprobe_sweep",
     "v23_tencoding_recall",
     "v24_ncells_sweep",
+    "v25_serving_tivf_topk",
+    "v26_serving_ivfpq_topk",
 ):
     QUERIES[_name] = _dc.replace(QUERIES[_name], oracle=_gate_oracle(QUERIES[_name].oracle))
 del _name

@@ -56,6 +56,11 @@ V_QUERIES = [
     "v22_tivf_nprobe_sweep",
     "v23_tencoding_recall",
     "v24_ncells_sweep",
+    # r12: the serving layout as declared queries — on this corpus only
+    # the pool ids < 27 exist, so the 16-cell layout degrades to however
+    # many seeds survive, identically on both engines
+    "v25_serving_tivf_topk",
+    "v26_serving_ivfpq_topk",
 ]
 
 

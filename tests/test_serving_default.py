@@ -56,20 +56,23 @@ def test_serving_default_is_trained_at_16_cells():
     assert serving.SERVING_NPROBE / serving.SERVING_NCELLS == N_PROBE / N_CELLS
 
 
-def test_ann_topk_default_is_the_serving_layout(spark, sf_small):
+def test_ann_topk_default_pins_to_v25(spark, sf_small):
+    # the serving default IS the declared (driver-attested) query v25 —
+    # the dispatch point and the registry cannot drift apart silently
     got = _rows(serving.ann_topk(spark, sf_small))
-    want = _rows(
+    assert got and got == _rows(QUERIES["v25_serving_tivf_topk"].build(spark, sf_small))
+    assert got == _rows(
         _tivf_topk_plan(spark, sf_small, serving.SERVING_NPROBE, serving.serving_seeds())
     )
-    assert got and got == want
     # the layout flip is real: the serving default no longer equals the
     # 8-cell calibration query (whose oracle is unchanged)
     assert got != _rows(QUERIES["v19_tivf_topk"].build(spark, sf_small))
 
 
-def test_ivfpq_topk_default_is_the_serving_layout(spark, sf_small):
+def test_ivfpq_topk_default_pins_to_v26(spark, sf_small):
     got = _rows(serving.ivfpq_topk(spark, sf_small))
-    want = _rows(
+    assert got and got == _rows(QUERIES["v26_serving_ivfpq_topk"].build(spark, sf_small))
+    assert got == _rows(
         _ivfpq_topk_plan(
             spark,
             sf_small,
@@ -79,7 +82,6 @@ def test_ivfpq_topk_default_is_the_serving_layout(spark, sf_small):
             seeds=serving.serving_seeds(),
         )
     )
-    assert got and got == want
     assert got != _rows(QUERIES["v21_tivfpq_topk"].build(spark, sf_small))
 
 
