@@ -1736,9 +1736,13 @@ def span_rows(d):
     "different windows of the same shared region in docs whose offsets "
     "differ mod s and miss the match); (c) a frequency prefilter before "
     "the join-back, dropping singleton hashes with a bloom/count-min "
-    "pass so the join input is only plausibly-dup spans.  All three "
-    "keep the shuffle key (md5, doc_id, pos)-shaped; none change the "
-    "dup test.",
+    "pass so the join input is only plausibly-dup spans — BUILT and "
+    "auto-dispatched as of r12: above X9_PREFILTER_MIN_SPANS this query "
+    "itself runs the prefiltered back half (same answer, same oracle — "
+    "the x5_capped dispatch precedent; x9_prefiltered is the "
+    "forced-at-any-scale form, measured 91-99.6% join-input reduction, "
+    "crossover measured at ~1M spans).  All three keep the shuffle key "
+    "(md5, doc_id, pos)-shaped; none change the dup test.",
     f"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS tk
@@ -1766,14 +1770,30 @@ def x9(spark, sf_dir):
     # the only exchanges are the agg's partial->final and the
     # presentational range sort.  At 100 TB the flagged-hash side stops
     # being broadcastable and the same declarative plan degrades to the
-    # hash-partitioned join on md5 keys — exactly the Catalyst-decides
-    # dispatch the engine wants.
+    # hash-partitioned join on md5 keys — exactly the point where the
+    # singleton prefilter (mitigation (c), r12) starts paying: above
+    # X9_PREFILTER_MIN_SPANS the default DISPATCHES to the prefiltered
+    # plan (x5_capped precedent — legitimate because both branches
+    # compute the SAME answer under the same oracle; x9_sampled, which
+    # changes the RESULT, stays caller-selected).  Measured crossover:
+    # at 236k spans (sf0.1) the prefilter's extra distinct+broadcast
+    # loses 0.23 s (1.59 vs 1.82 s); at 2.4M spans (10x synth) it wins
+    # 1.6 s (8.17 vs 6.56 s) cutting 99.6% of the join-back input, and
+    # the gap widens with corpus size since the trimmed shuffle is the
+    # dominant term.  The dispatch stat is the span count itself — one
+    # scalar off the checkpoint the plan materializes anyway — and the
+    # prefiltered branch degrades GRACEFULLY when its own premise decays
+    # (bucket saturation at D ~ M just passes everything ≈ the plain
+    # plan plus one bounded broadcast), so unlike x5_capped no second
+    # premise stat is needed.
     d = read_table(spark, sf_dir, "documents")
     # pin the span table: both the dup aggregate and the join-back consume
     # it, and their subtrees differ (partial agg vs raw spans) so exchange
     # reuse can never dedupe the tokenize+window+md5 scan — without this
     # the kernel executes twice (the r8 judge's one plan defect)
     spans = span_rows(d).localCheckpoint(eager=False)
+    if spans.count() >= X9_PREFILTER_MIN_SPANS:
+        return _span_dup_prefiltered(spans)
     return _span_dup(spans)
 
 
@@ -1860,6 +1880,44 @@ def x9_sampled(spark, sf_dir):
 # independent of corpus size (2^22 longs ~ 34 MB worst case)
 X9_PREFILTER_BUCKETS = 1 << 22
 
+# span-count crossover for x9's default dispatch to the prefiltered plan:
+# measured LOSES 0.23 s at 236k spans (sf0.1), WINS 1.6 s at 2.4M spans
+# (10x synth, 99.6% join-input reduction) — the extra distinct+broadcast
+# is a constant, the trimmed join-back shuffle grows with the corpus
+X9_PREFILTER_MIN_SPANS = 1_000_000
+
+
+def _span_dup_prefiltered(spans):
+    """x9's back half WITH the singleton-hash prefilter (mitigation (c)):
+    exact df aggregate, dup-bucket flag (broadcast one-hash Bloom), span
+    table broadcast-SEMI-joined against the flag before the join-back.
+    Same answer as _span_dup by construction — see x9_prefiltered's
+    docstring for the FP analysis and saturation behavior.  ``spans``
+    must already be pinned by the caller."""
+    dup = (
+        spans.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).cast("int").alias("n_occ"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .select("h", "n_occ")
+        # pinned: feeds BOTH the flag build and the join-back (different
+        # subtrees, so exchange reuse cannot dedupe them)
+        .localCheckpoint(eager=False)
+    )
+    bkt = F.pmod(F.xxhash64("h"), F.lit(X9_PREFILTER_BUCKETS))
+    flag = dup.select(bkt.alias("bkt")).distinct()
+    pre = (
+        spans.withColumn("bkt", bkt)
+        .join(F.broadcast(flag), "bkt", "leftsemi")
+        .drop("bkt")
+    )
+    return (
+        pre.join(dup, "h").select("doc_id", "pos", "h", "n_occ").orderBy("doc_id", "pos")
+    )
+
 
 @_register(
     "x9_span_dedup_prefiltered",
@@ -1913,34 +1971,13 @@ X9_PREFILTER_BUCKETS = 1 << 22
     ("dedup", "spans", "pipeline"),
 )
 def x9_prefiltered(spark, sf_dir):
+    # the FORCED prefiltered plan at any scale (x9's default dispatches
+    # to this same back half above X9_PREFILTER_MIN_SPANS)
     d = read_table(spark, sf_dir, "documents")
     # span kernel pinned exactly as in x9: it feeds the df aggregate AND
     # the (now prefiltered) join-back
     spans = span_rows(d).localCheckpoint(eager=False)
-    # exact df pass — identical to x9's; pinned because it feeds BOTH the
-    # flag build and the join-back (different subtrees, so exchange reuse
-    # cannot dedupe them — the multi-consumer re-execution class)
-    dup = (
-        spans.groupBy("h")
-        .agg(
-            F.min("doc_id").alias("lo"),
-            F.max("doc_id").alias("hi"),
-            F.count(F.lit(1)).cast("int").alias("n_occ"),
-        )
-        .where(F.col("lo") != F.col("hi"))
-        .select("h", "n_occ")
-        .localCheckpoint(eager=False)
-    )
-    bkt = F.pmod(F.xxhash64("h"), F.lit(X9_PREFILTER_BUCKETS))
-    flag = dup.select(bkt.alias("bkt")).distinct()
-    pre = (
-        spans.withColumn("bkt", bkt)
-        .join(F.broadcast(flag), "bkt", "leftsemi")
-        .drop("bkt")
-    )
-    return (
-        pre.join(dup, "h").select("doc_id", "pos", "h", "n_occ").orderBy("doc_id", "pos")
-    )
+    return _span_dup_prefiltered(spans)
 
 
 def x9_prefilter_reduction(spark, sf_dir) -> dict:

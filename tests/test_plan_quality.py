@@ -424,6 +424,26 @@ def test_x9_prefilter_drops_singletons_and_plan_shape(spark, sf_small):
     assert "Scan parquet" not in tree
 
 
+def test_x9_default_dispatch_branches(spark, sf_small, monkeypatch):
+    # x9's default dispatches on the span count (the x5_capped
+    # precedent: both branches compute the SAME answer).  Below the
+    # crossover the plain back half runs (no semi join); forcing the
+    # threshold to 0 fires the prefiltered branch — same rows, and the
+    # plan now carries the broadcast LeftSemi membership test.
+    from fifteenmc_spark.operators import dedup as D
+
+    assert D.X9_PREFILTER_MIN_SPANS > 100_000  # sf fixtures stay plain
+    df_plain = QUERIES["x9_span_dedup"].build(spark, sf_small)
+    assert "LeftSemi" not in df_plain._jdf.queryExecution().executedPlan().toString()
+    rows_plain = sorted(map(tuple, df_plain.collect()))
+
+    monkeypatch.setattr(D, "X9_PREFILTER_MIN_SPANS", 0)
+    df_pre = QUERIES["x9_span_dedup"].build(spark, sf_small)
+    tree = df_pre._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in tree and "BroadcastHashJoin" in tree
+    assert rows_plain and sorted(map(tuple, df_pre.collect())) == rows_plain
+
+
 def test_x9_sampled_is_content_keyed_subset(spark, sf_small):
     # hash-mod sampling is keyed on span CONTENT: every sampled flagged
     # occurrence must appear in the full x9 answer with the SAME n_occ
