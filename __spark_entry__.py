@@ -46,6 +46,8 @@ _CHECK_FIRST = (
     "g5_tile_occupancy",
     "v25_serving_tivf_topk",
     "v26_serving_ivfpq_topk",
+    "g6_zorder_layout",
+    "d30_salted_join",
     # newest driver row is r10 — rotate back through
     "d1_scan_filter",
     "d2_inner_join",

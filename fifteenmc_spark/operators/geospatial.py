@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import geo
 from ..plans import grid as grid_mod
+from ..plans import layout as layout_mod
 from ..plans import reach as reach_mod
 from ..plans import snap as snap_mod
 from .relational import _register
@@ -343,3 +344,62 @@ def g5(spark, sf_dir):
         "point_id", "grid_id"
     )
     return grid_mod.tile_occupancy(asg, tiles).orderBy("grid_id")
+
+
+# ---------------------------------------------------------------------------
+# g6: Z-order (Morton) layout key — the clustering the 100 TB layout keys on
+# ---------------------------------------------------------------------------
+_G6_NPTS = 200
+
+_G6_PT_LON = f"{BBOX[0]!r} + (CAST(({{j}} * 37 + 11) % 193 AS DOUBLE) / 193.0) * {BBOX[2] - BBOX[0]!r}"
+_G6_PT_LAT = f"{BBOX[1]!r} + (CAST(({{j}} * 53 + 29) % 181 AS DOUBLE) / 181.0) * {BBOX[3] - BBOX[1]!r}"
+
+_G6_SQL = f"""
+    WITH pts AS (
+      SELECT CAST(range AS INT) AS point_id,
+             {_G6_PT_LON.format(j="range")} AS lon,
+             {_G6_PT_LAT.format(j="range")} AS lat
+      FROM range(0, {_G6_NPTS})),
+    keyed AS (
+      SELECT point_id,
+             {layout_mod.zorder_key_sql("lon", "lat", BBOX)} AS zkey
+      FROM pts)
+    SELECT point_id, zkey,
+           CAST(zkey >> {2 * (layout_mod.ZORDER_BITS - layout_mod.ZORDER_LEVELS)} AS INT) AS zp
+    FROM keyed ORDER BY point_id
+    """
+
+
+@_register(
+    "g6_zorder_layout",
+    "Z-order (Morton) layout key: quantize lon/lat to "
+    f"{layout_mod.ZORDER_BITS} bits each and bit-interleave — the "
+    "space-filling-curve clustering key the engine writes fact tables "
+    "with (plans/layout.py), replacing the reference's per-bbox osmium "
+    "re-extract (extract_map_from_json.py:60-74) with write-once / "
+    "partition-pruned-read-many: zp (the key's top bits = the quadtree "
+    "cell) is the directory-partition column, so a later bbox query "
+    "prunes at file-listing time and the exact residual filter keeps "
+    "correctness independent of the cell math.  Pure shift/and/or "
+    "column arithmetic — whole-stage codegen, no UDF; the oracle "
+    "recomputes the identical key from the same generated bit "
+    "expression.  The layout writer/reader pair (balanced "
+    "range-partition on the full key, prefix directories, one-quantum-"
+    "widened cell enumeration) is golden-tested in tests/test_layout.py.",
+    _G6_SQL,
+    ("geo", "layout", "zorder"),
+)
+def g6(spark, sf_dir):
+    minlon, minlat, maxlon, maxlat = BBOX
+    i = F.col("id")
+    pts = spark.range(_G6_NPTS).select(
+        i.cast("int").alias("point_id"),
+        (F.lit(minlon) + (((i * 37 + 11) % 193).cast("double") / 193.0) * (maxlon - minlon)).alias("lon"),
+        (F.lit(minlat) + (((i * 53 + 29) % 181).cast("double") / 181.0) * (maxlat - minlat)).alias("lat"),
+    )
+    zkey = layout_mod.zorder_key("lon", "lat", BBOX)
+    return pts.select(
+        "point_id",
+        zkey.alias("zkey"),
+        layout_mod.zprefix(zkey).alias("zp"),
+    ).orderBy("point_id")

@@ -1378,3 +1378,55 @@ def d29(spark, sf_dir):
         .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# D30 salted skew join — the manual form of the hot-key mitigation
+# ---------------------------------------------------------------------------
+# replication factor: a hot fact key is split across this many reducers
+D30_SALT_R = 8
+
+
+@_register(
+    "d30_salted_join",
+    "Skew-safe equi-join via key salting, answer-identical to the plain "
+    "join (the oracle IS the plain join): the fact side gets a "
+    f"deterministic salt (xxhash64(event_id) mod {D30_SALT_R}), the dim "
+    f"side is replicated {D30_SALT_R}x with every salt value, and the "
+    "join runs on (key, salt) — so a hot fact key's rows land on "
+    f"{D30_SALT_R} reducers instead of one.  events.user_id is exactly "
+    "that shape: ~67 events per user at every sf (fact multiplicity "
+    "concentrated on few keys).  Why it exists when AQE skew-join is on "
+    "(session.py): AQE splits skewed partitions only at runtime on "
+    "sort-merge joins with materialized stats; salting is the "
+    "DECLARATIVE form — it also protects the first shuffle of a "
+    "streaming job or a join feeding a stateful op where AQE cannot "
+    "re-plan, and its cost model is explicit (dim replicated R-fold — "
+    "only correct when R * |dim| stays far below the fact side, the "
+    "regime where the hot key, not the dim scan, is the bottleneck).  "
+    "The join is hinted to sort-merge so the salted shape is structurally "
+    "real at test scale instead of collapsing to a broadcast "
+    "(plan-gated: SortMergeJoin on both user_id AND _salt, no "
+    "BroadcastHashJoin).  At 100 TB the same two lines are the standard "
+    "mitigation when one user/domain/url dominates the fact table.",
+    """
+    SELECT e.event_id, e.user_id, c.c_name
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    ORDER BY e.event_id
+    """,
+    ("join", "skew", "salting"),
+)
+def d30(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    fact = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(D30_SALT_R)).cast("int")
+    )
+    dim = cust.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(D30_SALT_R)]))
+    )
+    joined = fact.hint("merge").join(
+        dim,
+        (fact["user_id"] == dim["c_custkey"]) & (fact["_salt"] == dim["_salt"]),
+    )
+    return joined.select("event_id", "user_id", "c_name").orderBy("event_id")

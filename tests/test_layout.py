@@ -1,0 +1,161 @@
+"""Z-order layout: key correctness, write/read equivalence, real pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fifteenmc_spark.plans import layout
+
+BBOX = (18.40, 54.20, 18.90, 54.60)
+
+
+def _points(spark, n=500):
+    i = F.col("id")
+    minlon, minlat, maxlon, maxlat = BBOX
+    return spark.range(n).select(
+        i.cast("int").alias("point_id"),
+        (F.lit(minlon) + (((i * 37 + 11) % 193).cast("double") / 193.0) * (maxlon - minlon)).alias("lon"),
+        (F.lit(minlat) + (((i * 53 + 29) % 181).cast("double") / 181.0) * (maxlat - minlat)).alias("lat"),
+    )
+
+
+def _py_zkey(lon, lat, bbox, bits):
+    """Independent driver-side oracle of the Morton key."""
+    minlon, minlat, maxlon, maxlat = bbox
+    n = (1 << bits) - 1
+    import math
+
+    u = min(max(int(math.floor((lon - minlon) / (maxlon - minlon) * n)), 0), n)
+    v = min(max(int(math.floor((lat - minlat) / (maxlat - minlat) * n)), 0), n)
+    z = 0
+    for k in range(bits):
+        z |= ((u >> k) & 1) << (2 * k)
+        z |= ((v >> k) & 1) << (2 * k + 1)
+    return z
+
+
+def test_zorder_key_matches_python_oracle(spark):
+    rows = (
+        _points(spark, 100)
+        .withColumn("zkey", layout.zorder_key("lon", "lat", BBOX))
+        .collect()
+    )
+    for r in rows:
+        assert r["zkey"] == _py_zkey(r["lon"], r["lat"], BBOX, layout.ZORDER_BITS), r
+
+
+def test_zorder_key_locality_monotone_in_quadrant(spark):
+    """Points in the SW quadrant of the box sort strictly before points in
+    the NE quadrant — the curve property clustering relies on."""
+    minlon, minlat, maxlon, maxlat = BBOX
+    midlon, midlat = (minlon + maxlon) / 2, (minlat + maxlat) / 2
+    rows = (
+        _points(spark, 200)
+        .withColumn("zkey", layout.zorder_key("lon", "lat", BBOX))
+        .collect()
+    )
+    sw = [r["zkey"] for r in rows if r["lon"] < midlon and r["lat"] < midlat]
+    ne = [r["zkey"] for r in rows if r["lon"] >= midlon and r["lat"] >= midlat]
+    assert sw and ne
+    assert max(sw) < min(ne)
+
+
+@pytest.fixture(scope="module")
+def layout_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("zorder") / "pts")
+    layout.write_zorder_layout(_points(spark, 2000), d, BBOX)
+    return d
+
+
+QUERY_BOX = (18.55, 54.30, 18.65, 54.38)
+
+
+def test_zorder_read_equals_full_scan_filter(spark, layout_dir):
+    got = layout.read_zorder_bbox(spark, layout_dir, QUERY_BOX, BBOX)
+    qminlon, qminlat, qmaxlon, qmaxlat = QUERY_BOX
+    want = _points(spark, 2000).where(
+        (F.col("lon") >= qminlon)
+        & (F.col("lon") < qmaxlon)
+        & (F.col("lat") >= qminlat)
+        & (F.col("lat") < qmaxlat)
+    )
+    got_ids = sorted(r["point_id"] for r in got.collect())
+    want_ids = sorted(r["point_id"] for r in want.collect())
+    assert got_ids == want_ids and len(got_ids) > 0
+
+
+def test_zorder_read_prunes_partitions(spark, layout_dir):
+    """The bbox read must list strictly fewer files than the full table —
+    pruning is the layout's whole point — and the cell filter must reach
+    the scan as a partition filter, not a post-scan predicate."""
+    def files_read(df):
+        # inputFiles() lists the relation BEFORE partition pruning; the
+        # files the scan actually touches are observable at execution
+        return {r["f"] for r in df.select(F.input_file_name().alias("f")).distinct().collect()}
+
+    full_files = files_read(spark.read.parquet(layout_dir))
+    pruned = layout.read_zorder_bbox(spark, layout_dir, QUERY_BOX, BBOX)
+    # drop the residual filter so empty-but-scanned files still report: the
+    # pruning being measured is the PARTITION filter alone
+    cells = layout.zprefixes_for_bbox(QUERY_BOX, BBOX)
+    pruned_files = files_read(spark.read.parquet(layout_dir).where(F.col("zp").isin(cells)))
+    assert pruned_files and pruned_files < full_files
+    assert len(pruned_files) <= len(full_files) // 2, (
+        f"{len(pruned_files)}/{len(full_files)} files read — box covers ~4% of area"
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "zp" in plan
+
+
+def test_zorder_cell_enumeration_never_misses(spark):
+    """Every point inside ANY query box falls in an enumerated cell: sweep
+    boxes including ones aligned exactly on cell boundaries (the float
+    edge the one-quantum widening exists for)."""
+    rows = (
+        _points(spark, 500)
+        .withColumn("zkey", layout.zorder_key("lon", "lat", BBOX))
+        .withColumn("zp", layout.zprefix(F.col("zkey")))
+        .collect()
+    )
+    minlon, minlat, maxlon, maxlat = BBOX
+    cells_w = (maxlon - minlon) / (1 << layout.ZORDER_LEVELS)
+    cells_h = (maxlat - minlat) / (1 << layout.ZORDER_LEVELS)
+    boxes = [
+        QUERY_BOX,
+        # aligned exactly on depth-3 cell boundaries
+        (minlon + cells_w, minlat + cells_h, minlon + 2 * cells_w, minlat + 2 * cells_h),
+        # the full layout box
+        BBOX,
+        # a sliver at the east edge (clamp cells)
+        (maxlon - 1e-6, minlat, maxlon, maxlat),
+    ]
+    for box in boxes:
+        cells = set(layout.zprefixes_for_bbox(box, BBOX))
+        inside = [
+            r
+            for r in rows
+            if box[0] <= r["lon"] < box[2] and box[1] <= r["lat"] < box[3]
+        ]
+        for r in inside:
+            assert r["zp"] in cells, (box, r["point_id"], r["zp"])
+
+
+def test_zorder_files_cluster_disjoint_key_ranges(spark, layout_dir):
+    """Per-file zkey min/max ranges are pairwise disjoint — the clustering
+    contract row-group min/max pruning keys on (range partition on the full
+    key; the zp directory split preserves disjointness because zp is a
+    PREFIX of zkey, i.e. contiguous in key space)."""
+    stats = (
+        spark.read.parquet(layout_dir)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("zkey").alias("lo"), F.max("zkey").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(stats) > 1
+    for a, b in zip(stats, stats[1:]):
+        assert a["hi"] <= b["lo"], "file zkey ranges overlap — range clustering broken"

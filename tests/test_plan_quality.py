@@ -461,3 +461,15 @@ def test_x9_sampled_is_content_keyed_subset(spark, sf_small):
     assert samp and all(full.get(k) == v for k, v in samp.items())
     rate = len(samp) / len(full)
     assert 0.15 < rate < 0.35, rate
+
+
+def test_d30_salted_join_plan_shape(spark, sf_small):
+    """The salted join must be structurally real: a sort-merge join keyed
+    on BOTH the natural key and the salt (the property that splits a hot
+    key across reducers), never collapsed to a broadcast."""
+    df = QUERIES["d30_salted_join"].build(spark, sf_small)
+    plan = plan_of(df)
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln and "keys" in ln.lower()]
+    joined = "\n".join(smj) if smj else plan
+    assert "user_id" in joined and "_salt" in joined
