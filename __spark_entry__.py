@@ -48,6 +48,10 @@ _CHECK_FIRST = (
     "v26_serving_ivfpq_topk",
     "g6_zorder_layout",
     "d30_salted_join",
+    "t10_gopher_rules",
+    "p9_temperature_mix",
+    "x10_link_pagerank",
+    "d31_sketch_bounds",
     # newest driver row is r10 — rotate back through
     "d1_scan_filter",
     "d2_inner_join",

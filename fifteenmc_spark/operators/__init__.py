@@ -1,1 +1,1 @@
-from . import dedup, geospatial, multimodal, relational, similarity, textops  # noqa: F401
+from . import dedup, geospatial, graphrank, multimodal, relational, similarity, textops  # noqa: F401

@@ -1,0 +1,145 @@
+"""Iterative link-graph authority ranking (weighted PageRank).
+
+The 100 TB training-data use case is crawl prioritization: rank the web's
+domain link graph so the fetch frontier and the data-mixing weights favor
+authoritative domains (the Common-Crawl-style harmonic/PageRank centrality
+lists).  The testdata has no link table, so the declared query derives a
+deterministic stand-in graph with the same shape — the supplier<->customer
+trade graph from lineitem JOIN orders, edge weight = number of lineitems —
+and runs the real operator on it.
+
+Engine shape (the classic PageRank-on-Spark loop, expressed DataFrame-first):
+
+- The edge table (src, dst, w, tot_w) is built ONCE, symmetrized (an
+  undirected random walk — every node then has out-degree >= 1, so there is
+  no dangling-mass term), joined with its out-degree, and pinned with
+  ``localCheckpoint`` — it is re-read every iteration and must not replay
+  the lineitem join K times.
+- Each iteration is ONE shuffle join (ranks into edges on src) + ONE
+  aggregation (contributions by dst), both keyed consistently; at web scale
+  you pre-partition edges by src once and every iteration reuses that
+  partitioning.  Ranks are re-pinned per iteration so the lineage (and the
+  plan Catalyst must optimize) stays O(1) in K rather than O(K).
+
+Cross-engine exactness: ranks are BIGINTs at 1e9 scale and the damping
+update is pure integer arithmetic — contrib = (r * w) div tot_w, r' =
+(15*SCALE) div 100 + (85 * sum(contrib)) div 100 — so any engine reproduces
+the iteration bit-identically (no float accumulates across iterations).
+Overflow bounds: total rank mass is N*SCALE, so r*w needs N*SCALE*w_max <
+2^63 — at 1e9 nodes and w_max 1e3, shrink SCALE to 1e6 or reorder the
+contribution as (r div tot_w) * w; the testdata sits 5 orders of magnitude
+inside the bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .relational import _register
+
+PR_SCALE = 1_000_000_000  # rank fixed-point scale (1e-9 resolution)
+PR_ITERATIONS = 3
+_BASE = 15 * PR_SCALE // 100  # (1-d) * SCALE with d = 0.85, exact
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled-CTE DuckDB twin: r0 .. r{K} with the identical integer
+    update rule (DuckDB's // is floor division; all values are positive,
+    so it agrees with Spark's `div`).  SUMs are cast back to BIGINT —
+    DuckDB widens integer SUM to HUGEINT, which would be a schema
+    mismatch."""
+    parts = [
+        """
+    WITH base AS (
+      SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+             'C' || CAST(o_custkey AS VARCHAR) AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_suppkey, o_custkey),
+    e AS (SELECT src, dst, w FROM base UNION ALL SELECT dst AS src, src AS dst, w FROM base),
+    deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tot_w FROM e GROUP BY src),
+    n AS (SELECT src AS node FROM deg),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM n)""".format(scale=PR_SCALE)
+    ]
+    for i in range(1, PR_ITERATIONS + 1):
+        parts.append(
+            """
+    c{i} AS (
+      SELECT e.dst AS node, CAST(SUM((r.r * e.w) // d.tot_w) AS BIGINT) AS m
+      FROM e JOIN r{prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst),
+    r{i} AS (
+      SELECT n.node,
+             CAST({base} + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS r
+      FROM n LEFT JOIN c{i} c USING (node))""".format(i=i, prev=i - 1, base=_BASE)
+        )
+    final = """
+    SELECT node, r AS rank_scaled,
+           ROUND(CAST(r AS DOUBLE) / {scale}.0, 6) AS rank
+    FROM r{k} ORDER BY rank_scaled DESC, node
+    """.format(scale=PR_SCALE, k=PR_ITERATIONS)
+    return ",".join(parts) + final
+
+
+@_register(
+    "x10_link_pagerank",
+    f"Weighted PageRank ({PR_ITERATIONS} damped iterations, d = 0.85) over "
+    "the symmetrized supplier<->customer trade graph — the crawl-"
+    "prioritization operator (rank the domain link graph to steer the "
+    "fetch frontier / mixing weights) run on the testdata's deterministic "
+    "stand-in link graph.  Integer fixed-point ranks (1e9 scale) make the "
+    "compounding iteration engine-exact: contrib = (r*w) div tot_w, "
+    "r' = (15*S) div 100 + (85*sum) div 100 — the same scaled-BIGINT "
+    "discipline as the trained-quantizer Lloyd steps.  One shuffle join + "
+    "one aggregation per iteration; edges built once and pinned.",
+    _pagerank_oracle_sql(),
+    ("graph", "iterative", "pipeline"),
+)
+def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+            "w",
+        )
+    )
+    e = base.unionByName(base.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    deg = e.groupBy("src").agg(F.sum("w").alias("tot_w"))
+    # Pin the degree-joined edge table: it is scanned every iteration, and
+    # without the pin each loop body would replay the lineitem join (the
+    # t9/x9 kernel-executes-once idiom, applied to an iterative consumer).
+    ew = e.join(deg, "src").localCheckpoint(eager=False)
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=False)
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(PR_ITERATIONS):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select("dst", F.expr("(r * w) div tot_w").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(_BASE).cast("bigint")
+                    + F.expr(f"(85 * coalesce(m, cast(0 as bigint))) div 100")
+                ).alias("r"),
+            )
+            # cut the lineage per iteration so the optimized plan stays O(1) in K
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        F.round(F.col("r").cast("double") / float(PR_SCALE), 6).alias("rank"),
+    ).orderBy(F.desc("rank_scaled"), "node")

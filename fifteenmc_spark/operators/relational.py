@@ -1430,3 +1430,67 @@ def d30(spark, sf_dir):
         (fact["user_id"] == dim["c_custkey"]) & (fact["_salt"] == dim["_salt"]),
     )
     return joined.select("event_id", "user_id", "c_name").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# D31 sketch aggregates with bounded-error gates (HLL + approx percentile)
+# ---------------------------------------------------------------------------
+D31_HLL_RSD = 0.05  # Spark approx_count_distinct relative-sd parameter
+D31_HLL_BOUND = 0.15  # accepted |approx-exact|/exact (3 sigma of rsd=0.05)
+D31_PCT_BOUND = 0.10  # accepted relative error on the approx p50
+
+
+@_register(
+    "d31_sketch_bounds",
+    "Sketch aggregates with MEASURED error gates: per event_type, exact "
+    "distinct users and exact p50(value) alongside each engine's OWN "
+    "HyperLogLog distinct and approx-percentile sketch, emitting only the "
+    "exact values plus booleans asserting the sketch landed inside its "
+    f"documented bound ({D31_HLL_BOUND:.0%} for HLL at rsd {D31_HLL_RSD}, "
+    f"{D31_PCT_BOUND:.0%} for p50).  The sketches are the 100 TB path "
+    "(one pass, bounded memory, map-side mergeable — the exact forms "
+    "shuffle per-key state or sort within groups); this query is the "
+    "CALIBRATION twin that keeps them honest on real data, the same "
+    "measure-then-serve discipline as the ANN recall evals.  Raw sketch "
+    "estimates never cross the engine boundary (Spark's HLL++ and "
+    "DuckDB's HLL disagree by design) — only exact values and the "
+    "in-bound verdicts, which is exactly what a drift monitor stores.",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+           ABS(CAST(approx_count_distinct(user_id) AS DOUBLE)
+               - COUNT(DISTINCT user_id)) / COUNT(DISTINCT user_id)
+               < {D31_HLL_BOUND} AS hll_ok,
+           ABS(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+               / GREATEST(ABS(quantile_cont(value, 0.5)), 1e-9)
+               < {D31_PCT_BOUND} AS p50_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    ("aggregate", "sketch", "approx", "monitor"),
+)
+def d31(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile("value", F.lit(0.5)).alias("_p50"),
+        F.approx_count_distinct("user_id", rsd=D31_HLL_RSD).alias("_hll"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10_000)).alias("_ap50"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        F.round(F.col("_p50"), 4).alias("exact_p50"),
+        (
+            F.abs(F.col("_hll").cast("double") - F.col("exact_users")) / F.col("exact_users")
+            < D31_HLL_BOUND
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col("_ap50") - F.col("_p50"))
+            / F.greatest(F.abs(F.col("_p50")), F.lit(1e-9))
+            < D31_PCT_BOUND
+        ).alias("p50_ok"),
+    ).orderBy("event_type")

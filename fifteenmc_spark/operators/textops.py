@@ -1165,3 +1165,219 @@ def p8(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t10: Gopher-style quality-rule battery (per-rule flags, not a composite)
+# ---------------------------------------------------------------------------
+# Deterministic subset of the Gopher quality rules (Rae et al. 2021, §A1.1):
+# word-count bounds, mean-word-length bounds, alpha-word fraction, and the
+# stop-word presence test over Gopher's own 8-word list.  t2 is the composite
+# SCORE; t10 is the per-RULE boolean table — the debuggable form a curation
+# pipeline actually materializes (each rule's pass rate is monitorable and a
+# threshold change replays from the flags without re-tokenizing the corpus).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOP_HITS = 2
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+
+@_register(
+    "t10_gopher_rules",
+    "Gopher-style per-rule quality battery (Rae et al. 2021 §A1.1 subset): "
+    f"word count in [{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}], mean word "
+    f"length in [{GOPHER_MIN_MWL}, {GOPHER_MAX_MWL}], alpha-word fraction "
+    f">= {GOPHER_MIN_ALPHA_FRAC}, and >= {GOPHER_MIN_STOP_HITS} hits on "
+    "Gopher's 8-word stop list — emitted as one boolean column per rule "
+    "plus the conjunction, the replayable form a curation pipeline "
+    "materializes.  Scale shape: the token explode collapses to ONE row "
+    "per doc in the map-side combine (count/sum aggregates over doc_id, "
+    "and a doc's tokens never leave its scan partition), so the shuffle "
+    "carries per-doc stat rows, never token instances; empty docs rejoin "
+    "via a left join and fail every rule.  Cross-engine exactness: all "
+    "aggregates are integer; the two ratios are single binary64 divisions "
+    "of integers (correctly rounded, identical in any engine) rounded to "
+    "4 digits, and the flags are computed FROM the rounded values.",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tk
+      FROM documents WHERE TRIM(text) <> ''),
+    ag AS (
+      SELECT doc_id, COUNT(*) AS n_words, SUM(LENGTH(tk)) AS n_chars,
+             SUM(CASE WHEN regexp_matches(tk, '[A-Za-z]') THEN 1 ELSE 0 END) AS n_alpha,
+             SUM(CASE WHEN LOWER(tk) IN ({_GOPHER_STOP_SQL}) THEN 1 ELSE 0 END) AS stop_hits
+      FROM tok WHERE tk <> '' GROUP BY doc_id),
+    m AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(ag.n_words, 0) AS INT) AS n_words,
+             ROUND(CASE WHEN ag.n_words > 0
+                        THEN CAST(ag.n_chars AS DOUBLE) / ag.n_words END, 4) AS mean_word_len,
+             ROUND(CASE WHEN ag.n_words > 0
+                        THEN CAST(ag.n_alpha AS DOUBLE) / ag.n_words END, 4) AS alpha_frac,
+             CAST(COALESCE(ag.stop_hits, 0) AS INT) AS stop_hits
+      FROM documents d LEFT JOIN ag USING (doc_id)),
+    f AS (
+      SELECT m.*,
+             n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS r_words,
+             COALESCE(mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL},
+                      FALSE) AS r_word_len,
+             COALESCE(alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}, FALSE) AS r_alpha,
+             stop_hits >= {GOPHER_MIN_STOP_HITS} AS r_stop
+      FROM m)
+    SELECT f.*, (r_words AND r_word_len AND r_alpha AND r_stop) AS pass_gopher
+    FROM f ORDER BY doc_id
+    """,
+    ("text", "quality", "pipeline"),
+)
+def t10(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        d.where(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tk"))
+        .where(F.col("tk") != "")
+    )
+    ag = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words_raw"),
+        F.sum(F.length("tk")).alias("n_chars"),
+        F.sum(F.when(F.col("tk").rlike("[A-Za-z]"), 1).otherwise(0)).alias("n_alpha"),
+        F.sum(F.when(F.lower("tk").isin(*GOPHER_STOPWORDS), 1).otherwise(0)).alias(
+            "stop_hits_raw"
+        ),
+    )
+    m = (
+        d.select("doc_id")
+        .join(ag, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_words_raw"), F.lit(0)).cast("int").alias("n_words"),
+            F.when(
+                F.col("n_words_raw") > 0,
+                F.round(F.col("n_chars").cast("double") / F.col("n_words_raw"), 4),
+            ).alias("mean_word_len"),
+            F.when(
+                F.col("n_words_raw") > 0,
+                F.round(F.col("n_alpha").cast("double") / F.col("n_words_raw"), 4),
+            ).alias("alpha_frac"),
+            F.coalesce(F.col("stop_hits_raw"), F.lit(0)).cast("int").alias("stop_hits"),
+        )
+    )
+    f = m.select(
+        "*",
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias("r_words"),
+        F.coalesce(
+            F.col("mean_word_len").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL), F.lit(False)
+        ).alias("r_word_len"),
+        F.coalesce(F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC, F.lit(False)).alias("r_alpha"),
+        (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS).alias("r_stop"),
+    )
+    return f.select(
+        "*",
+        (F.col("r_words") & F.col("r_word_len") & F.col("r_alpha") & F.col("r_stop")).alias(
+            "pass_gopher"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p9: temperature-scaled source mixing (tau = 0.5)
+# ---------------------------------------------------------------------------
+_TEMPMIX_SALT = ":tempmix"  # independent of p2/p4/p8 membership
+
+
+@_register(
+    "p9_temperature_mix",
+    "Temperature-scaled data mixing, tau = 0.5: target share_s PROPORTIONAL "
+    "to src_tokens^tau (the multilingual/DoReMi-style temperature rule — "
+    "tau < 1 upweights low-resource sources relative to their natural "
+    "share; p8 is the tau = 0 uniform-budget limit, natural sampling is "
+    "tau = 1), so rate(s) = min(1, corpus_tokens * w_s / (sum_w * "
+    "src_tokens_s)) with w_s = sqrt(src_tokens_s).  Membership is the "
+    "canonical md5 ppm bucket on an independent ':tempmix' salt — "
+    "deterministic, content-independent, scan-side.  Cross-engine "
+    "exactness WITHOUT integer division: sqrt is correctly rounded by "
+    "IEEE-754 (identical binary64 in both engines), w6 = floor(sqrt * "
+    "1e6) avoids ROUND-tie ambiguity, the per-source integer sum is "
+    "exact, and the rate is one identically-ordered chain of binary64 "
+    "mult/div (each correctly rounded) floored to ppm — no accumulation-"
+    "order dependence anywhere.  Scale shape = p8's: the narrow per-doc "
+    "stats table is pinned once, the rate table is |sources| rows "
+    "broadcast back, the keep decision is scan-side.",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(COALESCE(CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END, 0) AS BIGINT)
+                 AS n_tokens,
+             CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '{_TEMPMIX_SALT}'),
+                  1, 8)) AS BIGINT) % {_PPM} AS mix_ppm
+      FROM documents),
+    per_src AS (
+      SELECT source, SUM(n_tokens) AS src_tokens,
+             CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w6
+      FROM tok GROUP BY source),
+    g AS (SELECT SUM(src_tokens) AS corpus_tokens, SUM(w6) AS totw6 FROM per_src),
+    rates AS (
+      SELECT p.source,
+             CASE WHEN p.src_tokens = 0 THEN CAST({_PPM} AS BIGINT)
+                  ELSE LEAST(CAST({_PPM} AS BIGINT),
+                       CAST(FLOOR(CAST(g.corpus_tokens AS DOUBLE) * p.w6 / g.totw6
+                                  / p.src_tokens * 1000000.0) AS BIGINT)) END AS rate_ppm
+      FROM per_src p, g)
+    SELECT t.doc_id, t.source, CAST(t.n_tokens AS INT) AS n_tokens,
+           CAST(t.mix_ppm AS INT) AS mix_ppm, CAST(r.rate_ppm AS INT) AS rate_ppm,
+           t.mix_ppm < r.rate_ppm AS kept
+    FROM tok t JOIN rates r USING (source) ORDER BY t.doc_id
+    """,
+    ("text", "mixing", "sampling", "pipeline"),
+)
+def p9(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.coalesce(T.token_count(F.col("text")).cast("bigint"), F.lit(0)).alias("n_tokens"),
+        T.split_bucket(F.col("doc_id"), salt=_TEMPMIX_SALT, mod=_PPM).alias("mix_ppm"),
+    ).localCheckpoint(eager=False)
+    per_src = tok.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens"),
+        F.floor(F.sqrt(F.sum("n_tokens").cast("double")) * 1000000.0)
+        .cast("bigint")
+        .alias("w6"),
+    )
+    g = per_src.agg(
+        F.sum("src_tokens").alias("corpus_tokens"), F.sum("w6").alias("totw6")
+    )
+    rates = per_src.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.when(F.col("src_tokens") == 0, F.lit(_PPM).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(_PPM).cast("bigint"),
+                F.floor(
+                    F.col("corpus_tokens").cast("double")
+                    * F.col("w6")
+                    / F.col("totw6")
+                    / F.col("src_tokens")
+                    * 1000000.0
+                ).cast("bigint"),
+            )
+        )
+        .alias("rate_ppm"),
+    )
+    return (
+        tok.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("mix_ppm").cast("int").alias("mix_ppm"),
+            F.col("rate_ppm").cast("int").alias("rate_ppm"),
+            (F.col("mix_ppm") < F.col("rate_ppm")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

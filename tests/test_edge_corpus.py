@@ -60,6 +60,11 @@ EDGE_QUERIES = [
     # tiny single-doc sources push corpus >= n_sources*src_tokens, so the
     # clamp-first branch of the overflow-safe rate runs on both engines
     "p8_domain_mix",
+    # t10/p9 on pathological docs: NULL/empty/whitespace-only docs rejoin
+    # with 0 words and fail every Gopher rule (t10) / contribute 0 tokens
+    # to the temperature weights (p9)
+    "t10_gopher_rules",
+    "p9_temperature_mix",
     "x1_dedup_exact",
     "x4_simhash",
     # the 64-bit family drops NULL text at the SCAN (IsNotNull pushed into
