@@ -52,6 +52,7 @@ _CHECK_FIRST = (
     "p9_temperature_mix",
     "x10_link_pagerank",
     "d31_sketch_bounds",
+    "v27_filtered_tivf_topk",
     # newest driver row is r10 — rotate back through
     "d1_scan_filter",
     "d2_inner_join",

@@ -2931,6 +2931,85 @@ def v26(spark, sf_dir):
     )
 
 
+def _filtered_tivf_topk_sql(nprobe: int, seeds: tuple) -> str:
+    """v27's oracle: _tivf_topk_sql with the metadata predicate composed
+    into the candidate join (e.label = qv.qlabel) — the filtered-search
+    twin of the serving layout."""
+    return f"""
+    WITH {_tivf_centroid_sql(TIVF_ITERS, seeds)},
+    ranked AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COS_SQL.format(a="e.embedding", b="c.cwe")} DESC, c.cid) AS rn
+      FROM embeddings e, tcw c),
+    cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cid AS cell FROM ranked
+               WHERE vec_id < {N_QUERY_VECS} AND rn <= {nprobe}),
+    qv AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel FROM embeddings
+           WHERE vec_id < {N_QUERY_VECS}),
+    cand AS (
+      SELECT p.qid, x.vec_id,
+             {_COS_SQL.format(a="qv.qe", b="e.embedding")} AS sim
+      FROM probes p
+      JOIN cells x ON x.cell = p.cell AND x.vec_id <> p.qid
+      JOIN embeddings e ON e.vec_id = x.vec_id
+      JOIN qv ON qv.qid = p.qid AND e.label = qv.qlabel),
+    rr AS (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+      FROM cand)
+    SELECT qid, vec_id, rnk, ROUND(sim, 4) AS sim
+    FROM rr WHERE rnk <= {TOP_K} ORDER BY qid, rnk
+    """
+
+
+@_register(
+    "v27_filtered_tivf_topk",
+    f"FILTERED similarity search at the serving layout: top-{TOP_K} "
+    "cosine neighbors restricted to candidates whose metadata matches "
+    "the query's (label equality here — the 'nearest within my "
+    "class/language/license bucket' query every vector store serves), "
+    f"over the {len(TIVF_SEED_POOL)}-cell trained quantizer at nprobe "
+    f"{V25_NPROBE}.  The predicate composes WITH the index instead of "
+    "post-filtering the shortlist: it lands on the candidate stream "
+    "before the cosine (Catalyst pushes the equality into the cell "
+    "join), so selectivity multiplies with the coarse filter — a query "
+    "reads nprobe/ncells of the corpus AND only the matching label "
+    "slice of it, where post-filtering a k-shortlist would starve "
+    "recall at selective predicates.  At 100 TB the label is a "
+    "partition/cluster key under the cell layout and the same plan "
+    "prunes files.  Plan shape otherwise identical to v25 (centroids "
+    "broadcast, cells the partition key).",
+    _filtered_tivf_topk_sql(V25_NPROBE, TIVF_SEED_POOL),
+    ("similarity", "ann", "ivf", "trained", "serving", "filtered", "pipeline"),
+)
+def v27(spark, sf_dir):
+    e, cells, probes = _tivf_cells_probes(spark, sf_dir, V25_NPROBE, seeds=TIVF_SEED_POOL)
+    probes = probes.drop("rn")
+    full = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    qv = full.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(full, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .where(F.col("label") == F.col("qlabel"))
+        .select("qid", "vec_id", cosine(F.col("qe"), F.col("embedding")).alias("sim"))
+    )
+    wrank = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cand.select("qid", "vec_id", "sim", F.row_number().over(wrank).alias("rnk"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id", "rnk", F.round("sim", 4).alias("sim"))
+        .orderBy("qid", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # v15: keep-one-per-cluster dedup APPLY for embeddings (p7's twin)
 # ---------------------------------------------------------------------------
@@ -3013,6 +3092,7 @@ for _name in (
     "v24_ncells_sweep",
     "v25_serving_tivf_topk",
     "v26_serving_ivfpq_topk",
+    "v27_filtered_tivf_topk",
 ):
     QUERIES[_name] = _dc.replace(QUERIES[_name], oracle=_gate_oracle(QUERIES[_name].oracle))
 del _name

@@ -89,6 +89,42 @@ def session_windows(
     )
 
 
+def sketch_distinct_monitor(
+    events: DataFrame,
+    width: str = "15 minutes",
+    watermark: str | None = WATERMARK_DEFAULT,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Windowed HLL distinct-user monitor per event_type — the STREAMING
+    twin of d31's sketch-calibration use case: the drift monitor a 100 TB
+    ingest runs continuously (a window whose distinct-user estimate jumps
+    relative to its event count signals a bot burst / dedup regression
+    upstream).  Exact COUNT(DISTINCT) is not expressible as an incremental
+    streaming aggregation without per-key state holding every id; the
+    HLL++ sketch is the bounded-state form, and because its registers
+    merge commutatively and associatively the estimate is a function of
+    the window's SET of user_ids alone — stream and batch agree EXACTLY
+    regardless of arrival order or partitioning (the stream≡batch test
+    pins equality, not approximate closeness).  d31 (batch) measures this
+    sketch's error against exact ground truth; this operator is what you
+    deploy once d31 says the bound holds."""
+    e = with_event_time(events, watermark)
+    return (
+        e.groupBy("event_type", F.window("ts", width).alias("win"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=rsd).alias("hll_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "hll_users",
+            "n_events",
+        )
+    )
+
+
 def stream_events(spark, events_dir: str, schema) -> DataFrame:
     """File-source stream over an events parquet directory — the test/demo
     entry (production would swap in Kafka with the same downstream plan)."""

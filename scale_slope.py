@@ -73,6 +73,11 @@ SLOPE_QUERIES = (
     "v17_encoding_recall",
     "v18_ivfpq_nprobe_sweep",
     "v21_tivfpq_topk",
+    # r12: the iterative family — 3 damped PageRank rounds over the trade
+    # graph; the matched 10x corpus synthesizes key-offset orders/lineitem
+    # replicas (nodes AND edges x10), so the slope measures edge-volume
+    # scaling of the join+agg iteration, not a degenerate constant graph
+    "x10_link_pagerank",
 )
 SF_LO = os.environ.get("SLOPE_SF_LO", "/root/testdata/sf0.01")
 SF_HI = os.environ.get("SLOPE_SF_HI", "/root/testdata/sf0.1")
@@ -114,9 +119,17 @@ def synth_10x(
     # two synthesized inputs, plus the factor and a method version): a
     # regenerated sf0.1 testdata invalidates the cached synth corpus
     # instead of being silently reused (r11 ADVICE).
+    # Trade tables (orders/lineitem) are synthesized ONLY for the slope's
+    # default matched-10x corpus — x10's decade — so the x5 shape corpora
+    # (matched-30/natural/sparse) keep their cached v2 markers untouched.
+    trade = vocab == "matched" and factor == SYNTH_FACTOR
+
     def _fingerprint() -> str:
         parts = [f"factor={factor}", f"method=freqweighted-v2:{vocab}"]
-        for t in ("documents", "embeddings"):
+        tables = ("documents", "embeddings") + (("orders", "lineitem") if trade else ())
+        if trade:
+            parts.append("trade=keyoffset-v1")
+        for t in tables:
             st = os.stat(os.path.join(src_dir, f"{t}.parquet"))
             parts.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
         return "\n".join(parts) + "\n"
@@ -204,6 +217,43 @@ def synth_10x(
     )
     pq.write_table(emb_tbl, os.path.join(out_dir, "embeddings.parquet"))
 
+    if trade:
+        # Key-offset replicas: each replica r shifts o_orderkey/l_orderkey,
+        # o_custkey and l_suppkey by r*stride, so the trade graph gains
+        # 10x nodes AND 10x edges with the source's degree/weight profile
+        # (disconnected replicas — PageRank mass stays per-replica, and
+        # the slope measures the engine's edge-volume scaling honestly).
+        import pyarrow.compute as pc
+
+        def _replicate(table: pa.Table, offsets: dict[str, int]) -> pa.Table:
+            # pure-pyarrow key shifting: every non-key column (dates,
+            # decimals, strings) keeps its EXACT parquet type — a pandas
+            # roundtrip would e.g. widen DATE to TIMESTAMP and break
+            # read_table's schema contract on the synth corpus
+            reps = []
+            for r in range(factor):
+                t = table
+                for col, stride in offsets.items():
+                    idx = t.schema.get_field_index(col)
+                    shifted = pc.add(t.column(col), pa.scalar(r * stride, pa.int64()))
+                    t = t.set_column(idx, t.schema.field(idx), shifted.cast(t.schema.field(idx).type))
+                reps.append(t)
+            return pa.concat_tables(reps)
+
+        ordr = pq.read_table(os.path.join(src_dir, "orders.parquet"))
+        li = pq.read_table(os.path.join(src_dir, "lineitem.parquet"))
+        ok_stride = int(pc.max(ordr.column("o_orderkey")).as_py()) + 1
+        ck_stride = int(pc.max(ordr.column("o_custkey")).as_py()) + 1
+        sk_stride = int(pc.max(li.column("l_suppkey")).as_py()) + 1
+        pq.write_table(
+            _replicate(ordr, {"o_orderkey": ok_stride, "o_custkey": ck_stride}),
+            os.path.join(out_dir, "orders.parquet"),
+        )
+        pq.write_table(
+            _replicate(li, {"l_orderkey": ok_stride, "l_suppkey": sk_stride}),
+            os.path.join(out_dir, "lineitem.parquet"),
+        )
+
     for t in TABLES:
         if t in ("documents", "embeddings"):
             continue
@@ -262,6 +312,13 @@ def main() -> None:
     # SLOPE_SHAPES_ONLY=1: keep the existing JSON's 3-point section and
     # re-run only the x5 corpus-shapes section (it iterates faster)
     shapes_only = os.environ.get("SLOPE_SHAPES_ONLY", "0") == "1"
+    # SLOPE_QUERIES_FILTER=a,b: re-run only those slope queries and MERGE
+    # their rows into the existing JSON (floors re-measured for this run
+    # and recorded under partial_update; everything else preserved)
+    qfilter = tuple(
+        q for q in os.environ.get("SLOPE_QUERIES_FILTER", "").split(",") if q
+    )
+    names = qfilter or SLOPE_QUERIES
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     sf_dirs = [SF_LO, SF_HI, synth_10x(SF_HI, SF_XHI)]
     log_rows = [0.0, 1.0, 2.0]  # relative corpus size, log10
@@ -280,7 +337,7 @@ def main() -> None:
     floors: list[float] = []
     prefilter_rows: list[dict] = []
 
-    if shapes_only:
+    if shapes_only or qfilter:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_SLOPE.json")
         with open(path) as f:
             out = json.load(f)
@@ -293,7 +350,7 @@ def main() -> None:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
-        for name in SLOPE_QUERIES:
+        for name in names:
             q = QUERIES[name]
             s_samples, d_samples = [], []
             for _ in range(runs):
@@ -307,15 +364,21 @@ def main() -> None:
             times[name].setdefault("duck", []).append(_median(d_samples))
         # evidence row for x9 mitigation (c): join-back input reduction at
         # this SF (r11 verdict item 3's "Done" condition for the 10x point)
-        from fifteenmc_spark.operators.dedup import x9_prefilter_reduction
+        if "x9_span_dedup_prefiltered" in names:
+            from fifteenmc_spark.operators.dedup import x9_prefilter_reduction
 
-        prefilter_rows.append({"sf_dir": sf_dir} | x9_prefilter_reduction(spark, sf_dir))
-    if not shapes_only:
+            prefilter_rows.append({"sf_dir": sf_dir} | x9_prefilter_reduction(spark, sf_dir))
+    if not shapes_only and not qfilter:
         out["action_floor_s"] = [round(f, 4) for f in floors]
         out["x9_prefilter_reduction"] = prefilter_rows
+    elif qfilter:
+        out["partial_update"] = {
+            "queries": list(names),
+            "action_floor_s": [round(f, 4) for f in floors],
+        }
 
     watch, superlinear = [], []
-    for name in [] if shapes_only else SLOPE_QUERIES:
+    for name in [] if shapes_only else names:
         s = times[name]["spark"]
         d = times[name]["duck"]
         s_adj = [max(t - f, 1e-3) for t, f in zip(s, floors)]
@@ -343,6 +406,16 @@ def main() -> None:
         elif worst > WATCH:
             watch.append(name)
     if not shapes_only:
+        if qfilter:
+            # recompute the classification over ALL stored rows (merged
+            # artifact), not just the re-run subset
+            superlinear, watch = [], []
+            for name, row in out["queries"].items():
+                worst = max(row["spark_exponent"], row["spark_segment_exponents"][-1])
+                if worst > SUPERLINEAR:
+                    superlinear.append(name)
+                elif worst > WATCH:
+                    watch.append(name)
         out["superlinear_spark"] = superlinear
         out["watch_spark"] = watch
     _write(out)  # persist the 3-point result BEFORE the shapes section
@@ -361,7 +434,7 @@ def main() -> None:
     #     text follows, bounded shingle df).  Spark-only, runs=1, shingle
     #     feed warmed before timing (this measures the pair join, not the
     #     tokenizer); SLOPE_X5_SHAPES=0 skips.
-    if os.environ.get("SLOPE_X5_SHAPES", "1") != "0":
+    if os.environ.get("SLOPE_X5_SHAPES", "1") != "0" and not qfilter:
         from fifteenmc_spark.operators.dedup import X5_MAX_DF, _df_stats, shingle_index
 
         volume_bound = int(os.environ.get("SLOPE_X5_VOLUME_BOUND", 1_500_000_000))

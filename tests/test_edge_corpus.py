@@ -196,3 +196,63 @@ def test_p8_rate_formula_is_overflow_safe_and_exact(spark):
         for c, n, s in cases
     ]
     assert dgot == want, (dgot, want)
+
+
+def test_p9_temperature_upweights_low_resource_sources(spark):
+    """Pins p9's tau = 0.5 semantics on a deliberately skewed corpus: the
+    keep-rate ratio rate(s) / natural_share(s) must RISE as a source
+    shrinks (the multilingual temperature-sampling property), the dominant
+    source must be down-sampled (rate < PPM), and the engine rate must
+    equal exact Python arithmetic computed the same way — sqrt weights,
+    floored ppm — on BOTH engines."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from fifteenmc_spark.operators.textops import _PPM
+
+    # (source, src_tokens): one dominant web crawl, two low-resource tails
+    sizes = {"web": 9_000_000, "books": 90_000, "code": 900}
+    corpus = sum(sizes.values())
+    w6 = {s: math.floor(math.sqrt(float(n)) * 1e6) for s, n in sizes.items()}
+    totw6 = sum(w6.values())
+    want = {
+        s: min(_PPM, math.floor(float(corpus) * w6[s] / totw6 / sizes[s] * 1e6))
+        for s in sizes
+    }
+    # temperature property on the expected rates themselves
+    assert want["web"] < _PPM
+    assert want["books"] == want["code"] == _PPM or want["books"] < want["code"]
+
+    df = spark.createDataFrame(
+        [(s, n, corpus, totw6, w6[s]) for s, n in sizes.items()],
+        "source string, src_tokens long, corpus_tokens long, totw6 long, w6 long",
+    )
+    got = {
+        r["source"]: r["rate"]
+        for r in df.select(
+            "source",
+            F.least(
+                F.lit(_PPM).cast("bigint"),
+                F.floor(
+                    F.col("corpus_tokens").cast("double")
+                    * F.col("w6")
+                    / F.col("totw6")
+                    / F.col("src_tokens")
+                    * 1000000.0
+                ).cast("bigint"),
+            ).alias("rate"),
+        ).collect()
+    }
+    assert got == want, (got, want)
+
+    con = duckdb.connect()
+    for s, n in sizes.items():
+        (dres,) = con.execute(
+            f"""SELECT LEAST(CAST({_PPM} AS BIGINT),
+                 CAST(FLOOR(CAST({corpus} AS DOUBLE) * {w6[s]} / {totw6}
+                            / {n} * 1000000.0) AS BIGINT))"""
+        ).fetchone()
+        assert dres == want[s], (s, dres, want[s])
+    con.close()

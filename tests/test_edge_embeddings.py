@@ -61,6 +61,10 @@ V_QUERIES = [
     # many seeds survive, identically on both engines
     "v25_serving_tivf_topk",
     "v26_serving_ivfpq_topk",
+    # r12: filtered search — the label predicate must compose with the
+    # validity gate (the NULL/zero/wrong-dim vectors carry labels too and
+    # must be excluded BEFORE the label match on both engines)
+    "v27_filtered_tivf_topk",
 ]
 
 

@@ -473,3 +473,27 @@ def test_d30_salted_join_plan_shape(spark, sf_small):
     smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln and "keys" in ln.lower()]
     joined = "\n".join(smj) if smj else plan
     assert "user_id" in joined and "_salt" in joined
+
+
+def test_t10_tokens_collapse_before_shuffle(spark, sf_small):
+    """t10's token explode must collapse map-side: the groupBy(doc_id)
+    aggregation shows partial+final HashAggregate pairs and no Exchange
+    carries the exploded token column (per-doc stat rows shuffle, never
+    token instances)."""
+    plan = plan_of(QUERIES["t10_gopher_rules"].build(spark, sf_small))
+    assert plan.count("HashAggregate") >= 2
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "tk#" not in ln
+
+
+def test_x10_iteration_plan_is_o1_in_k(spark, sf_small):
+    """x10 re-pins ranks every iteration: the FINAL plan must not contain
+    the lineitem scan (pinned edges) nor K nested join trees — the plan
+    string stays bounded because each iteration starts from a checkpoint,
+    not from the previous iteration's full lineage."""
+    df = QUERIES["x10_link_pagerank"].build(spark, sf_small)
+    plan = plan_of(df)
+    assert "lineitem" not in plan
+    # one rank join tree, not PR_ITERATIONS of them
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 3

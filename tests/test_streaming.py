@@ -34,8 +34,8 @@ def _sorted_pdf(df) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "builder",
-    [W.tumbling_counts, W.sliding_counts, W.session_windows],
-    ids=["tumbling", "sliding", "session"],
+    [W.tumbling_counts, W.sliding_counts, W.session_windows, W.sketch_distinct_monitor],
+    ids=["tumbling", "sliding", "session", "sketch_monitor"],
 )
 def test_stream_equals_batch(spark, events_stream_dir, builder):
     batch = _batch(spark, events_stream_dir)
