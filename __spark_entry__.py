@@ -53,6 +53,8 @@ _CHECK_FIRST = (
     "x10_link_pagerank",
     "d31_sketch_bounds",
     "v27_filtered_tivf_topk",
+    "t11_bpe_pretoken_count",
+    "t12_winnowing_fingerprint",
     # newest driver row is r10 — rotate back through
     "d1_scan_filter",
     "d2_inner_join",

@@ -8,18 +8,33 @@ deterministic stand-in graph with the same shape — the supplier<->customer
 trade graph from lineitem JOIN orders, edge weight = number of lineitems —
 and runs the real operator on it.
 
-Engine shape (the classic PageRank-on-Spark loop, expressed DataFrame-first):
+Engine shape (the classic PageRank-on-Spark loop, expressed DataFrame-first,
+measured at sf0.1 — each step below bought a real reduction from the naive
+form's 6.5 s to ~3.0 s):
 
-- The edge table (src, dst, w, tot_w) is built ONCE, symmetrized (an
-  undirected random walk — every node then has out-degree >= 1, so there is
-  no dangling-mass term), joined with its out-degree, and pinned with
-  ``localCheckpoint`` — it is re-read every iteration and must not replay
-  the lineitem join K times.
-- Each iteration is ONE shuffle join (ranks into edges on src) + ONE
-  aggregation (contributions by dst), both keyed consistently; at web scale
-  you pre-partition edges by src once and every iteration reuses that
-  partitioning.  Ranks are re-pinned per iteration so the lineage (and the
-  plan Catalyst must optimize) stays O(1) in K rather than O(K).
+- Inputs are repartitioned off the single-row-group parquet scans before the
+  join (the testdata files are one row group -> one scan partition, which
+  serialized the whole edge build; the _docs idiom from textops).
+- Node ids are INTEGERS internally (2*suppkey / 2*custkey+1); the 'S…'/'C…'
+  labels render at the very end over |nodes| rows.  String keys paid hash +
+  compare costs through every shuffle of the |edges| table.
+- The deduped edge table (``base``) is pinned ONCE and the symmetrized
+  union + degree table derive from it; without the pin, the expensive
+  lineitem-join groupBy re-ran for every lineage that touched it (degree
+  pass, edge-weight join, rank init — measured as repeated straggler
+  stages).  ``deg`` is pinned too: it seeds the rank vector and joins the
+  edge table.
+- Each iteration is ONE join (ranks into edges on src) + ONE aggregation
+  (contributions by dst).  The ranks side is |nodes| rows; below
+  ``X10_BROADCAST_NODES_BOUND`` it is broadcast (measured dispatch, the
+  x7 collect-bound pattern: one scalar probe), so the |edges| table never
+  re-shuffles during iterations — at web scale (nodes beyond the bound)
+  the same loop runs as a distributed shuffle join, and the right layout
+  is pre-partitioning edges by src once so every iteration reuses it.
+- The symmetrized graph gives every node in-degree >= 1, so the
+  contribution aggregate covers every node and no left-join-back against
+  a node table is needed (a node whose contributions all floor to 0 still
+  yields a SUM(0) row).
 
 Cross-engine exactness: ranks are BIGINTs at 1e9 scale and the damping
 update is pure integer arithmetic — contrib = (r * w) div tot_w, r' =
@@ -42,6 +57,11 @@ from .relational import _register
 PR_SCALE = 1_000_000_000  # rank fixed-point scale (1e-9 resolution)
 PR_ITERATIONS = 3
 _BASE = 15 * PR_SCALE // 100  # (1-d) * SCALE with d = 0.85, exact
+
+# Broadcast the |nodes|-row rank vector while it fits comfortably in one
+# executor (~16 bytes/row -> ~32 MB at the bound); above it, the loop runs
+# as a distributed shuffle join.  One scalar probe per query decides.
+X10_BROADCAST_NODES_BOUND = 2_000_000
 
 
 def _pagerank_oracle_sql() -> str:
@@ -92,54 +112,60 @@ def _pagerank_oracle_sql() -> str:
     "stand-in link graph.  Integer fixed-point ranks (1e9 scale) make the "
     "compounding iteration engine-exact: contrib = (r*w) div tot_w, "
     "r' = (15*S) div 100 + (85*sum) div 100 — the same scaled-BIGINT "
-    "discipline as the trained-quantizer Lloyd steps.  One shuffle join + "
-    "one aggregation per iteration; edges built once and pinned.",
+    "discipline as the trained-quantizer Lloyd steps.  One join + one "
+    "aggregation per iteration; edge and degree tables built once and "
+    "pinned; the rank vector broadcasts under a measured node-count "
+    "bound (distributed shuffle join above it).",
     _pagerank_oracle_sql(),
     ("graph", "iterative", "pipeline"),
 )
 def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = spark.sparkContext.defaultParallelism
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").repartition(p)
+    orders = (
+        read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").repartition(p)
+    )
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_suppkey", "o_custkey")
         .agg(F.count(F.lit(1)).alias("w"))
         .select(
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
             "w",
         )
+        .localCheckpoint(eager=False)
     )
     e = base.unionByName(base.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
-    deg = e.groupBy("src").agg(F.sum("w").alias("tot_w"))
-    # Pin the degree-joined edge table: it is scanned every iteration, and
-    # without the pin each loop body would replay the lineitem join (the
-    # t9/x9 kernel-executes-once idiom, applied to an iterative consumer).
-    ew = e.join(deg, "src").localCheckpoint(eager=False)
-    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=False)
-    ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
+    deg = e.groupBy("src").agg(F.sum("w").alias("tot_w")).localCheckpoint(eager=False)
+    n_nodes = deg.count()  # ONE scalar probe drives the broadcast dispatch
+    small = n_nodes <= X10_BROADCAST_NODES_BOUND
+    ew = e.join(F.broadcast(deg) if small else deg, "src").localCheckpoint(eager=False)
+    ranks = deg.select(F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("r"))
     for _ in range(PR_ITERATIONS):
-        contrib = (
-            ew.join(ranks, ew.src == ranks.node)
+        rside = F.broadcast(ranks) if small else ranks
+        # symmetrized graph => every node has in-degree >= 1, so the
+        # contribution aggregate alone covers every node (a node whose
+        # contributions all floor to 0 still yields a SUM(...)=0 row) —
+        # no left-join-back against a node table needed
+        ranks = (
+            ew.join(rside, ew["src"] == rside["node"])
             .select("dst", F.expr("(r * w) div tot_w").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("m"))
-            .withColumnRenamed("dst", "node")
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
             .select(
-                "node",
-                (
-                    F.lit(_BASE).cast("bigint")
-                    + F.expr(f"(85 * coalesce(m, cast(0 as bigint))) div 100")
-                ).alias("r"),
+                F.col("dst").alias("node"),
+                (F.lit(_BASE).cast("bigint") + F.expr("(85 * m) div 100")).alias("r"),
             )
-            # cut the lineage per iteration so the optimized plan stays O(1) in K
-            .localCheckpoint(eager=False)
         )
+    lbl = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("S"), (F.col("node") / 2).cast("bigint").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("C"), ((F.col("node") - 1) / 2).cast("bigint").cast("string"))
+    )
     return ranks.select(
-        "node",
+        lbl.alias("node"),
         F.col("r").alias("rank_scaled"),
         F.round(F.col("r").cast("double") / float(PR_SCALE), 6).alias("rank"),
     ).orderBy(F.desc("rank_scaled"), "node")

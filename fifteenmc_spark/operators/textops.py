@@ -1381,3 +1381,192 @@ def p9(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t11: BPE-style regex pre-tokenizer counts (tokenizer-aware budgeting)
+# ---------------------------------------------------------------------------
+# GPT-2-family pre-tokenizers split on category boundaries before BPE merges;
+# the merge step only ever SPLITS pre-tokens further, so the pre-token count
+# is the lower bound and the practical estimator for tokens-per-doc corpus
+# budgeting (token budgets, packing, pricing).  The pattern below is the
+# category-run core of the GPT-2 regex restricted to the Java-regex ∩ RE2
+# common subset (no lookahead — RE2 has none): contraction-suffix letter
+# runs, digit runs, punctuation runs; whitespace separates and is dropped.
+BPE_PRETOKEN_RE = "'?[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+_BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")  # escape the apostrophe for SQL literals
+
+
+@_register(
+    "t11_bpe_pretoken_count",
+    "Tokenizer-aware token counting: per doc, the whitespace token count "
+    "(t1's measure) next to the BPE-style pre-token count (GPT-2-family "
+    "category-run regex — letter runs with optional contraction "
+    "apostrophe, digit runs, punctuation runs) and the chars-per-pretoken "
+    "ratio the budgeting pipeline monitors (corpus drift in this ratio "
+    "re-prices a token budget).  Scan-side only: both counts are "
+    "regexp_extract_all lengths in one projection, no explode, no "
+    "shuffle except the final sort.  Pattern kept in the Java-regex ∩ "
+    "RE2 common subset so the oracle runs the IDENTICAL string.",
+    f"""
+    SELECT doc_id,
+           CAST(CASE WHEN TRIM(text) = '' THEN 0
+                ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS INT) AS n_ws_tokens,
+           CAST(LEN(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS INT) AS n_pretokens,
+           ROUND(CASE WHEN LEN(regexp_extract_all(text, '{_BPE_RE_SQL}')) > 0
+                      THEN CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS DOUBLE)
+                           / LEN(regexp_extract_all(text, '{_BPE_RE_SQL}')) END,
+                 4) AS chars_per_pretoken
+    FROM documents ORDER BY doc_id
+    """,
+    ("text", "tokenizer", "pipeline"),
+)
+def t11(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    pre = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0)))
+    nospace = F.length(F.regexp_replace(F.col("text"), "\\s", ""))
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("int").alias("n_ws_tokens"),
+        pre.cast("int").alias("n_pretokens"),
+        F.when(pre > 0, F.round(nospace.cast("double") / pre, 4)).alias(
+            "chars_per_pretoken"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t12: winnowing fingerprints (rolling-hash document sketch)
+# ---------------------------------------------------------------------------
+WINNOW_K = 3  # shingle width (tokens) — the rolling-hash unit
+WINNOW_W = 4  # winnowing window (shingles per window)
+
+
+@_register(
+    "t12_winnowing_fingerprint",
+    f"Winnowing document fingerprints (Schleimer et al. 2003, the MOSS "
+    f"algorithm): hash every {WINNOW_K}-token shingle (the rolling-hash "
+    f"stream), slide a {WINNOW_W}-shingle window and keep each window's "
+    "MINIMUM hash; the distinct kept hashes are the doc's fingerprint "
+    "set.  Guarantee: any shared run of >= k+w-1 tokens between two docs "
+    "shares a fingerprint, while only ~2/(w+1) of shingles are kept — "
+    "the locality-preserving sub-document sketch that x9's fixed windows "
+    "approximate with dense sampling (x9 keeps EVERY span; winnowing "
+    "keeps a content-deterministic subset with a match guarantee).  "
+    "This variant dedups by hash VALUE per doc (not position), which "
+    "preserves the guarantee.  Output: per-doc shingle count, "
+    "fingerprint count, and the md5 of the ordered fingerprint set (the "
+    "composite sketch downstream near-dup joins key on).  Scale shape: "
+    "tokens explode but the lead() shingle assembly and the window min "
+    "are both computed inside ONE (doc, pos)-sorted window pass; the "
+    "final shuffle carries (doc, fp) pairs, never text.  Cross-engine: "
+    "the hash is the canonical first-8-hex-of-md5 bigint, tie-breaks "
+    "are value-min, and the sketch concatenates sorted hash strings — "
+    "no float anywhere.",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, tk, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+      FROM (
+        SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tk,
+               generate_subscripts(string_split_regex(TRIM(text), '\\s+'), 1) AS pos
+        FROM documents WHERE TRIM(text) <> '') z
+      WHERE tk <> ''),
+    sh AS (
+      SELECT doc_id, pos,
+             tk || ' ' || LEAD(tk, 1) OVER w || ' ' || LEAD(tk, 2) OVER w AS shingle
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    h AS (
+      SELECT doc_id, pos,
+             CAST(CONCAT('0x', SUBSTR(MD5(shingle), 1, 8)) AS BIGINT) AS hash
+      FROM sh WHERE shingle IS NOT NULL),
+    wnd AS (
+      SELECT doc_id, pos,
+             MIN(hash) OVER fw AS fp,
+             COUNT(*) OVER fw AS n_in_frame
+      FROM h WINDOW fw AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM wnd WHERE n_in_frame = {WINNOW_W}),
+    agg AS (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS INT) AS n_fps,
+             MD5(STRING_AGG(CAST(f.fp AS VARCHAR), ',' ORDER BY f.fp)) AS fp_sketch
+      FROM fps f GROUP BY f.doc_id),
+    ns AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_shingles FROM h GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(ns.n_shingles, 0) AS n_shingles,
+           COALESCE(agg.n_fps, 0) AS n_fps,
+           agg.fp_sketch
+    FROM documents d
+    LEFT JOIN ns USING (doc_id) LEFT JOIN agg USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    ("text", "fingerprint", "dedup", "pipeline"),
+)
+def t12(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = (
+        d.where(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos0", "tk"),
+        )
+        .where(F.col("tk") != "")
+        .select(
+            "doc_id",
+            "tk",
+            F.row_number()
+            .over(W.partitionBy("doc_id").orderBy("pos0"))
+            .alias("pos"),
+        )
+    )
+    wlead = W.partitionBy("doc_id").orderBy("pos")
+    sh = tok.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ", F.col("tk"), F.lead("tk", 1).over(wlead), F.lead("tk", 2).over(wlead)
+        ).alias("shingle"),
+        # concat_ws skips NULLs, so tail rows would silently produce short
+        # shingles; gate on the lead availability explicitly instead
+        F.lead("tk", WINNOW_K - 1).over(wlead).isNotNull().alias("full"),
+    )
+    h = sh.where(F.col("full")).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hash"),
+    )
+    fw = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    wnd = h.select(
+        "doc_id",
+        F.min("hash").over(fw).alias("fp"),
+        F.count(F.lit(1)).over(fw).alias("n_in_frame"),
+    )
+    fps = wnd.where(F.col("n_in_frame") == WINNOW_W).select("doc_id", "fp").distinct()
+    agg = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_fps"),
+        # sort NUMERICALLY (the oracle's ORDER BY fp), then stringify —
+        # a string sort would order "10" before "9" and drift the sketch
+        F.md5(
+            F.array_join(
+                F.sort_array(F.collect_list("fp")).cast("array<string>"), ","
+            ).cast("binary")
+        ).alias("fp_sketch"),
+    )
+    ns = h.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_shingles"))
+    return (
+        d.select("doc_id")
+        .join(ns, "doc_id", "left")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_fps", F.lit(0)).alias("n_fps"),
+            "fp_sketch",
+        )
+        .orderBy("doc_id")
+    )

