@@ -55,6 +55,7 @@ _CHECK_FIRST = (
     "v27_filtered_tivf_topk",
     "t11_bpe_pretoken_count",
     "t12_winnowing_fingerprint",
+    "v28_filtered_recall",
     # newest driver row is r10 — rotate back through
     "d1_scan_filter",
     "d2_inner_join",

@@ -3010,6 +3010,82 @@ def v27(spark, sf_dir):
     )
 
 
+def _filtered_exact_sql() -> str:
+    """Exact filtered ground truth: brute-force cosine top-k restricted to
+    the query's label class — what v27's index path is measured against."""
+    return f"""
+    SELECT qid, vec_id, rnk, ROUND(sim, 4) AS sim FROM (
+      SELECT q.qid, c.vec_id,
+             {_COS_SQL.format(a="q.qe", b="c.embedding")} AS sim,
+             ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 {_COS_SQL.format(a="q.qe", b="c.embedding")} DESC, c.vec_id) AS rnk
+      FROM (SELECT vec_id AS qid, embedding AS qe, label AS qlabel FROM embeddings
+            WHERE vec_id < {N_QUERY_VECS}) q
+      JOIN embeddings c ON c.label = q.qlabel AND c.vec_id <> q.qid) z
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@_register(
+    "v28_filtered_recall",
+    f"Filtered-search eval: recall@{TOP_K} of v27 (label-predicate search "
+    "through the 16-cell serving layout) against the EXACT filtered "
+    "brute-force top-k — the measure-then-serve twin every serving "
+    "operator in this engine carries (v20 measures v19's cells, v12 "
+    "measures v11's codes; this measures what the coarse filter costs "
+    "WHEN a predicate already prunes the corpus: the label slice is "
+    "~1/|labels| of every cell, so per-cell candidate counts shrink and "
+    "the nprobe/ncells trade-off shifts — the number a vector store "
+    "tunes per-predicate-selectivity).  Per query: truth size, recovered "
+    "count, recall; one shared index pass (the v27 plan) joined against "
+    "one brute-force pass over the label slice.",
+    f"""
+    WITH gt AS ({_filtered_exact_sql()}),
+    ap AS ({_filtered_tivf_topk_sql(V25_NPROBE, TIVF_SEED_POOL)}),
+    hit AS (
+      SELECT gt.qid, gt.vec_id,
+             CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END AS got
+      FROM gt LEFT JOIN ap ON ap.qid = gt.qid AND ap.vec_id = gt.vec_id)
+    SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(got) AS BIGINT) AS n_recovered,
+           ROUND(SUM(got) * 1.0 / COUNT(*), 4) AS recall
+    FROM hit GROUP BY qid ORDER BY qid
+    """,
+    ("similarity", "ann", "eval", "filtered", "calibration", "pipeline"),
+)
+def v28(spark, sf_dir):
+    full = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    qv = full.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        F.broadcast(qv)
+        .join(full, (full.label == qv.qlabel) & (full.vec_id != qv.qid))
+        .select("qid", "vec_id", cosine(F.col("qe"), F.col("embedding")).alias("sim"))
+    )
+    wrank = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    gt = (
+        scored.select("qid", "vec_id", F.row_number().over(wrank).alias("rnk"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    ap = v27(spark, sf_dir).select("qid", F.col("vec_id").alias("ap_vec"))
+    hit = gt.join(
+        ap, (ap.qid == gt.qid) & (ap.ap_vec == gt.vec_id), "left"
+    ).select(gt.qid.alias("qid"), F.when(ap.ap_vec.isNotNull(), 1).otherwise(0).alias("got"))
+    return (
+        hit.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum("got").alias("n_recovered"),
+            F.round(F.sum("got") / F.count(F.lit(1)), 4).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
 # ---------------------------------------------------------------------------
 # v15: keep-one-per-cluster dedup APPLY for embeddings (p7's twin)
 # ---------------------------------------------------------------------------
@@ -3093,6 +3169,7 @@ for _name in (
     "v25_serving_tivf_topk",
     "v26_serving_ivfpq_topk",
     "v27_filtered_tivf_topk",
+    "v28_filtered_recall",
 ):
     QUERIES[_name] = _dc.replace(QUERIES[_name], oracle=_gate_oracle(QUERIES[_name].oracle))
 del _name

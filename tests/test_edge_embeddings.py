@@ -65,6 +65,7 @@ V_QUERIES = [
     # validity gate (the NULL/zero/wrong-dim vectors carry labels too and
     # must be excluded BEFORE the label match on both engines)
     "v27_filtered_tivf_topk",
+    "v28_filtered_recall",
 ]
 
 
