@@ -1887,14 +1887,15 @@ X9_PREFILTER_BUCKETS = 1 << 22
 X9_PREFILTER_MIN_SPANS = 1_000_000
 
 
-def _span_dup_prefiltered(spans):
-    """x9's back half WITH the singleton-hash prefilter (mitigation (c)):
-    exact df aggregate, dup-bucket flag (broadcast one-hash Bloom), span
-    table broadcast-SEMI-joined against the flag before the join-back.
-    Same answer as _span_dup by construction — see x9_prefiltered's
-    docstring for the FP analysis and saturation behavior.  ``spans``
-    must already be pinned by the caller."""
-    dup = (
+def _span_dup_table(spans):
+    """The exact-df DUP table (h, n_occ): span hashes seen in >= 2
+    distinct docs.  ONE construction shared by the serving path
+    (_span_dup_prefiltered) and the evidence measurement
+    (x9_prefilter_reduction), so the measured prefilter can never drift
+    from the shipped one.  Pinned: it feeds both the flag build and the
+    join-back (different subtrees, so exchange reuse cannot dedupe
+    them)."""
+    return (
         spans.groupBy("h")
         .agg(
             F.min("doc_id").alias("lo"),
@@ -1903,17 +1904,29 @@ def _span_dup_prefiltered(spans):
         )
         .where(F.col("lo") != F.col("hi"))
         .select("h", "n_occ")
-        # pinned: feeds BOTH the flag build and the join-back (different
-        # subtrees, so exchange reuse cannot dedupe them)
         .localCheckpoint(eager=False)
     )
+
+
+def _prefilter_spans(spans, dup):
+    """The broadcast one-hash-Bloom semi-join: keep only spans whose
+    xxhash64 bucket (mod X9_PREFILTER_BUCKETS) carries at least one DUP
+    hash.  Shared with x9_prefilter_reduction (same drift argument as
+    _span_dup_table)."""
     bkt = F.pmod(F.xxhash64("h"), F.lit(X9_PREFILTER_BUCKETS))
     flag = dup.select(bkt.alias("bkt")).distinct()
-    pre = (
-        spans.withColumn("bkt", bkt)
-        .join(F.broadcast(flag), "bkt", "leftsemi")
-        .drop("bkt")
-    )
+    return spans.withColumn("bkt", bkt).join(F.broadcast(flag), "bkt", "leftsemi").drop("bkt")
+
+
+def _span_dup_prefiltered(spans):
+    """x9's back half WITH the singleton-hash prefilter (mitigation (c)):
+    exact df aggregate, dup-bucket flag (broadcast one-hash Bloom), span
+    table broadcast-SEMI-joined against the flag before the join-back.
+    Same answer as _span_dup by construction — see x9_prefiltered's
+    docstring for the FP analysis and saturation behavior.  ``spans``
+    must already be pinned by the caller."""
+    dup = _span_dup_table(spans)
+    pre = _prefilter_spans(spans, dup)
     return (
         pre.join(dup, "h").select("doc_id", "pos", "h", "n_occ").orderBy("doc_id", "pos")
     )
@@ -1987,18 +2000,13 @@ def x9_prefilter_reduction(spark, sf_dir) -> dict:
     reduction} — the evidence row the 10x-synth bench records."""
     d = read_table(spark, sf_dir, "documents")
     spans = span_rows(d).localCheckpoint(eager=False)
-    dup = (
-        spans.groupBy("h")
-        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-        .where(F.col("lo") != F.col("hi"))
-        .select("h")
-        .localCheckpoint(eager=False)
-    )
-    bkt = F.pmod(F.xxhash64("h"), F.lit(X9_PREFILTER_BUCKETS))
-    flag = dup.select(bkt.alias("bkt")).distinct()
+    # the SAME dup-table and prefilter constructions the serving path
+    # dispatches to (shared helpers) — the evidence always measures the
+    # shipped plan
+    dup = _span_dup_table(spans)
     n_spans = spans.count()
-    n_pre = spans.withColumn("bkt", bkt).join(F.broadcast(flag), "bkt", "leftsemi").count()
-    n_dup_rows = spans.join(dup, "h", "leftsemi").count()
+    n_pre = _prefilter_spans(spans, dup).count()
+    n_dup_rows = spans.join(dup.select("h"), "h", "leftsemi").count()
     return {
         "n_spans": n_spans,
         "n_prefiltered": n_pre,

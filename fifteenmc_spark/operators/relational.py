@@ -1436,7 +1436,16 @@ def d30(spark, sf_dir):
 # D31 sketch aggregates with bounded-error gates (HLL + approx percentile)
 # ---------------------------------------------------------------------------
 D31_HLL_RSD = 0.05  # Spark approx_count_distinct relative-sd parameter
-D31_HLL_BOUND = 0.15  # accepted |approx-exact|/exact (3 sigma of rsd=0.05)
+# The verdict booleans are computed from each ENGINE'S OWN sketch and then
+# hash-compared across engines, so the bounds must hold for BOTH
+# estimators with margin: 4 sigma of rsd=0.05 for the HLLs (tail
+# probability ~6e-5 per group per engine; DuckDB's HLL typically lands
+# under 1%), and 10% of the p50 value for the percentile sketches whose
+# observed rank error at accuracy 10^4 / default t-digest is ~0.01%.
+# A regenerated-testdata round that pushes one engine's estimate past a
+# bound the other clears would surface as a driver mismatch on a correct
+# engine — the margin is what makes that a ~never event.
+D31_HLL_BOUND = 0.20  # accepted |approx-exact|/exact (4 sigma of rsd=0.05)
 D31_PCT_BOUND = 0.10  # accepted relative error on the approx p50
 
 

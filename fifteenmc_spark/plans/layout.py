@@ -119,22 +119,28 @@ def zprefixes_for_bbox(
     minlon, minlat, maxlon, maxlat = layout_bbox
     qminlon, qminlat, qmaxlon, qmaxlat = query_bbox
     n = (1 << bits) - 1
+    last = (1 << levels) - 1
     span = 1 << (bits - levels)  # quanta per cell edge
     wlon, wlat = (maxlon - minlon) / n, (maxlat - minlat) / n  # one quantum
+    inf = float("inf")
     out: list[int] = []
     for i in range(1 << levels):        # lon cell index
-        c_minlon = minlon + i * span * wlon - wlon
-        c_maxlon = minlon + (i + 1) * span * wlon + wlon
+        # The writer CLAMPS out-of-box coordinates into the edge cells
+        # (_quantize), so each edge cell owns everything beyond the layout
+        # extent on its side — its pruning extent is unbounded outward.
+        # Without this, a query box lying wholly past the layout edge
+        # would enumerate zero cells and silently drop the clamped rows
+        # the exact residual filter would have returned.
+        c_minlon = -inf if i == 0 else minlon + i * span * wlon - wlon
+        c_maxlon = inf if i == last else minlon + (i + 1) * span * wlon + wlon
         if c_maxlon <= qminlon or c_minlon >= qmaxlon:
             continue
         for j in range(1 << levels):    # lat cell index
-            c_minlat = minlat + j * span * wlat - wlat
-            c_maxlat = minlat + (j + 1) * span * wlat + wlat
+            c_minlat = -inf if j == 0 else minlat + j * span * wlat - wlat
+            c_maxlat = inf if j == last else minlat + (j + 1) * span * wlat + wlat
             if c_maxlat <= qminlat or c_minlat >= qmaxlat:
                 continue
             out.append(_interleave_int(i, j, levels))
-    # edge cells absorb clamped out-of-box rows; if the query box reaches
-    # the layout edge the clamp cells are already included by the widening
     return sorted(out)
 
 

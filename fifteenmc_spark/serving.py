@@ -46,11 +46,11 @@ DEFAULT_QUANTIZER = "trained"
 SERVING_NCELLS = 16
 SERVING_NPROBE = SERVING_NCELLS // 4  # = the calibration scan fraction
 
-# default-quantizer -> declared CALIBRATION query, per tier (the serving
-# plans run the same plan shapes at the serving layout via the
-# parameterized builders below)
-_ANN_QUERY = {"seed": "v5_ivf_topk", "trained": "v19_tivf_topk"}
-_IVFPQ_QUERY = {"seed": "v13_ivfpq_topk", "trained": "v21_tivfpq_topk"}
+# seed-quantizer ROLLBACK plans, one per tier: the trained default builds
+# the parameterized serving plan directly (ann_topk/ivfpq_topk below), so
+# these names are read ONLY on the DEFAULT_QUANTIZER='seed' branch
+_ANN_SEED_QUERY = "v5_ivf_topk"
+_IVFPQ_SEED_QUERY = "v13_ivfpq_topk"
 
 
 def serving_seeds() -> tuple:
@@ -117,7 +117,7 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if DEFAULT_QUANTIZER == "trained":
         return _tivf_topk_plan(spark, sf_dir, SERVING_NPROBE, serving_seeds())
-    return QUERIES[_ANN_QUERY["seed"]].build(spark, sf_dir)
+    return QUERIES[_ANN_SEED_QUERY].build(spark, sf_dir)
 
 
 def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,7 +137,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             nprobe=SERVING_NPROBE,
             seeds=serving_seeds(),
         )
-    return QUERIES[_IVFPQ_QUERY["seed"]].build(spark, sf_dir)
+    return QUERIES[_IVFPQ_SEED_QUERY].build(spark, sf_dir)
 
 
 def warm_session_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:

@@ -376,6 +376,10 @@ def main() -> None:
             "queries": list(names),
             "action_floor_s": [round(f, 4) for f in floors],
         }
+        if prefilter_rows:
+            # the reduction evidence was re-measured this run — replace the
+            # stale artifact rows rather than discarding minutes of work
+            out["x9_prefilter_reduction"] = prefilter_rows
 
     watch, superlinear = [], []
     for name in [] if shapes_only else names:

@@ -159,3 +159,27 @@ def test_zorder_files_cluster_disjoint_key_ranges(spark, layout_dir):
     assert len(stats) > 1
     for a, b in zip(stats, stats[1:]):
         assert a["hi"] <= b["lo"], "file zkey ranges overlap — range clustering broken"
+
+
+def test_zorder_read_beyond_layout_edge_returns_clamped_rows(spark, tmp_path_factory):
+    """The writer CLAMPS out-of-layout coordinates into edge cells, so a
+    query box lying wholly beyond the layout extent must still return the
+    out-of-box rows (edge cells own everything outward) — the documented
+    equality with a full-scan bbox filter, not an empty result."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path_factory.mktemp("zorder_edge") / "pts")
+    pts = spark.createDataFrame(
+        [(1, 18.60, 54.35), (2, 19.70, 54.35), (3, 17.20, 54.35)],
+        "point_id int, lon double, lat double",
+    )  # 2 and 3 lie outside BBOX's lon extent on either side
+    layout.write_zorder_layout(pts, d, BBOX)
+    for qbox, want in (
+        ((19.60, 54.30, 19.80, 54.40), [2]),   # wholly east of the layout
+        ((17.00, 54.30, 17.30, 54.40), [3]),   # wholly west
+        ((18.55, 54.30, 18.65, 54.40), [1]),   # interior control
+    ):
+        got = sorted(
+            r["point_id"] for r in layout.read_zorder_bbox(spark, d, qbox, BBOX).collect()
+        )
+        assert got == want, (qbox, got, want)
