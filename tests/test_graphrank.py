@@ -50,3 +50,44 @@ def test_t10_rules_carry_signal(spark, sf_small):
         .collect()[0]
     )
     assert 0 < agg["n_pass"] < agg["n"]
+
+
+def test_x10_matches_independent_python_pagerank(spark, sf_small):
+    """Algorithm-level oracle independent of BOTH engines: replay the
+    exact integer damping iteration in pure Python over the same edge
+    list (pandas-read parquet, dict arithmetic) and require bit-identical
+    rank_scaled for every node.  This pins the SEMANTICS (who contributes
+    to whom, the div order, the damping constants) separately from the
+    DuckDB twin, which shares the SQL formulation and could in principle
+    share a formulation bug."""
+    import collections
+
+    import pandas as pd
+
+    from fifteenmc_spark.operators.graphrank import _BASE, PR_ITERATIONS, PR_SCALE
+    from fifteenmc_spark.operators.relational import QUERIES
+
+    li = pd.read_parquet(f"{sf_small}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+    orders = pd.read_parquet(f"{sf_small}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    m = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    w = collections.Counter(
+        (f"S{s}", f"C{c}") for s, c in zip(m["l_suppkey"], m["o_custkey"])
+    )
+    edges = []
+    for (src, dst), k in w.items():
+        edges.append((src, dst, k))
+        edges.append((dst, src, k))
+    tot = collections.Counter()
+    for src, _, k in edges:
+        tot[src] += k
+    rank = {n: PR_SCALE for n in tot}
+    for _ in range(PR_ITERATIONS):
+        m_in = collections.defaultdict(int)
+        for src, dst, k in edges:
+            m_in[dst] += (rank[src] * k) // tot[src]
+        rank = {n: _BASE + (85 * m_in[n]) // 100 for n in tot}
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in QUERIES["x10_link_pagerank"].build(spark, sf_small).collect()
+    }
+    assert got == rank
