@@ -56,6 +56,7 @@ _CHECK_FIRST = (
     "t11_bpe_pretoken_count",
     "t12_winnowing_fingerprint",
     "v28_filtered_recall",
+    "d32_full_outer",
     # newest driver row is r10 — rotate back through
     "d1_scan_filter",
     "d2_inner_join",

@@ -1519,3 +1519,60 @@ def d31(spark, sf_dir):
             < D31_PCT_BOUND
         ).alias("p50_ok"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# D32 full outer join (completes the outer family: D2 inner, D4 left,
+# D5 semi/anti — full outer is its own shuffle shape: BOTH sides
+# null-extend, so no side can be the streamed/broadcast probe)
+# ---------------------------------------------------------------------------
+@_register(
+    "d32_full_outer",
+    "FULL OUTER join of two partial aggregates — per-customer order "
+    "spend vs event activity, where either side may be missing (the "
+    "reconciliation shape: join two independent pipelines' outputs and keep "
+    "every key from both, null-extending the absent side).  Sentinels "
+    "via COALESCE(-1/0) so the output is total.  Scale note: full outer "
+    "cannot broadcast either side (both null-extend), so it is always a "
+    "co-partitioned shuffle join — both inputs here are already "
+    "aggregated to one row per key before the join, the shape that "
+    "keeps the unavoidable shuffle minimal.",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey),
+    act AS (
+      SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT COALESCE(s.k, a.k) AS cust,
+           COALESCE(s.n_orders, 0) AS n_orders,
+           COALESCE(a.n_events, 0) AS n_events,
+           (s.k IS NOT NULL AND a.k IS NOT NULL) AS both_sides
+    FROM spend s FULL OUTER JOIN act a ON s.k = a.k
+    ORDER BY cust
+    """,
+    ("join", "outer", "null-handling"),
+)
+def d32(spark, sf_dir):
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    act = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    j = spend.join(act, spend.k == act.k, "full_outer")
+    return (
+        j.select(
+            F.coalesce(spend.k, act.k).alias("cust"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            (spend.k.isNotNull() & act.k.isNotNull()).alias("both_sides"),
+        )
+        .orderBy("cust")
+    )
