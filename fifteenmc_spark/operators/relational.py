@@ -1446,7 +1446,19 @@ D31_HLL_RSD = 0.05  # Spark approx_count_distinct relative-sd parameter
 # bound the other clears would surface as a driver mismatch on a correct
 # engine — the margin is what makes that a ~never event.
 D31_HLL_BOUND = 0.20  # accepted |approx-exact|/exact (4 sigma of rsd=0.05)
-D31_PCT_BOUND = 0.10  # accepted relative error on the approx p50
+# The p50 gate is a RANK bound, not a value bound: the sketch's p50 must
+# land inside the exact [p25, p75] band (rank error < 25%).  A value-
+# relative bound breaks on small/discrete groups — Spark's GK sketch
+# returns an ELEMENT while DuckDB's t-digest interpolates, so on an
+# 8-row group the two p50 estimates legitimately differ by ~a quartile
+# while both are rank-correct (caught by the edge-events fixture).
+# Band endpoints are order statistics of the same exact percentile form
+# both engines already agree on bit-for-bit.  Below D31_P50_MIN_N
+# non-null values the gate passes trivially: sketch error bounds are
+# asymptotic, and on a 2-element group an element-returning sketch
+# (Spark GK) and an interpolating one (DuckDB t-digest) legitimately
+# disagree about ANY interior band.
+D31_P50_MIN_N = 30
 
 
 @_register(
@@ -1455,8 +1467,10 @@ D31_PCT_BOUND = 0.10  # accepted relative error on the approx p50
     "distinct users and exact p50(value) alongside each engine's OWN "
     "HyperLogLog distinct and approx-percentile sketch, emitting only the "
     "exact values plus booleans asserting the sketch landed inside its "
-    f"documented bound ({D31_HLL_BOUND:.0%} for HLL at rsd {D31_HLL_RSD}, "
-    f"{D31_PCT_BOUND:.0%} for p50).  The sketches are the 100 TB path "
+    f"documented bound ({D31_HLL_BOUND:.0%} for HLL at rsd {D31_HLL_RSD}; "
+    "the sketch p50 must land inside the exact interquartile band — a "
+    "rank bound robust to small-group discreteness).  The sketches are "
+    "the 100 TB path "
     "(one pass, bounded memory, map-side mergeable — the exact forms "
     "shuffle per-key state or sort within groups); this query is the "
     "CALIBRATION twin that keeps them honest on real data, the same "
@@ -1470,11 +1484,11 @@ D31_PCT_BOUND = 0.10  # accepted relative error on the approx p50
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
            ABS(CAST(approx_count_distinct(user_id) AS DOUBLE)
-               - COUNT(DISTINCT user_id)) / COUNT(DISTINCT user_id)
+               - COUNT(DISTINCT user_id)) / GREATEST(COUNT(DISTINCT user_id), 1)
                < {D31_HLL_BOUND} AS hll_ok,
-           ABS(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
-               / GREATEST(ABS(quantile_cont(value, 0.5)), 1e-9)
-               < {D31_PCT_BOUND} AS p50_ok
+           (COUNT(value) < {D31_P50_MIN_N} OR approx_quantile(value, 0.5)
+               BETWEEN quantile_cont(value, 0.25) AND quantile_cont(value, 0.75))
+               AS p50_ok
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     ("aggregate", "sketch", "approx", "monitor"),
@@ -1501,7 +1515,10 @@ def d31(spark, sf_dir):
     )
     pcts = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("_p50"),
+        F.percentile("value", F.lit(0.25)).alias("_p25"),
+        F.percentile("value", F.lit(0.75)).alias("_p75"),
         F.percentile_approx("value", F.lit(0.5), F.lit(10_000)).alias("_ap50"),
+        F.count("value").alias("_nv"),
     )
     agg = counts.join(pcts, "event_type")
     return agg.select(
@@ -1510,13 +1527,16 @@ def d31(spark, sf_dir):
         "exact_users",
         F.round(F.col("_p50"), 4).alias("exact_p50"),
         (
-            F.abs(F.col("_hll").cast("double") - F.col("exact_users")) / F.col("exact_users")
+            # GREATEST(exact, 1): a group whose every user_id is NULL has
+            # exact = 0 (both sketches also 0 -> error 0, flag true) and
+            # must not divide by zero
+            F.abs(F.col("_hll").cast("double") - F.col("exact_users"))
+            / F.greatest(F.col("exact_users"), F.lit(1))
             < D31_HLL_BOUND
         ).alias("hll_ok"),
         (
-            F.abs(F.col("_ap50") - F.col("_p50"))
-            / F.greatest(F.abs(F.col("_p50")), F.lit(1e-9))
-            < D31_PCT_BOUND
+            (F.col("_nv") < D31_P50_MIN_N)
+            | F.col("_ap50").between(F.col("_p25"), F.col("_p75"))
         ).alias("p50_ok"),
     ).orderBy("event_type")
 

@@ -60,6 +60,11 @@ EVENT_QUERIES = [
     "d27_range_join",
     "d28_sessionize",
     "d29_json_extract",
+    # d31 on pathological events: NULL user_ids are ignored by both the
+    # exact COUNT DISTINCT and both engines' HLLs; NULL values are
+    # ignored by both percentile forms; the all-NULL-user group divide
+    # is guarded (GREATEST(exact, 1))
+    "d31_sketch_bounds",
 ]
 
 
