@@ -2318,8 +2318,17 @@ TIVF_ITERS = 2  # spherical-Lloyd steps over the same deterministic sample
 # k-cell trained quantizer — the first 8 ARE IVF_SEED_IDS, so the
 # ncells=8 point IS the serving quantizer and pins to v20's trained row.
 # All ids exist at every SF (vec_id < 500).
-TIVF_SEED_POOL = IVF_SEED_IDS + (17, 79, 131, 191, 241, 307, 359, 421)
-NCELLS_SWEEP = (4, 8, 16)
+# Octaves 3 and 4 (the r12 ncells=32 extension) interleave two further
+# +20/+40 offsets of the second octave — same spacing family, all ids
+# < 500 (present at every SF) and pairwise distinct (asserted).
+TIVF_SEED_POOL = (
+    IVF_SEED_IDS
+    + (17, 79, 131, 191, 241, 307, 359, 421)
+    + (37, 99, 151, 211, 261, 327, 379, 441)
+    + (57, 119, 171, 231, 281, 347, 399, 461)
+)
+assert len(set(TIVF_SEED_POOL)) == 32 and max(TIVF_SEED_POOL) < 500
+NCELLS_SWEEP = (4, 8, 16, 32)
 
 
 def _spherical_lloyd_step(samp, cw):
@@ -2831,9 +2840,13 @@ def _ncells_sweep_sql() -> str:
     "a finer filter at the same bytes read per query, IF the quantizer "
     "keeps the neighbors' cells probed — this eval measures exactly "
     "that trade on this corpus.  MEASURED (mean membership recall at "
-    "25% scan): sf0.001 0.448/0.448/0.572, sf0.01 0.436/0.500/0.520 for "
-    "ncells 4/8/16 — finer cells buy recall at the same bytes read, the "
-    "direction that justifies scaling ncells with the corpus.  Each "
+    "25% scan): sf0.001 0.448/0.448/0.572/0.600, sf0.01 "
+    "0.436/0.500/0.520/0.608 for ncells 4/8/16/32 — finer cells keep "
+    "buying recall at the same bytes read through the r12-extended "
+    "32-cell point, the direction that justifies scaling ncells with "
+    "the corpus; 32 is the measured flip candidate for the serving "
+    "layout once it passes the composed v21-shape strictly-no-worse "
+    "gate that admitted 16.  Each "
     "point trains its own quantizer from a deterministic seed pool "
     "whose first 8 ids ARE the serving quantizer's, so the ncells=8 "
     "row pins to v20's trained row (test-gated).  Same integer-exact "
@@ -2883,12 +2896,18 @@ def v24(spark, sf_dir):
 # serving.ann_topk/ivfpq_topk row-equal to v25/v26, so the dispatch
 # point and the declared queries cannot drift apart silently.
 V25_NPROBE = 4  # = SERVING_NCELLS // 4, the constant scan fraction
+# The serving layout's pool is an explicit PREFIX of the sweep pool: v24's
+# ncells axis may grow the pool (it did in r12, 16 -> 32 for the ncells=32
+# point) without silently changing the declared serving layout.  serving.py
+# asserts SERVING_NCELLS == len(V25_POOL).
+V25_NCELLS = 16
+V25_POOL = TIVF_SEED_POOL[:V25_NCELLS]
 
 
 @_register(
     "v25_serving_tivf_topk",
     f"The ANN serving DEFAULT as a declared query: trained-IVF top-{TOP_K} "
-    f"at the 16-cell SERVING layout ({len(TIVF_SEED_POOL)} spherical-"
+    f"at the 16-cell SERVING layout ({len(V25_POOL)} spherical-"
     f"k-means cells off the deterministic seed pool, nprobe {V25_NPROBE} "
     "— the same 25% scan fraction as the 8-cell calibration default, so "
     "v25 vs v19 isolates pure quantizer capacity).  This is what "
@@ -2898,11 +2917,11 @@ V25_NPROBE = 4  # = SERVING_NCELLS // 4, the constant scan fraction
     "and 0.448 -> 0.572 (sf0.001) at constant bytes read — v24's ncells "
     "axis acted on.  Plan shape identical to v19: centroids broadcast, "
     "cells the partition key, a query reads nprobe/ncells of the corpus.",
-    _tivf_topk_sql(V25_NPROBE, TIVF_SEED_POOL),
+    _tivf_topk_sql(V25_NPROBE, V25_POOL),
     ("similarity", "ann", "ivf", "trained", "serving", "pipeline"),
 )
 def v25(spark, sf_dir):
-    return _tivf_topk_plan(spark, sf_dir, V25_NPROBE, TIVF_SEED_POOL)
+    return _tivf_topk_plan(spark, sf_dir, V25_NPROBE, V25_POOL)
 
 
 @_register(
@@ -2917,7 +2936,7 @@ def v25(spark, sf_dir):
     "scan, strictly-no-worse test-gated.  Plan shape identical to "
     "v13/v21: all-equi-join, candidate cells and ADC lookup broadcast, "
     "codes never shuffle.",
-    _tivfpq_topk_sql(PQ_ITERS, N_QUERY_VECS, TIVF_SEED_POOL, V25_NPROBE),
+    _tivfpq_topk_sql(PQ_ITERS, N_QUERY_VECS, V25_POOL, V25_NPROBE),
     ("similarity", "ann", "ivf", "pq", "trained", "serving", "pipeline"),
 )
 def v26(spark, sf_dir):
@@ -2927,7 +2946,7 @@ def v26(spark, sf_dir):
         N_QUERY_VECS,
         trained=True,
         nprobe=V25_NPROBE,
-        seeds=TIVF_SEED_POOL,
+        seeds=V25_POOL,
     )
 
 
@@ -2969,7 +2988,7 @@ def _filtered_tivf_topk_sql(nprobe: int, seeds: tuple) -> str:
     "cosine neighbors restricted to candidates whose metadata matches "
     "the query's (label equality here — the 'nearest within my "
     "class/language/license bucket' query every vector store serves), "
-    f"over the {len(TIVF_SEED_POOL)}-cell trained quantizer at nprobe "
+    f"over the {len(V25_POOL)}-cell trained quantizer at nprobe "
     f"{V25_NPROBE}.  The predicate composes WITH the index instead of "
     "post-filtering the shortlist: it lands on the candidate stream "
     "before the cosine (Catalyst pushes the equality into the cell "
@@ -2980,11 +2999,11 @@ def _filtered_tivf_topk_sql(nprobe: int, seeds: tuple) -> str:
     "partition/cluster key under the cell layout and the same plan "
     "prunes files.  Plan shape otherwise identical to v25 (centroids "
     "broadcast, cells the partition key).",
-    _filtered_tivf_topk_sql(V25_NPROBE, TIVF_SEED_POOL),
+    _filtered_tivf_topk_sql(V25_NPROBE, V25_POOL),
     ("similarity", "ann", "ivf", "trained", "serving", "filtered", "pipeline"),
 )
 def v27(spark, sf_dir):
-    e, cells, probes = _tivf_cells_probes(spark, sf_dir, V25_NPROBE, seeds=TIVF_SEED_POOL)
+    e, cells, probes = _tivf_cells_probes(spark, sf_dir, V25_NPROBE, seeds=V25_POOL)
     probes = probes.drop("rn")
     full = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
     qv = full.where(F.col("vec_id") < N_QUERY_VECS).select(
@@ -3041,7 +3060,7 @@ def _filtered_exact_sql() -> str:
     "one brute-force pass over the label slice.",
     f"""
     WITH gt AS ({_filtered_exact_sql()}),
-    ap AS ({_filtered_tivf_topk_sql(V25_NPROBE, TIVF_SEED_POOL)}),
+    ap AS ({_filtered_tivf_topk_sql(V25_NPROBE, V25_POOL)}),
     hit AS (
       SELECT gt.qid, gt.vec_id,
              CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END AS got

@@ -58,9 +58,10 @@ def serving_seeds() -> tuple:
     the deterministic TIVF_SEED_POOL (whose first 8 ARE the calibration
     layout's IVF_SEED_IDS — the v24 sweep's construction, so the 8-cell
     calibration rows stay directly comparable)."""
-    from .operators.similarity import TIVF_SEED_POOL
+    from .operators.similarity import V25_POOL
 
-    return TIVF_SEED_POOL[:SERVING_NCELLS]
+    assert SERVING_NCELLS == len(V25_POOL)  # declared layout == dispatch layout
+    return V25_POOL
 
 
 def serving_cells_probes(

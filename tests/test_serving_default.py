@@ -28,6 +28,7 @@ from fifteenmc_spark.operators.similarity import (
     N_PROBE,
     N_QUERY_VECS,
     TIVF_SEED_POOL,
+    V25_POOL,
     V12_NQ,
     _emb,
     _exact_topk_v12,
@@ -87,11 +88,11 @@ def test_ivfpq_topk_default_pins_to_v26(spark, sf_small):
 
 def test_serving_centroids_are_the_16_cell_trained_table(spark, sf_small):
     cents = dict(serving.serving_centroids(spark, sf_small))
-    assert sorted(cents) == sorted(TIVF_SEED_POOL)  # 16 seed-initialized cids
+    assert sorted(cents) == sorted(V25_POOL)  # 16 seed-initialized cids
     seeds = {
         r["vec_id"]: list(r["embedding"])
         for r in _emb(spark, sf_small)
-        .where(_emb(spark, sf_small)["vec_id"].isin(*TIVF_SEED_POOL))
+        .where(_emb(spark, sf_small)["vec_id"].isin(*V25_POOL))
         .collect()
     }
     # Lloyd training moved at least one centroid off its seed vector —
@@ -102,7 +103,7 @@ def test_serving_centroids_are_the_16_cell_trained_table(spark, sf_small):
 def test_serving_cells_probes_default_equals_16_cell_trained_index(spark, sf_small):
     _, dcells, dprobes = serving.serving_cells_probes(spark, sf_small)
     _, tcells, tprobes = _tivf_cells_probes(
-        spark, sf_small, serving.SERVING_NPROBE, seeds=TIVF_SEED_POOL
+        spark, sf_small, serving.SERVING_NPROBE, seeds=V25_POOL
     )
     assert _rows(dcells) == _rows(tcells)
     assert _rows(dprobes) == _rows(tprobes)
