@@ -416,7 +416,6 @@ def test_x9_prefilter_drops_singletons_and_plan_shape(spark, sf_small):
     assert red["reduction"] > 0.5, red  # most sf-corpus spans are singletons
     df = QUERIES["x9_span_dedup_prefiltered"].build(spark, sf_small)
     tree = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in tree and "LeftSemi" in tree
     assert "CartesianProduct" not in tree
     # kernel pinned exactly as x9's: no tokenize/window downstream, no
     # parquet re-scan — every consumer reads the checkpointed span table
@@ -424,24 +423,45 @@ def test_x9_prefilter_drops_singletons_and_plan_shape(spark, sf_small):
     assert "Scan parquet" not in tree
 
 
-def test_x9_default_dispatch_branches(spark, sf_small, monkeypatch):
-    # x9's default dispatches on the span count (the x5_capped
-    # precedent: both branches compute the SAME answer).  Below the
-    # crossover the plain back half runs (no semi join); forcing the
-    # threshold to 0 fires the prefiltered branch — same rows, and the
-    # plan now carries the broadcast LeftSemi membership test.
+def test_x9_narrow_key_shape_and_collision_exactness(spark, sf_small, monkeypatch):
+    # r13 contract: the corpus-sized aggregate keys on h60 (the 60-bit
+    # BIGINT projection of the span md5) — the 32-char hex string never
+    # crosses a corpus-sized exchange (r12 verdict: the engine's heaviest
+    # per-row shuffle at 100 TB).  Structural shape: the candidate-bucket
+    # Bloom is a broadcast LeftSemi, always on (no size dispatch), and
+    # exactness is restored by a second aggregate on the full md5 over
+    # the tiny candidate set.
     from fifteenmc_spark.operators import dedup as D
 
-    assert D.X9_PREFILTER_MIN_SPANS > 100_000  # sf fixtures stay plain
-    df_plain = QUERIES["x9_span_dedup"].build(spark, sf_small)
-    assert "LeftSemi" not in df_plain._jdf.queryExecution().executedPlan().toString()
-    rows_plain = sorted(map(tuple, df_plain.collect()))
+    df = QUERIES["x9_span_dedup"].build(spark, sf_small)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    # the narrow key is computed ONCE, inside the checkpointed kernel —
+    # no conv()/substring-of-md5 re-derivation downstream of the pin
+    assert "conv(" not in tree
+    assert "h60" in tree  # the checkpointed span table carries the BIGINT key
+    # the semi-join sits inside the candidate checkpoint; assert its
+    # shape on the subtree the pin would otherwise hide: broadcast
+    # LeftSemi on the bounded bucket flag, aggregate keyed on h60 (the
+    # hex string appears nowhere — the kernel stores BINARY hb)
+    from fifteenmc_spark.io import read_table
 
-    monkeypatch.setattr(D, "X9_PREFILTER_MIN_SPANS", 0)
-    df_pre = QUERIES["x9_span_dedup"].build(spark, sf_small)
-    tree = df_pre._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in tree and "BroadcastHashJoin" in tree
-    assert rows_plain and sorted(map(tuple, df_pre.collect())) == rows_plain
+    spans = D._pack_spans(
+        D.span_rows(read_table(spark, sf_small, "documents").select("doc_id", "text"))
+    ).localCheckpoint(eager=False)
+    ctree = D._span_candidates(spans)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in ctree and "BroadcastHashJoin" in ctree
+    assert "h60" in ctree and "CartesianProduct" not in ctree
+    rows = sorted(map(tuple, df.collect()))
+    assert rows
+
+    # exactness-by-construction: shrink the narrow key to FOUR BITS so
+    # nearly every span collides in phase 1 — the phase-2 exact-md5 dup
+    # test must still produce the identical answer (collisions and Bloom
+    # false positives only ever widen the candidate set, never the
+    # result)
+    monkeypatch.setattr(D, "X9_KEY_HEX", 1)
+    df_collide = QUERIES["x9_span_dedup"].build(spark, sf_small)
+    assert sorted(map(tuple, df_collide.collect())) == rows
 
 
 def test_x9_sampled_is_content_keyed_subset(spark, sf_small):
