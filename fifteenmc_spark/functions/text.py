@@ -16,7 +16,17 @@ from pyspark.sql import functions as F
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "de", "la", "el", "le", "und", "der")
 
 PUNCT_RE = "[^a-zA-Z0-9 ]"
-TOKEN_SPLIT_RE = "\\s+"
+
+# Java's \s is exactly [ \t\n\x0B\f\r]; RE2's \s omits \x0B (vertical
+# tab), so a document containing \x0B silently diverged token splits and
+# t11's pre-token counts between the Spark plan and the DuckDB oracle
+# (r12 ADVICE).  Every tokenization/normalization regex — here AND in the
+# oracle SQL strings — spells the class out so the two engines share ONE
+# character set.  The explicit class equals Java's \s, so Spark-side
+# semantics (and every golden md5/fingerprint derived from them) are
+# unchanged; only the oracle side gains \x0B.
+WS_CHARS = " \\t\\n\\x0B\\f\\r"
+TOKEN_SPLIT_RE = f"[{WS_CHARS}]+"
 
 
 def tokens(col) -> Column:
@@ -43,7 +53,7 @@ def punct_ratio(col) -> Column:
 
 def mean_token_len(col) -> Column:
     """Mean token length = (chars excluding whitespace) / token count."""
-    nchars = F.length(F.regexp_replace(col, "\\s", "")).cast("double")
+    nchars = F.length(F.regexp_replace(col, "[ \\t\\n\\x0B\\f\\r]", "")).cast("double")
     ntok = token_count(col).cast("double")
     return F.when(ntok > 0, nchars / ntok).otherwise(F.lit(0.0))
 
@@ -72,7 +82,7 @@ def fingerprint64(col) -> Column:
     """Document fingerprint: xxhash64 of normalized text (lower, collapse
     whitespace).  Used for exact-dup detection at scale; one 8-byte key per
     doc instead of shipping full text through the shuffle."""
-    norm = F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(col)), "[ \\t\\n\\x0B\\f\\r]+", " ")
     return F.xxhash64(norm)
 
 

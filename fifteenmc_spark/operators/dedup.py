@@ -48,10 +48,10 @@ def d_spark_parallelism(spark) -> int:
 
 
 def _norm_text(col):
-    return F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(col)), "[ \\t\\n\\x0B\\f\\r]+", " ")
 
 
-_NORM_SQL = "REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')"
+_NORM_SQL = "REGEXP_REPLACE(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')"
 
 
 _shingle_udfs: dict = {}  # per-distinct-flag pandas UDFs, built lazily
@@ -1695,7 +1695,7 @@ def span_rows(d):
     0.39 s for the sf0.1 corpus pass (same rows, bit-identical md5)."""
     toks = (
         d.where(F.trim(F.col("text")) != "")
-        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk"))
+        .select("doc_id", F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+").alias("tk"))
         .where(F.size("tk") >= SPAN_W)
     )
     return toks.select(
@@ -1834,7 +1834,7 @@ def _span_dup(spans):
 
 _X9_ORACLE = f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS tk
+      SELECT doc_id, string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS tk
       FROM documents WHERE TRIM(text) <> ''),
     sp AS (
       SELECT doc_id, CAST(i AS INT) AS pos,
@@ -1927,7 +1927,7 @@ X9_SAMPLE_NIBBLES = ("0", "1", "2", "3")
     "a fixed oracle contract exists to forbid.",
     f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS tk
+      SELECT doc_id, string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS tk
       FROM documents WHERE TRIM(text) <> ''),
     sp AS (
       SELECT doc_id, CAST(i AS INT) AS pos,

@@ -1520,7 +1520,13 @@ def d31(spark, sf_dir):
         F.percentile_approx("value", F.lit(0.5), F.lit(10_000)).alias("_ap50"),
         F.count("value").alias("_nv"),
     )
-    agg = counts.join(pcts, "event_type")
+    # null-safe equality: a NULL event_type group is retained by GROUP BY
+    # in both engines (and by the oracle's single GROUP BY), so the
+    # join-back must not silently drop it — <=> matches NULL to NULL
+    # where a plain inner join would discard the row (r12 ADVICE; the
+    # key is renamed on one side because both frames share ev's lineage)
+    pcts = pcts.withColumnRenamed("event_type", "_et")
+    agg = counts.join(pcts, F.expr("event_type <=> _et")).drop("_et")
     return agg.select(
         "event_type",
         "n_events",

@@ -2327,7 +2327,13 @@ TIVF_SEED_POOL = (
     + (37, 99, 151, 211, 261, 327, 379, 441)
     + (57, 119, 171, 231, 281, 347, 399, 461)
 )
-assert len(set(TIVF_SEED_POOL)) == 32 and max(TIVF_SEED_POOL) < 500
+# raise, not assert: this pool-integrity invariant must survive python -O
+# (r12 ADVICE — bare asserts vanish under optimized bytecode)
+if len(set(TIVF_SEED_POOL)) != 32 or max(TIVF_SEED_POOL) >= 500:
+    raise ValueError(
+        "TIVF_SEED_POOL must be 32 pairwise-distinct vec_ids < 500 "
+        f"(got {len(set(TIVF_SEED_POOL))} distinct, max {max(TIVF_SEED_POOL)})"
+    )
 NCELLS_SWEEP = (4, 8, 16, 32)
 
 

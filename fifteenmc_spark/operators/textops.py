@@ -42,7 +42,7 @@ def _docs(spark, sf_dir):
     """
     SELECT doc_id,
            CAST(CASE WHEN TRIM(text) = '' THEN 0
-                ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS INT) AS n_tokens,
+                ELSE LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS INT) AS n_tokens,
            CAST(LENGTH(text) AS INT) AS n_chars_calc
     FROM documents ORDER BY doc_id
     """,
@@ -70,8 +70,8 @@ def t1(spark, sf_dir):
       SELECT doc_id,
              CAST(LENGTH(text) AS DOUBLE) AS n,
              CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS n_clean,
-             CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS DOUBLE) AS n_nospace,
-             CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS n_tok
+             CAST(LENGTH(REGEXP_REPLACE(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE) AS n_nospace,
+             CAST(LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE) AS n_tok
       FROM documents)
     SELECT doc_id,
            ROUND((
@@ -174,14 +174,14 @@ def t3(spark, sf_dir):
     "xxhash64 in the hot path; md5 here because the oracle must agree).",
     """
     SELECT doc_id,
-           MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+           MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
     FROM documents ORDER BY doc_id
     """,
     ("text", "pipeline", "dedup"),
 )
 def t4(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+", " ")
     return d.select("doc_id", F.md5(norm.cast("binary")).alias("fp")).orderBy("doc_id")
 
 
@@ -196,7 +196,7 @@ def t4(spark, sf_dir):
     SELECT source, lang, COUNT(*) AS docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            ROUND(CAST(SUM(CAST(CASE WHEN TRIM(text) = '' THEN 0
-                          ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS BIGINT)) AS DOUBLE)
+                          ELSE LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT)) AS DOUBLE)
                  / COUNT(*), 4) AS avg_tokens
     FROM documents GROUP BY source, lang ORDER BY source, lang
     """,
@@ -234,7 +234,7 @@ def t5(spark, sf_dir):
     """
     WITH fp AS (
       SELECT doc_id, lang, source, text,
-             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
       FROM documents),
     canon AS (
       SELECT doc_id, lang, source, text
@@ -244,10 +244,10 @@ def t5(spark, sf_dir):
       SELECT doc_id, lang, source,
              CAST(LENGTH(text) AS DOUBLE) AS n,
              CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS n_clean,
-             CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS DOUBLE) AS n_nospace,
-             CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS n_tok,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE) AS n_nospace,
+             CAST(LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE) AS n_tok,
              CASE WHEN TRIM(text) = '' THEN 0
-                  ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens
+                  ELSE LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens
       FROM canon),
     q AS (
       SELECT lang, source, n_tokens,
@@ -279,7 +279,7 @@ def p1(spark, sf_dir):
     # score-after-dedup because the canonical filter keeps whole rows —
     # each surviving row's score is computed from its own raw text.
     d = read_table(spark, sf_dir, "documents")
-    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ").cast("binary"))
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+", " ").cast("binary"))
     scored = d.select(
         "doc_id",
         "lang",
@@ -364,7 +364,7 @@ PACK_BUDGET_TOKENS = 2048
     WITH tok AS (
       SELECT doc_id, source,
              CAST(CASE WHEN TRIM(text) = '' THEN 0
-                  ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS BIGINT) AS n_tokens
+                  ELSE LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT) AS n_tokens
       FROM documents)
     SELECT doc_id, source, n_tokens,
            CAST(FLOOR(
@@ -464,7 +464,7 @@ VOCAB_TOP_K = 20
     "first stage of tokenizer/BPE training and corpus drift monitoring.",
     f"""
     WITH tok AS (
-      SELECT lang, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS token
+      SELECT lang, UNNEST(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) AS token
       FROM documents WHERE TRIM(text) <> ''),
     counts AS (
       SELECT lang, token, COUNT(*) AS cnt
@@ -518,8 +518,8 @@ def t6(spark, sf_dir):
           list_transform(generate_series(1, LEN(toks) - 2),
                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
         ELSE [norm] END) AS s
-      FROM (SELECT doc_id, REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm,
-                   string_split(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM (SELECT doc_id, REGEXP_REPLACE(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS norm,
+                   string_split(REGEXP_REPLACE(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ') AS toks
             FROM documents
             WHERE text IS NOT NULL))
     SELECT doc_id,
@@ -769,7 +769,7 @@ def chunk_dedup(
     "shuffles only hashes.",
     f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\\s+') AS t FROM documents),
+      SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents),
     chunks AS (
       SELECT doc_id, i AS ci,
              array_to_string(t[(i*{CHUNK_W}+1):(i*{CHUNK_W}+{CHUNK_W})], ' ') AS s
@@ -947,7 +947,7 @@ def length_quantiles_ranged(tok):
     WITH tok AS (
       SELECT source, doc_id,
              CAST(COALESCE(CASE WHEN TRIM(text) = '' THEN 0
-                  ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END, 0) AS BIGINT) AS v
+                  ELSE LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) END, 0) AS BIGINT) AS v
       FROM documents),
     r AS (
       SELECT source, v,
@@ -994,7 +994,7 @@ def t8(spark, sf_dir):
     "accumulation order (the _isum4 discipline at 6 digits).",
     """
     WITH tok AS (
-      SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS token
+      SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) AS token
       FROM documents WHERE TRIM(text) <> ''),
     dt AS (
       SELECT doc_id, token, COUNT(*) AS k
@@ -1094,7 +1094,7 @@ _PPM = 1_000_000
     WITH tok AS (
       SELECT doc_id, source,
              CAST(COALESCE(CASE WHEN TRIM(text) = '' THEN 0
-                  ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END, 0) AS BIGINT)
+                  ELSE LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) END, 0) AS BIGINT)
                  AS n_tokens,
              CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '{_DOMAINMIX_SALT}'),
                   1, 8)) AS BIGINT) % {_PPM} AS mix_ppm
@@ -1205,7 +1205,7 @@ _GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     "4 digits, and the flags are computed FROM the rounded values.",
     f"""
     WITH tok AS (
-      SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tk
+      SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tk
       FROM documents WHERE TRIM(text) <> ''),
     ag AS (
       SELECT doc_id, COUNT(*) AS n_words, SUM(LENGTH(tk)) AS n_chars,
@@ -1311,7 +1311,7 @@ _TEMPMIX_SALT = ":tempmix"  # independent of p2/p4/p8 membership
     WITH tok AS (
       SELECT doc_id, source,
              CAST(COALESCE(CASE WHEN TRIM(text) = '' THEN 0
-                  ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END, 0) AS BIGINT)
+                  ELSE LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) END, 0) AS BIGINT)
                  AS n_tokens,
              CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '{_TEMPMIX_SALT}'),
                   1, 8)) AS BIGINT) % {_PPM} AS mix_ppm
@@ -1393,7 +1393,7 @@ def p9(spark, sf_dir):
 # category-run core of the GPT-2 regex restricted to the Java-regex ∩ RE2
 # common subset (no lookahead — RE2 has none): contraction-suffix letter
 # runs, digit runs, punctuation runs; whitespace separates and is dropped.
-BPE_PRETOKEN_RE = "'?[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+BPE_PRETOKEN_RE = "'?[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]+"
 _BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")  # escape the apostrophe for SQL literals
 
 
@@ -1411,10 +1411,10 @@ _BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")  # escape the apostrophe for SQ
     f"""
     SELECT doc_id,
            CAST(CASE WHEN TRIM(text) = '' THEN 0
-                ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS INT) AS n_ws_tokens,
+                ELSE LEN(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS INT) AS n_ws_tokens,
            CAST(LEN(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS INT) AS n_pretokens,
            ROUND(CASE WHEN LEN(regexp_extract_all(text, '{_BPE_RE_SQL}')) > 0
-                      THEN CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS DOUBLE)
+                      THEN CAST(LENGTH(REGEXP_REPLACE(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                            / LEN(regexp_extract_all(text, '{_BPE_RE_SQL}')) END,
                  4) AS chars_per_pretoken
     FROM documents ORDER BY doc_id
@@ -1424,7 +1424,7 @@ _BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")  # escape the apostrophe for SQ
 def t11(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     pre = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0)))
-    nospace = F.length(F.regexp_replace(F.col("text"), "\\s", ""))
+    nospace = F.length(F.regexp_replace(F.col("text"), "[ \\t\\n\\x0B\\f\\r]", ""))
     return d.select(
         "doc_id",
         T.token_count(F.col("text")).cast("int").alias("n_ws_tokens"),
@@ -1467,8 +1467,8 @@ WINNOW_W = 4  # winnowing window (shingles per window)
     WITH tok AS (
       SELECT doc_id, tk, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
       FROM (
-        SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tk,
-               generate_subscripts(string_split_regex(TRIM(text), '\\s+'), 1) AS pos
+        SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tk,
+               generate_subscripts(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
         FROM documents WHERE TRIM(text) <> '') z
       WHERE tk <> ''),
     sh AS (

@@ -60,7 +60,13 @@ def serving_seeds() -> tuple:
     calibration rows stay directly comparable)."""
     from .operators.similarity import V25_POOL
 
-    assert SERVING_NCELLS == len(V25_POOL)  # declared layout == dispatch layout
+    # raise, not assert: declared layout == dispatch layout must survive
+    # python -O (r12 ADVICE — bare asserts vanish under optimized bytecode)
+    if SERVING_NCELLS != len(V25_POOL):
+        raise RuntimeError(
+            f"serving layout drift: SERVING_NCELLS={SERVING_NCELLS} but the "
+            f"declared v25 pool has {len(V25_POOL)} cells"
+        )
     return V25_POOL
 
 

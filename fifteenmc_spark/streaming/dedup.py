@@ -30,7 +30,7 @@ from .windows import WATERMARK_DEFAULT, with_event_time
 
 # same normalization as operators/dedup.py x1 (the batch-declared twin)
 def _fingerprint(text_col) -> "F.Column":
-    return F.md5(F.regexp_replace(F.lower(F.trim(text_col)), "\\s+", " ").cast("binary"))
+    return F.md5(F.regexp_replace(F.lower(F.trim(text_col)), "[ \\t\\n\\x0B\\f\\r]+", " ").cast("binary"))
 
 
 def canonical_docs(docs: DataFrame) -> DataFrame:

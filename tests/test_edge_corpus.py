@@ -38,6 +38,12 @@ EDGE_DOCS = [
     (9, None, "en", "srcC"),
     (10, "the quick brown fox jumps over the lazy dog", "en", "srcC"),
     (11, " lead and trail space ", "en", "srcD"),
+    # vertical tab (\x0B): Java's \s matches it, RE2's \s does not — every
+    # tokenization/normalization regex spells the whitespace class out
+    # ([ \t\n\x0B\f\r]) on BOTH engines so this doc splits identically
+    # (r12 ADVICE; the divergence hit t11's pre-token counts and every
+    # \s+ token split)
+    (12, "vertical\x0btab and\x0bmore tokens", "en", "srcD"),
 ]
 
 EDGE_QUERIES = [

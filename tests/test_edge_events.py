@@ -48,6 +48,12 @@ EDGE_EVENTS = [
     (9, _t(10, 1), 2, "purchase", 9.0, '{"k": 87, "extra": [1,2]}'),
     (10, dt.datetime(1969, 12, 31, 23, 59), 3, "click", 1.5, '{"k": 5}'),
     (11, _t(10), 1, "click", 2.5, '{"k": 6}'),
+    # NULL event_type: GROUP BY retains the NULL group in both engines, so
+    # every grouped query must carry it through joins/windows — d31's
+    # counts-pcts join-back is null-safe equality for exactly this row
+    # pair (r12 ADVICE: a plain inner join would silently drop the group)
+    (12, _t(20), 4, None, 3.5, '{"k": 7}'),
+    (13, _t(21), 5, None, 4.5, None),
 ]
 
 EVENT_QUERIES = [
