@@ -56,7 +56,7 @@ _CHECK_FIRST = (
     "v20_tivf_recall",
     "v21_tivfpq_topk",
     # new in r13 — never driver-checked
-    # (names appended here as queries land this round)
+    "v29_adaptive_filtered_topk",
     # newest driver row is r11 — rotate back through
     "d9_cube",
     "d24_correlated_subquery",

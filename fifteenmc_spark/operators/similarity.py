@@ -2895,34 +2895,40 @@ def v24(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # v25/v26: the SERVING layout as declared queries (driver-attested)
 # ---------------------------------------------------------------------------
-# The layout serving.py dispatches to (SERVING_NCELLS=16 trained cells,
-# nprobe 4 = the calibration default's 25% scan fraction — the r12 flip
-# v24 measured).  Declared here so the layout a user actually gets is
-# DRIVER-ATTESTED, not only test-gated; test_serving_default pins
+# The layout serving.py dispatches to (SERVING_NCELLS=32 trained cells,
+# nprobe 8 = the calibration default's 25% scan fraction — the r13 flip,
+# acting on v24's r12 ncells=32 extension exactly as r12 acted on 16:
+# composed v21-shape recall@5 0.408 -> 0.460 (sf0.01) and 0.400 -> 0.404
+# (sf0.001), membership recall 0.520 -> 0.608 / 0.572 -> 0.600, all at
+# the same 25% of the index read per query, strictly-no-worse test-gated
+# in test_serving_default).  Declared here so the layout a user actually
+# gets is DRIVER-ATTESTED, not only test-gated; test_serving_default pins
 # serving.ann_topk/ivfpq_topk row-equal to v25/v26, so the dispatch
 # point and the declared queries cannot drift apart silently.
-V25_NPROBE = 4  # = SERVING_NCELLS // 4, the constant scan fraction
+V25_NPROBE = 8  # = SERVING_NCELLS // 4, the constant scan fraction
 # The serving layout's pool is an explicit PREFIX of the sweep pool: v24's
 # ncells axis may grow the pool (it did in r12, 16 -> 32 for the ncells=32
 # point) without silently changing the declared serving layout.  serving.py
-# asserts SERVING_NCELLS == len(V25_POOL).
-V25_NCELLS = 16
+# guards SERVING_NCELLS == len(V25_POOL).  Rolling back = 16 here + in
+# serving.SERVING_NCELLS.
+V25_NCELLS = 32
 V25_POOL = TIVF_SEED_POOL[:V25_NCELLS]
 
 
 @_register(
     "v25_serving_tivf_topk",
     f"The ANN serving DEFAULT as a declared query: trained-IVF top-{TOP_K} "
-    f"at the 16-cell SERVING layout ({len(V25_POOL)} spherical-"
+    f"at the SERVING layout ({len(V25_POOL)} spherical-"
     f"k-means cells off the deterministic seed pool, nprobe {V25_NPROBE} "
     "— the same 25% scan fraction as the 8-cell calibration default, so "
     "v25 vs v19 isolates pure quantizer capacity).  This is what "
     "serving.ann_topk returns (row-equality pinned in "
     "test_serving_default); v19 stays the 8-cell calibration baseline.  "
-    "Measured at the r12 flip: membership recall 0.500 -> 0.520 (sf0.01) "
-    "and 0.448 -> 0.572 (sf0.001) at constant bytes read — v24's ncells "
-    "axis acted on.  Plan shape identical to v19: centroids broadcast, "
-    "cells the partition key, a query reads nprobe/ncells of the corpus.",
+    "Measured at the r13 flip to 32 cells (v24's ncells axis acted on, "
+    "again): membership recall 0.520 -> 0.608 (sf0.01) and "
+    "0.572 -> 0.600 (sf0.001) at constant bytes read.  Plan shape "
+    "identical to v19: centroids broadcast, cells the partition key, a "
+    "query reads nprobe/ncells of the corpus.",
     _tivf_topk_sql(V25_NPROBE, V25_POOL),
     ("similarity", "ann", "ivf", "trained", "serving", "pipeline"),
 )
@@ -2934,14 +2940,14 @@ def v25(spark, sf_dir):
     "v26_serving_ivfpq_topk",
     f"The codes-only (IVFADC) serving DEFAULT as a declared query: "
     f"trained-IVF x raw PQ codes x exact shortlist re-rank at the "
-    f"16-cell SERVING layout (nprobe {V25_NPROBE}, constant 25% scan "
-    "fraction).  This is what serving.ivfpq_topk returns (row-equality "
-    "pinned in test_serving_default); v21 stays the 8-cell calibration "
-    "baseline.  Measured at the r12 flip: composed recall@5 "
-    "0.380 -> 0.408 (sf0.01) and 0.332 -> 0.400 (sf0.001) at equal "
-    "scan, strictly-no-worse test-gated.  Plan shape identical to "
-    "v13/v21: all-equi-join, candidate cells and ADC lookup broadcast, "
-    "codes never shuffle.",
+    f"{len(V25_POOL)}-cell SERVING layout (nprobe {V25_NPROBE}, constant "
+    "25% scan fraction).  This is what serving.ivfpq_topk returns "
+    "(row-equality pinned in test_serving_default); v21 stays the 8-cell "
+    "calibration baseline.  Measured at the r13 flip to 32 cells: "
+    "composed recall@5 0.408 -> 0.460 (sf0.01) and 0.400 -> 0.404 "
+    "(sf0.001) at equal scan, strictly-no-worse test-gated.  Plan shape "
+    "identical to v13/v21: all-equi-join, candidate cells and ADC lookup "
+    "broadcast, codes never shuffle.",
     _tivfpq_topk_sql(PQ_ITERS, N_QUERY_VECS, V25_POOL, V25_NPROBE),
     ("similarity", "ann", "ivf", "pq", "trained", "serving", "pipeline"),
 )
@@ -3112,6 +3118,157 @@ def v28(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# v29: per-predicate probe dispatch for filtered serving (v28 acted on)
+# ---------------------------------------------------------------------------
+# The dispatch rule v28's measurement motivates: a filtered query's
+# candidate stream is the label slice of the probed cells, ~cnt(label) x
+# nprobe / ncells rows, and when that falls under the shortlist the
+# re-rank starves (v28 measures the recall cost).  Target a constant
+# candidate budget of FILTERED_SHORTLIST_MULT x TOP_K per query and
+# solve for the probe count, clamped to [serving nprobe, ncells]:
+#   nprobe(label) = clamp(ceil(MULT*TOP_K*ncells / max(cnt-1, 1)),
+#                         base_nprobe, ncells)
+# Selective predicates (small slices) probe MORE cells; at-or-above the
+# budget the dispatch is inert and serving stays at the layout's 25%
+# scan.  Monotone-safe: a deeper probe list only ever GROWS a query's
+# candidate set, and exact re-rank of a superset cannot lose recall
+# against the exact filtered truth — the strictly-no-worse gate in
+# test_serving_default measures it anyway (the v20/v24 discipline on
+# the predicate axis).
+FILTERED_SHORTLIST_MULT = 4
+
+
+def _label_nprobe(full, ncells: int, base_nprobe: int):
+    """(label, npl): the per-label probe count under the budget rule.
+    One tiny aggregate over the gated embeddings (|labels| rows,
+    broadcastable), integer-exact in both engines: ceil-div spelled as
+    FLOOR((t + eff - 1) / eff) on values far inside double precision."""
+    target = FILTERED_SHORTLIST_MULT * TOP_K * ncells
+    cnt = full.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    eff = F.greatest(F.col("cnt") - F.lit(1), F.lit(1))
+    npl = F.least(
+        F.lit(ncells),
+        F.greatest(
+            F.lit(base_nprobe),
+            F.floor((F.lit(target) + eff - F.lit(1)) / eff).cast("int"),
+        ),
+    )
+    return cnt.select("label", npl.cast("int").alias("npl"))
+
+
+def _adaptive_filtered_topk_plan(
+    spark, sf_dir, nq: int = N_QUERY_VECS, seeds: tuple = None, base_nprobe: int = None
+):
+    """v27's filtered plan with the per-label probe dispatch: probes are
+    built to the FULL cell list (rn <= ncells) once, then each query
+    keeps rn <= npl(its label).  Everything that scales with the corpus
+    is unchanged from v27 — centroids/probes/npl broadcast, cells the
+    partition key, the label predicate composed into the candidate
+    stream before the cosine."""
+    seeds = V25_POOL if seeds is None else seeds
+    base_nprobe = V25_NPROBE if base_nprobe is None else base_nprobe
+    e, cells, probes = _tivf_cells_probes(spark, sf_dir, len(seeds), nq, seeds=seeds)
+    full = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    npl = _label_nprobe(full, len(seeds), base_nprobe)
+    qv = (
+        full.where(F.col("vec_id") < nq)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("label").alias("qlabel"),
+        )
+        .join(F.broadcast(npl), F.col("qlabel") == F.col("label"))
+        .drop("label")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(F.broadcast(qv), "qid")
+        .where(F.col("rn") <= F.col("npl"))
+        .join(cells, "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(full, "vec_id")
+        .where(F.col("label") == F.col("qlabel"))
+        .select("qid", "vec_id", cosine(F.col("qe"), F.col("embedding")).alias("sim"))
+    )
+    wrank = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cand.select("qid", "vec_id", "sim", F.row_number().over(wrank).alias("rnk"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id", "rnk", F.round("sim", 4).alias("sim"))
+        .orderBy("qid", "rnk")
+    )
+
+
+def _adaptive_filtered_sql(seeds: tuple, base_nprobe: int, nq: int = N_QUERY_VECS) -> str:
+    """v29's oracle: _filtered_tivf_topk_sql with the probe depth joined
+    per query label off the same integer budget rule."""
+    target = FILTERED_SHORTLIST_MULT * TOP_K * len(seeds)
+    return f"""
+    WITH {_tivf_centroid_sql(TIVF_ITERS, seeds)},
+    ranked AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COS_SQL.format(a="e.embedding", b="c.cwe")} DESC, c.cid) AS rn
+      FROM embeddings e, tcw c),
+    cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+    lc AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label),
+    np AS (
+      SELECT label,
+             LEAST({len(seeds)}, GREATEST({base_nprobe},
+               CAST(FLOOR(({target} + GREATEST(cnt - 1, 1) - 1) * 1.0
+                          / GREATEST(cnt - 1, 1)) AS BIGINT))) AS npl
+      FROM lc),
+    qv AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel FROM embeddings
+           WHERE vec_id < {nq}),
+    probes AS (
+      SELECT r.vec_id AS qid, r.cid AS cell
+      FROM ranked r
+      JOIN qv ON qv.qid = r.vec_id
+      JOIN np ON np.label = qv.qlabel
+      WHERE r.rn <= np.npl),
+    cand AS (
+      SELECT p.qid, x.vec_id,
+             {_COS_SQL.format(a="qv.qe", b="e.embedding")} AS sim
+      FROM probes p
+      JOIN cells x ON x.cell = p.cell AND x.vec_id <> p.qid
+      JOIN embeddings e ON e.vec_id = x.vec_id
+      JOIN qv ON qv.qid = p.qid AND e.label = qv.qlabel),
+    rr AS (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+      FROM cand)
+    SELECT qid, vec_id, rnk, ROUND(sim, 4) AS sim
+    FROM rr WHERE rnk <= {TOP_K} ORDER BY qid, rnk
+    """
+
+
+@_register(
+    "v29_adaptive_filtered_topk",
+    f"Filtered serving with PER-PREDICATE probe dispatch (v28's "
+    "measurement acted on, the v20/v24 measure-then-flip discipline on "
+    "the predicate axis): v27's label-filtered search, but each query's "
+    "probe depth scales with its predicate's selectivity — "
+    f"nprobe(label) = clamp(ceil({FILTERED_SHORTLIST_MULT}*{TOP_K}*"
+    "ncells / (slice-1)), serving nprobe, ncells), targeting a constant "
+    f"{FILTERED_SHORTLIST_MULT}x-shortlist candidate budget per query.  "
+    "A selective label (slice smaller than the budget at the serving "
+    "scan fraction) probes more cells instead of starving the re-rank; "
+    "an unselective one keeps the layout's 25% scan, so the dispatch is "
+    "inert exactly when v28 measures no recall cost.  The rule is "
+    "monotone-safe (a deeper probe list only grows the exact-re-ranked "
+    "candidate set) and strictly-no-worse gated against the fixed-nprobe "
+    "v27 in test_serving_default.  Scale shape unchanged from v27: the "
+    "selectivity table is one |labels|-row broadcast aggregate, probes/"
+    "centroids broadcast, cells the partition key; at 100 TB the same "
+    "per-label counts come from table statistics instead of a scan.",
+    _adaptive_filtered_sql(V25_POOL, V25_NPROBE),
+    ("similarity", "ann", "ivf", "trained", "serving", "filtered", "dispatch", "pipeline"),
+)
+def v29(spark, sf_dir):
+    return _adaptive_filtered_topk_plan(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # v15: keep-one-per-cluster dedup APPLY for embeddings (p7's twin)
 # ---------------------------------------------------------------------------
 @_register(
@@ -3195,6 +3352,7 @@ for _name in (
     "v26_serving_ivfpq_topk",
     "v27_filtered_tivf_topk",
     "v28_filtered_recall",
+    "v29_adaptive_filtered_topk",
 ):
     QUERIES[_name] = _dc.replace(QUERIES[_name], oracle=_gate_oracle(QUERIES[_name].oracle))
 del _name

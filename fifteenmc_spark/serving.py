@@ -30,20 +30,22 @@ from pyspark.sql import DataFrame, SparkSession
 # entire rollback.
 DEFAULT_QUANTIZER = "trained"
 
-# The serving CELL COUNT (r11 verdict item 2, acting on what v24
-# measured): ncells is the knob that grows with the corpus at 100 TB
-# (FAISS sizes it ~sqrt(N)), and v24 measured finer cells buying recall
-# at CONSTANT scan fraction — membership recall 0.500 -> 0.520 (sf0.01)
-# and 0.448 -> 0.572 (sf0.001) moving 8 -> 16 cells at 25% of the index
-# read.  The composed v21-shape check agrees: IVFADC recall@5
-# 0.380 -> 0.408 (sf0.01) and 0.332 -> 0.400 (sf0.001) at the same
-# 25% scan (test-gated strictly-no-worse in test_serving_default.py).
+# The serving CELL COUNT (r11/r12/r13 verdict chain, acting on what v24
+# measures each round): ncells is the knob that grows with the corpus at
+# 100 TB (FAISS sizes it ~sqrt(N)), and each v24 extension has measured
+# finer cells buying recall at CONSTANT scan fraction.  8 -> 16 (r12
+# flip): membership recall 0.500 -> 0.520 (sf0.01), 0.448 -> 0.572
+# (sf0.001).  16 -> 32 (r13 flip): membership 0.520 -> 0.608 (sf0.01),
+# 0.572 -> 0.600 (sf0.001); composed v21-shape IVFADC recall@5
+# 0.408 -> 0.460 (sf0.01) and 0.400 -> 0.404 (sf0.001) at the same 25%
+# scan (test-gated strictly-no-worse in test_serving_default.py).
 # SERVING_NPROBE holds the scan fraction at the 8-cell default's
 # nprobe/ncells = 2/8: a serving query still reads 25% of the index —
 # the recall gain is pure quantizer capacity, not extra bytes.  The
 # declared queries v19/v21 stay on the 8-cell layout as calibration
-# baselines with unchanged oracles; rolling back = SERVING_NCELLS = 8.
-SERVING_NCELLS = 16
+# baselines with unchanged oracles; rolling back = SERVING_NCELLS = 16
+# here + V25_NCELLS = 16 in similarity.py.
+SERVING_NCELLS = 32
 SERVING_NPROBE = SERVING_NCELLS // 4  # = the calibration scan fraction
 
 # seed-quantizer ROLLBACK plans, one per tier: the trained default builds
@@ -89,6 +91,21 @@ def serving_cells_probes(
     if DEFAULT_QUANTIZER == "trained":
         return _tivf_cells_probes(spark, sf_dir, mp, q, seeds=serving_seeds())
     return _ivf_cells_probes(spark, sf_dir, mp, q)
+
+
+def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILTERED ANN serving default: label-predicate search at the
+    serving layout with the per-predicate probe dispatch (v29 — v28's
+    recall measurement acted on).  Each query's probe depth scales with
+    its label slice's selectivity under a constant candidate budget,
+    clamped to [SERVING_NPROBE, SERVING_NCELLS]; unselective predicates
+    serve at exactly the fixed-nprobe v27 plan.  Row-equality pinned to
+    the declared query v29 in test_serving_default."""
+    from .operators.similarity import _adaptive_filtered_topk_plan
+
+    return _adaptive_filtered_topk_plan(
+        spark, sf_dir, seeds=serving_seeds(), base_nprobe=SERVING_NPROBE
+    )
 
 
 def serving_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
