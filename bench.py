@@ -14,9 +14,13 @@ diagnosable without a judge re-run).
 Timing = full execution through a noop sink — every output column is
 materialized (a bare count() would let Catalyst prune unprojected
 columns and under-measure).  Per-query numbers are MEDIANS of
-$BENCH_RUNS (default 3) runs on BOTH engines, with [min, max] spreads
+$BENCH_RUNS (default 3) samples on BOTH engines, with [min, max] spreads
 recorded in BENCH_full.json — single-run and best-of-N numbers both
 made round-over-round deltas unreadable against ±2x host-load noise.
+Since r13 the samples are scheduled as $BENCH_RUNS time-separated
+FULL-SUITE passes (same total work), and the per-query min across
+passes is recorded as queries_min / queries_min_floor_adj — the
+load-robust columns a round-over-round comparison should use.
 
 Session-index semantics (stated for honesty): queries sharing a
 session-index feed (operators/session_index.py — signature tables, IVF
@@ -118,33 +122,47 @@ def main() -> None:
     # polluted by exactly that.  The per-query median is the recorded
     # number; the [min, max] spread goes to BENCH_full.json so a
     # round-over-round delta can be read against the run's own noise band.
+    #
+    # Since r13 the N samples are scheduled as N FULL-SUITE PASSES rather
+    # than N back-to-back runs (r12 verdict item 5: two same-tree r12
+    # suites differed 12% on the shared-query total — back-to-back
+    # samples share one load regime, so a transient host-load plateau
+    # moves all of a query's samples together and the median absorbs the
+    # plateau, not the query).  Same total work, but a query's samples
+    # are now separated by a whole suite (~minutes), so queries_min —
+    # the per-query min across passes — is the load-robust column a
+    # round-over-round comparison should use (with the floor-adjusted
+    # twin queries_min_floor_adj).
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     # Per-query error isolation: one broken query must never lose the whole
     # round's perf recording (r4 lost BENCH entirely to a single exception).
     # Failures record null and the line carries bench_partial + the errors.
-    timings: dict[str, float | None] = {}
-    spreads: dict[str, list[float]] = {}
-    run1: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {name: [] for name in QUERIES}
     errors: dict[str, str] = {}
-    for name, q in QUERIES.items():
-        samples: list[float] = []
-        # try/except PER RUN: a query that succeeds on run 1 but flakes on a
-        # later run keeps its valid timings instead of recording null (the
-        # error is still noted for the record)
-        for _ in range(runs):
+    for _pass in range(runs):
+        for name, q in QUERIES.items():
+            # try/except PER RUN: a query that succeeds on pass 1 but
+            # flakes later keeps its valid timings instead of recording
+            # null (the error is still noted for the record)
             try:
                 t0 = time.perf_counter()
                 df = q.build(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - t0)
+                all_samples[name].append(time.perf_counter() - t0)
             except Exception as e:  # noqa: BLE001 — record and keep benching
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
                 print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
+    timings: dict[str, float | None] = {}
+    spreads: dict[str, list[float]] = {}
+    mins: dict[str, float] = {}
+    run1: dict[str, float] = {}
+    for name, samples in all_samples.items():
         timings[name] = round(_median(samples), 4) if samples else None
         if samples:
             spreads[name] = [round(min(samples), 4), round(max(samples), 4)]
-            # run-1 sample recorded separately: whichever query touches a
-            # session-index feed first pays the build in run 1 and runs
+            mins[name] = round(min(samples), 4)
+            # pass-1 sample recorded separately: whichever query touches a
+            # session-index feed first pays the build in pass 1 and runs
             # warm after, so median-vs-run1 is the cold/warm split a
             # cross-round history comparison needs to separate cache
             # amortization from real plan changes (r8 ADVICE)
@@ -165,6 +183,12 @@ def main() -> None:
         # session floor, not with plan changes (r11 verdict item 6)
         "queries_floor_adj": {
             k: round(max(v - floor, 1e-3), 4) for k, v in ok.items()
+        },
+        # min across the time-separated passes + its floor-adjusted twin:
+        # the load-robust round-over-round columns (r12 verdict item 5)
+        "queries_min": mins,
+        "queries_min_floor_adj": {
+            k: round(max(v - floor, 1e-3), 4) for k, v in mins.items()
         },
         "sf": sf,
         "action_floor_s": round(floor, 4),
@@ -195,32 +219,35 @@ def main() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
         duck: dict[str, float] = {}
         duck_spreads: dict[str, list[float]] = {}
-        for name, q in QUERIES.items():
-            if q.oracle is None:
-                continue
-            # median-of-N on the oracle side too: the recorded ratio's
-            # denominator was single-run, and DuckDB's run-to-run noise at
-            # sf0.1 measured ±20-40% (the r7 history note).  try/except
-            # PER RUN, matching the Spark loop: a flake on run 3 keeps the
-            # valid samples already collected instead of dropping the
-            # query from the ratio set.
-            d_samples: list[float] = []
-            for _ in range(runs):
+        duck_mins: dict[str, float] = {}
+        # median-of-N on the oracle side too — and, matching the Spark
+        # loop since r13, N full-suite PASSES instead of back-to-back
+        # runs, so the per-query min is load-robust on both sides of the
+        # ratio.  try/except PER RUN: a flake on pass 3 keeps the valid
+        # samples already collected instead of dropping the query from
+        # the ratio set.
+        oracle_qs = {name: q for name, q in QUERIES.items() if q.oracle is not None}
+        d_all: dict[str, list[float]] = {name: [] for name in oracle_qs}
+        for _pass in range(runs):
+            for name, q in oracle_qs.items():
                 try:
                     t0 = time.perf_counter()
                     con.execute(q.oracle).fetchall()
-                    d_samples.append(time.perf_counter() - t0)
+                    d_all[name].append(time.perf_counter() - t0)
                 except Exception as e:  # noqa: BLE001
                     errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:300]
                     out["bench_partial"] = True
                     out["bench_errors"] = errors
+        for name, d_samples in d_all.items():
             if d_samples:
                 duck[name] = round(_median(d_samples), 4)
                 duck_spreads[name] = [
                     round(min(d_samples), 4),
                     round(max(d_samples), 4),
                 ]
+                duck_mins[name] = round(min(d_samples), 4)
         out["duckdb_queries_spread"] = duck_spreads
+        out["duckdb_queries_min"] = duck_mins
         # ratio over queries where BOTH sides succeeded, so a one-sided
         # failure can't skew the numerator/denominator mismatch
         both = [k for k in duck if timings.get(k) is not None]
