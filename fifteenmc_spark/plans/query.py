@@ -98,6 +98,13 @@ def point_reachability(
     Output: category, dist_m, time_s, poi_id.  Empty result if the point
     cannot be snapped."""
     snapped = snap_mod.snap_single_point(nodes, lon, lat, max_snap_m=max_snap_m)
+    return _reach_at_snap(reach, snapped, radius_m, categories)
+
+
+def _reach_at_snap(reach, snapped, radius_m, categories):
+    """The post-snap half of G7, shared by the full-scan and z-ordered
+    entry points: per-category reach rows at the snapped node within
+    radius (P5/P6), sorted by distance (O2)."""
     if snapped is None:
         return reach.select("category", "dist_m", "time_s", "poi_id").limit(0)
     node_idx, _ = snapped
@@ -109,6 +116,32 @@ def point_reachability(
         .select("category", "dist_m", "time_s", "poi_id")
         .orderBy("dist_m", "category")
     )
+
+
+def point_reachability_zordered(
+    spark,
+    reach: DataFrame,
+    nodes_layout_path: str,
+    layout_bbox: tuple[float, float, float, float],
+    lon: float,
+    lat: float,
+    radius_m: float = 1000.0,
+    categories: list[str] | None = None,
+    max_snap_m: float = MAX_SNAP_M_DEFAULT,
+) -> DataFrame:
+    """G7 served end-to-end from the z-ordered geo layout: the snap (J4)
+    reads only the quadtree cells intersecting the max_snap_m disc around
+    the query point (partition-pruned file listing — see
+    snap.snap_single_point_zordered), and the reach lookup is the same
+    node-keyed filter as point_reachability.  Same rows as the full-scan
+    form by construction; this closes the loop plans/layout.py promises —
+    the reference re-runs ``osmium extract`` over the planet file per
+    bbox, the Spark answer writes the node table once (write_zorder_layout)
+    and serves every later point query from the pruned read."""
+    snapped = snap_mod.snap_single_point_zordered(
+        spark, nodes_layout_path, layout_bbox, lon, lat, max_snap_m=max_snap_m
+    )
+    return _reach_at_snap(reach, snapped, radius_m, categories)
 
 
 def point_to_point_path(

@@ -135,3 +135,48 @@ def snap_single_point(
     if max_snap_m is not None and row["dist_m"] > max_snap_m:
         return None
     return int(row["node_idx"]), float(row["dist_m"])
+
+
+# WGS84 polar radius — the SMALLEST earth radius any engine path uses, so a
+# max_snap_m disc converted to degrees with it always CONTAINS the disc the
+# exact haversine (R=6371000) measures: the pruned read can only over-scan,
+# never drop the true nearest node
+_R_MIN_M = 6_356_752.3
+
+
+def snap_single_point_zordered(
+    spark,
+    layout_path: str,
+    layout_bbox: tuple[float, float, float, float],
+    lon: float,
+    lat: float,
+    max_snap_m: float = 300.0,
+    bits: int | None = None,
+    levels: int | None = None,
+) -> tuple[int, float] | None:
+    """J4 served from the z-ordered node layout (plans/layout.py): instead
+    of scanning the full node table per point query — the Spark shape of
+    the reference's per-bbox ``osmium extract`` re-run — read ONLY the
+    quadtree cells intersecting the max_snap_m disc around the query point
+    (a partition-pruned file listing), then run the exact snap on that
+    slice.  Identical contract to snap_single_point with max_snap_m set:
+    every node within max_snap_m of the point lies inside the pruned box
+    by construction (degree box derived with the smallest earth radius, so
+    it contains the haversine disc), and nodes beyond it can only lose the
+    TakeOrdered or fall to the max_snap_m gate — same winner, same None.
+
+    At 100 TB this is the difference between a point query touching a
+    handful of files and touching the planet table."""
+    import math
+
+    from . import layout as layout_mod
+
+    bits = layout_mod.ZORDER_BITS if bits is None else bits
+    levels = layout_mod.ZORDER_LEVELS if levels is None else levels
+    dlat = max_snap_m / _R_MIN_M * 180.0 / math.pi
+    dlon = dlat / max(math.cos(math.radians(lat)), 1e-9)
+    box = (lon - dlon, lat - dlat, lon + dlon, lat + dlat)
+    nodes = layout_mod.read_zorder_bbox(
+        spark, layout_path, box, layout_bbox, bits=bits, levels=levels
+    )
+    return snap_single_point(nodes, lon, lat, max_snap_m=max_snap_m)

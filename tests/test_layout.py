@@ -183,3 +183,111 @@ def test_zorder_read_beyond_layout_edge_returns_clamped_rows(spark, tmp_path_fac
             r["point_id"] for r in layout.read_zorder_bbox(spark, d, qbox, BBOX).collect()
         )
         assert got == want, (qbox, got, want)
+
+
+# ---------------------------------------------------------------------------
+# The geo serving composition (r12 verdict item 6): graph_nodes written
+# through the z-order layout, the G7 point query / J4 snap served from the
+# pruned read — identical results, strictly fewer files touched.
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def geo_layout(spark, tmp_path_factory):
+    from fifteenmc_spark.plans import graph_build
+
+    from . import geo_fixtures as gf
+
+    nodes_pdf = gf.lattice_nodes()
+    edges_pdf = gf.lattice_edges_raw(nodes_pdf)
+    gnodes, _ = graph_build.build_graph(
+        spark.createDataFrame(nodes_pdf),
+        graph_build.clean_walkable_edges(spark.createDataFrame(edges_pdf)),
+    )
+    gnodes = gnodes.cache()
+    # a real deployment sizes the layout bbox to the data extent (the
+    # fixture lattice spans ~2 km of the 0.5-degree test BBOX — laid out
+    # over BBOX it would occupy one quadtree cell and there would be
+    # nothing to prune)
+    ext = gnodes.agg(
+        F.min("lon"), F.max("lon"), F.min("lat"), F.max("lat")
+    ).first()
+    gbox = (float(ext[0]), float(ext[2]), float(ext[1]), float(ext[3]))
+    d = str(tmp_path_factory.mktemp("zorder_geo") / "graph_nodes")
+    layout.write_zorder_layout(gnodes, d, gbox)
+    return {"gnodes": gnodes, "path": d, "bbox": gbox}
+
+
+def test_zordered_snap_equals_full_scan_snap(spark, geo_layout):
+    from fifteenmc_spark.plans import snap
+
+    probes = [r for r in geo_layout["gnodes"].limit(200).collect()][::37]
+    assert probes
+    for r in probes:
+        lon, lat = float(r["lon"]) + 1e-4, float(r["lat"]) - 1e-4
+        full = snap.snap_single_point(geo_layout["gnodes"], lon, lat, max_snap_m=300.0)
+        pruned = snap.snap_single_point_zordered(
+            spark, geo_layout["path"], geo_layout["bbox"], lon, lat, max_snap_m=300.0
+        )
+        assert pruned == full, (lon, lat, pruned, full)
+    # the None contract survives pruning: a point farther than max_snap_m
+    # from every node returns None on both paths (10.0, 50.0 is far
+    # outside the lattice — the fixture test_snap_single_point's probe)
+    assert snap.snap_single_point_zordered(
+        spark, geo_layout["path"], geo_layout["bbox"], 10.0, 50.0, max_snap_m=300.0
+    ) is None
+
+
+def test_zordered_snap_prunes_files(spark, geo_layout):
+    """The point query's observed file set shrinks on the z-ordered node
+    table: the snap-disc bbox lists strictly fewer files than the layout
+    holds (execution-observed, the same evidence as the fact-table test)."""
+    import math
+
+    from fifteenmc_spark.plans.snap import _R_MIN_M
+
+    # probe from the CENTER of the layout (an edge cell's pruning extent
+    # is unbounded outward by design, which would under-measure pruning)
+    minlon, minlat, maxlon, maxlat = geo_layout["bbox"]
+    lon, lat = (minlon + maxlon) / 2, (minlat + maxlat) / 2
+    dlat = 60.0 / _R_MIN_M * 180.0 / math.pi
+    dlon = dlat / math.cos(math.radians(lat))
+    box = (lon - dlon, lat - dlat, lon + dlon, lat + dlat)
+
+    def files_read(df):
+        return {x["f"] for x in df.select(F.input_file_name().alias("f")).distinct().collect()}
+
+    full_files = files_read(spark.read.parquet(geo_layout["path"]))
+    cells = layout.zprefixes_for_bbox(box, geo_layout["bbox"])
+    pruned_files = files_read(
+        spark.read.parquet(geo_layout["path"]).where(F.col("zp").isin(cells))
+    )
+    assert pruned_files and pruned_files < full_files
+    assert len(pruned_files) <= len(full_files) // 2, (
+        f"{len(pruned_files)}/{len(full_files)} files for a 60 m disc"
+    )
+
+
+def test_zordered_point_reachability_equals_full_scan(spark, geo_layout):
+    """G7 end-to-end from the layout: same rows as the full-scan form.
+    The reach table is node-keyed (not spatial), so a fabricated reach
+    exercises the exact post-snap path without the Dijkstra build."""
+    from fifteenmc_spark.plans import query as query_mod
+
+    reach = spark.createDataFrame(
+        [
+            (int(r["node_idx"]), cat, float(50 + 10 * k), float(5 + k), 1000 + k)
+            for k, r in enumerate(geo_layout["gnodes"].limit(50).collect())
+            for cat in ("shop", "park")
+        ],
+        "node_idx int, category string, dist_m double, time_s double, poi_id long",
+    )
+    r = geo_layout["gnodes"].limit(1).collect()[0]
+    lon, lat = float(r["lon"]) + 1e-4, float(r["lat"]) + 1e-4
+    full = query_mod.point_reachability(
+        reach, geo_layout["gnodes"], lon, lat, radius_m=1000.0
+    )
+    pruned = query_mod.point_reachability_zordered(
+        spark, reach, geo_layout["path"], geo_layout["bbox"], lon, lat, radius_m=1000.0
+    )
+    got_full = [tuple(x) for x in full.collect()]
+    got_pruned = [tuple(x) for x in pruned.collect()]
+    assert got_pruned == got_full
