@@ -174,3 +174,45 @@ def topk_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def filtered_topk_stream(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cells: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    k: int = TOP_K,
+    ttl_ms: int = STATE_TTL_MS,
+) -> DataFrame:
+    """v27's ONLINE form — filtered serving for a query stream: each
+    arriving (qid, qe, qlabel) gets its top-k over the probed cells of
+    the static index RESTRICTED to candidates whose metadata matches the
+    query's (label equality, the 'nearest within my class/language/
+    license bucket' query).  The predicate composes INTO the stream-
+    static candidate join before the cosine — exactly v27's plan shape,
+    so selectivity multiplies with the coarse filter instead of
+    post-filtering a shortlist (which starves recall at selective
+    predicates).  ``corpus`` is (vec_id, embedding, label); everything
+    else matches topk_stream — the same O(k)-state merge serves both, so
+    the filtered tier inherits the retroactive-merge and TTL semantics.
+    Stream≡batch is pinned to the declared v27 in test_streaming."""
+    probed = queries.select(
+        "qid",
+        "qe",
+        "qlabel",
+        F.explode(probe_cells_col(centroids, nprobe)(F.col("qe"))).alias("cell"),
+    )
+    indexed = cells.join(corpus, "vec_id")  # static side: (vec_id, cell, embedding, label)
+    cand = (
+        probed.join(indexed, "cell")  # stream-static equi-join on the cell key
+        .where((F.col("vec_id") != F.col("qid")) & (F.col("label") == F.col("qlabel")))
+        .select("qid", "vec_id", cosine(F.col("qe"), F.col("embedding")).alias("sim"))
+    )
+    return cand.groupBy("qid").applyInPandasWithState(
+        _merge_factory(k, ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -518,6 +518,65 @@ def main() -> None:
                     )
             shapes[shape] = srows
         out["x5_corpus_shapes"] = shapes
+        _write(out)  # persist x5 shapes before the x9 section
+
+    # --- x9 10x/30x shape points (r12 verdict item 8, measured AFTER the
+    # r13 narrow-key rework: 60-bit shuffle key + structural bucket-Bloom
+    # prefilter + wide kernel).  The r12 question was whether the rework
+    # pulls the Spark-vs-oracle crossover inside the measured range — so
+    # BOTH engines are timed, on the matched (bounded-vocab, dup-heavy)
+    # and natural (Heaps-law vocab) corpus shapes, one warm pass then one
+    # timed run per point (read with run-noise error bars, like the x5
+    # section).  SLOPE_X9_SHAPES=0 skips.
+    if os.environ.get("SLOPE_X9_SHAPES", "1") != "0" and not qfilter:
+        x9_names = ("x9_span_dedup", "x9_span_dedup_prefiltered")
+        x9s: dict = {
+            "method": (
+                "x9/x9_prefiltered at 10x/30x on matched + natural corpus "
+                "shapes, Spark AND DuckDB, warm pass then runs=1; segment "
+                "exponent = log10(t30/t10)/log10(3); measured after the r13 "
+                "narrow-key rework (the r12 verdict's one perf-weak family)"
+            ),
+        }
+        for shape in ("matched", "natural"):
+            srows = {}
+            for fac in (10, 30):
+                sf_dir = (
+                    SF_XHI
+                    if (shape == "matched" and fac == SYNTH_FACTOR)
+                    else f"{SF_XHI}_{shape[0]}{fac}"
+                )
+                synth_10x(SF_HI, sf_dir, factor=fac, vocab=shape)
+                con2 = duckdb.connect()
+                con2.execute(
+                    "CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/documents.parquet')"
+                )
+                row: dict = {}
+                for name in x9_names:
+                    q = QUERIES[name]
+                    q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    t0 = time.perf_counter()
+                    q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    row[name] = round(time.perf_counter() - t0, 2)
+                    con2.execute(q.oracle).fetchall()
+                    t0 = time.perf_counter()
+                    con2.execute(q.oracle).fetchall()
+                    row[f"duckdb_{name}"] = round(time.perf_counter() - t0, 2)
+                con2.close()
+                srows[f"{fac}x"] = row
+            for name in x9_names:
+                for side in ("", "duckdb_"):
+                    srows[f"{side}{name}_exponent_10_30"] = round(
+                        math.log10(
+                            max(srows["30x"][f"{side}{name}"], 1e-3)
+                            / max(srows["10x"][f"{side}{name}"], 1e-3)
+                        )
+                        / math.log10(3),
+                        3,
+                    )
+            x9s[shape] = srows
+        out["x9_shape_points"] = x9s
 
     _write(out)
     compact = {

@@ -503,14 +503,14 @@ def test_streaming_ann_topk_equals_batch_v5_and_v1(spark, sf_small, tmp_path_fac
 
 def test_streaming_ann_serves_the_serving_layout(spark, sf_small, tmp_path_factory):
     """The streaming ANN tier is quantizer-AGNOSTIC (cells + centroids
-    are inputs), and the serving DEFAULT is the 16-cell trained layout
-    at the constant scan fraction (r12): the cells/centroids here come
-    from the serving dispatch helpers with no quantizer or layout named
-    anywhere, and the stream top-k equals the batch serving plan
-    exactly.  The serving story follows the measured index: v20 picked
-    trained over seed cells, v24 picked 16 over 8 cells at equal scan,
-    and online queries get that recall because the default IS that
-    layout."""
+    are inputs), and the serving DEFAULT is the trained layout at the
+    constant scan fraction (32 cells as of r13): the cells/centroids
+    here come from the serving dispatch helpers with no quantizer or
+    layout named anywhere, and the stream top-k equals the batch serving
+    plan exactly.  The serving story follows the measured index: v20
+    picked trained over seed cells, v24's sweep picked 16 over 8 then 32
+    over 16 cells at equal scan, and online queries get that recall
+    because the default IS that layout."""
     from fifteenmc_spark import serving
     from fifteenmc_spark.operators.similarity import N_QUERY_VECS, _emb, _tivf_topk_plan
     from fifteenmc_spark.streaming import ann as ANN
@@ -540,6 +540,48 @@ def test_streaming_ann_serves_the_serving_layout(spark, sf_small, tmp_path_facto
     got = {
         (r["qid"], r["vec_id"], r["rnk"], round(r["sim"], 4))
         for r in spark.table("sink_ann_tivf").distinct().collect()
+    }
+    assert got == want
+
+
+def test_streaming_filtered_ann_equals_batch_v27(spark, sf_small, tmp_path_factory):
+    """The filtered serving tier's online twin (r12 verdict item 9): the
+    label predicate composes into the stream-static candidate join, and
+    the stream top-k equals the declared v27 exactly — the serving
+    layout's filtered matrix entry.  Cells/centroids come from the
+    serving dispatch helpers with no layout named anywhere."""
+    from fifteenmc_spark import serving
+    from fifteenmc_spark.operators.relational import QUERIES
+    from fifteenmc_spark.operators.similarity import N_QUERY_VECS, _emb
+    from fifteenmc_spark.streaming import ann as ANN
+
+    e, tcells, _ = serving.serving_cells_probes(spark, sf_small)
+    corpus = _emb(spark, sf_small).select("vec_id", "embedding", "label")
+    centroids = serving.serving_centroids(spark, sf_small)
+    queries = corpus.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    want = {
+        (r["qid"], r["vec_id"], r["rnk"], round(r["sim"], 4))
+        for r in QUERIES["v27_filtered_tivf_topk"].build(spark, sf_small).collect()
+    }
+    assert want
+
+    out = tmp_path_factory.mktemp("filtered_ann_stream")
+    queries.coalesce(1).write.mode("overwrite").parquet(str(out / "f0"))
+    stream = spark.readStream.schema(queries.schema).parquet(str(out) + "/*/")
+    W.run_to_memory(
+        ANN.filtered_topk_stream(
+            stream, corpus, tcells, centroids, nprobe=serving.SERVING_NPROBE
+        ),
+        "sink_ann_filtered",
+        output_mode="append",
+    )
+    got = {
+        (r["qid"], r["vec_id"], r["rnk"], round(r["sim"], 4))
+        for r in spark.table("sink_ann_filtered").distinct().collect()
     }
     assert got == want
 
