@@ -3060,7 +3060,7 @@ def _filtered_exact_sql() -> str:
 @_register(
     "v28_filtered_recall",
     f"Filtered-search eval: recall@{TOP_K} of v27 (label-predicate search "
-    "through the 16-cell serving layout) against the EXACT filtered "
+    "through the serving layout) against the EXACT filtered "
     "brute-force top-k — the measure-then-serve twin every serving "
     "operator in this engine carries (v20 measures v19's cells, v12 "
     "measures v11's codes; this measures what the coarse filter costs "

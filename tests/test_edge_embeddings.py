@@ -56,9 +56,9 @@ V_QUERIES = [
     "v22_tivf_nprobe_sweep",
     "v23_tencoding_recall",
     "v24_ncells_sweep",
-    # r12: the serving layout as declared queries — on this corpus only
-    # the pool ids < 27 exist, so the 16-cell layout degrades to however
-    # many seeds survive, identically on both engines
+    # r12/r13: the serving layout as declared queries — on this corpus
+    # only the pool ids < 27 exist, so the serving layout degrades to
+    # however many seeds survive, identically on both engines
     "v25_serving_tivf_topk",
     "v26_serving_ivfpq_topk",
     # r12: filtered search — the label predicate must compose with the
@@ -66,6 +66,10 @@ V_QUERIES = [
     # must be excluded BEFORE the label match on both engines)
     "v27_filtered_tivf_topk",
     "v28_filtered_recall",
+    # r13: the per-predicate probe dispatch — tiny label slices clamp the
+    # budget rule at ncells (and a 1-member slice exercises the
+    # GREATEST(cnt-1, 1) guard) identically on both engines
+    "v29_adaptive_filtered_topk",
 ]
 
 

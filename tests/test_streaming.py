@@ -738,7 +738,7 @@ def test_streaming_pq_adc_serving_equals_batch(spark, sf_small, tmp_path_factory
 
 def test_streaming_pq_adc_serves_the_serving_layout(spark, sf_small, tmp_path_factory):
     # the codes-only serving tier's DEFAULT layout: built with no
-    # quantizer argument it serves the SERVING layout (16 trained coarse
+    # quantizer argument it serves the SERVING layout (trained coarse
     # cells x raw PQ codes at the constant scan fraction —
     # serving.DEFAULT_QUANTIZER + SERVING_NCELLS), and the stream top-k
     # equals the batch ADC ranking over those probed cells — the online
