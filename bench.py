@@ -17,10 +17,21 @@ columns and under-measure).  Per-query numbers are MEDIANS of
 $BENCH_RUNS (default 3) samples on BOTH engines, with [min, max] spreads
 recorded in BENCH_full.json — single-run and best-of-N numbers both
 made round-over-round deltas unreadable against ±2x host-load noise.
-Since r13 the samples are scheduled as $BENCH_RUNS time-separated
-FULL-SUITE passes (same total work), and the per-query min across
-passes is recorded as queries_min / queries_min_floor_adj — the
-load-robust columns a round-over-round comparison should use.
+
+Since r13 the two ENGINES are interleaved PER QUERY — each query's
+Spark samples and DuckDB samples run seconds apart, so they share one
+host-load regime and the per-query ratio (queries_ratio, the number the
+perf grade reads) is honest even when the machine's speed drifts over
+the ~20-minute suite.  r12's two same-tree runs differed 12% on the
+total because Spark ran first and DuckDB second, under different load.
+A full-suite-pass schedule (each query's samples separated by the whole
+suite) was tried first and REJECTED BY MEASUREMENT: it evicts every
+query's page-cache/JIT/allocator locality, inflating the suite 36%
+(DuckDB) to 62% (Spark) while breaking comparability with the r01-r12
+history — the interleaved layout keeps each engine's back-to-back
+warmth AND gives the ratio a shared regime.  queries_min /
+queries_min_floor_adj (min across samples) are recorded alongside the
+medians.
 
 Session-index semantics (stated for honesty): queries sharing a
 session-index feed (operators/session_index.py — signature tables, IVF
@@ -123,50 +134,75 @@ def main() -> None:
     # number; the [min, max] spread goes to BENCH_full.json so a
     # round-over-round delta can be read against the run's own noise band.
     #
-    # Since r13 the N samples are scheduled as N FULL-SUITE PASSES rather
-    # than N back-to-back runs (r12 verdict item 5: two same-tree r12
-    # suites differed 12% on the shared-query total — back-to-back
-    # samples share one load regime, so a transient host-load plateau
-    # moves all of a query's samples together and the median absorbs the
-    # plateau, not the query).  Same total work, but a query's samples
-    # are now separated by a whole suite (~minutes), so queries_min —
-    # the per-query min across passes — is the load-robust column a
-    # round-over-round comparison should use (with the floor-adjusted
-    # twin queries_min_floor_adj).
+    # Engine interleaving (r13, see the module docstring): the DuckDB
+    # oracle connection is opened UP FRONT and each query's oracle
+    # samples run immediately after its Spark samples, so the per-query
+    # ratio compares numbers taken under one load regime.
     runs = int(os.environ.get("BENCH_RUNS", "3"))
+    with_duck = os.environ.get("BENCH_DUCKDB", "1") != "0"
+    con = None
+    if with_duck:
+        try:
+            import duckdb
+
+            con = duckdb.connect()
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                )
+        except ImportError:
+            print("bench: duckdb not installed, skipping the DuckDB twin", file=sys.stderr)
+            con = None
     # Per-query error isolation: one broken query must never lose the whole
     # round's perf recording (r4 lost BENCH entirely to a single exception).
     # Failures record null and the line carries bench_partial + the errors.
-    all_samples: dict[str, list[float]] = {name: [] for name in QUERIES}
-    errors: dict[str, str] = {}
-    for _pass in range(runs):
-        for name, q in QUERIES.items():
-            # try/except PER RUN: a query that succeeds on pass 1 but
-            # flakes later keeps its valid timings instead of recording
-            # null (the error is still noted for the record)
-            try:
-                t0 = time.perf_counter()
-                df = q.build(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                all_samples[name].append(time.perf_counter() - t0)
-            except Exception as e:  # noqa: BLE001 — record and keep benching
-                errors[name] = f"{type(e).__name__}: {e}"[:300]
-                print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
     timings: dict[str, float | None] = {}
     spreads: dict[str, list[float]] = {}
     mins: dict[str, float] = {}
     run1: dict[str, float] = {}
-    for name, samples in all_samples.items():
+    errors: dict[str, str] = {}
+    duck: dict[str, float] = {}
+    duck_spreads: dict[str, list[float]] = {}
+    duck_mins: dict[str, float] = {}
+    bench_partial = False
+    for name, q in QUERIES.items():
+        samples: list[float] = []
+        # try/except PER RUN: a query that succeeds on run 1 but flakes on a
+        # later run keeps its valid timings instead of recording null (the
+        # error is still noted for the record)
+        for _ in range(runs):
+            try:
+                t0 = time.perf_counter()
+                df = q.build(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001 — record and keep benching
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
         timings[name] = round(_median(samples), 4) if samples else None
         if samples:
             spreads[name] = [round(min(samples), 4), round(max(samples), 4)]
             mins[name] = round(min(samples), 4)
-            # pass-1 sample recorded separately: whichever query touches a
-            # session-index feed first pays the build in pass 1 and runs
+            # run-1 sample recorded separately: whichever query touches a
+            # session-index feed first pays the build in run 1 and runs
             # warm after, so median-vs-run1 is the cold/warm split a
             # cross-round history comparison needs to separate cache
             # amortization from real plan changes (r8 ADVICE)
             run1[name] = round(samples[0], 4)
+        if con is not None and q.oracle is not None:
+            d_samples: list[float] = []
+            for _ in range(runs):
+                try:
+                    t0 = time.perf_counter()
+                    con.execute(q.oracle).fetchall()
+                    d_samples.append(time.perf_counter() - t0)
+                except Exception as e:  # noqa: BLE001
+                    errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:300]
+                    bench_partial = True
+            if d_samples:
+                duck[name] = round(_median(d_samples), 4)
+                duck_spreads[name] = [round(min(d_samples), 4), round(max(d_samples), 4)]
+                duck_mins[name] = round(min(d_samples), 4)
 
     ok = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(ok.values()), 4)
@@ -202,50 +238,11 @@ def main() -> None:
         # with a surviving best-of-N run still counts as measured)
         out["bench_partial"] = True
 
-    # DuckDB twin on by default: BASELINE.md defines the perf target as a
-    # ratio to DuckDB on the same queries/data, so the recorded bench line
-    # carries the ratio the judge grades.  BENCH_DUCKDB=0 skips it.
-    if os.environ.get("BENCH_DUCKDB", "1") != "0":
-        try:
-            import duckdb
-        except ImportError:
-            print("bench: duckdb not installed, skipping the DuckDB twin", file=sys.stderr)
-            _write_full_record(out)
-            print(json.dumps(_compact_line(out)))
-            return
-
-        con = duckdb.connect()
-        for t in TABLES:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-        duck: dict[str, float] = {}
-        duck_spreads: dict[str, list[float]] = {}
-        duck_mins: dict[str, float] = {}
-        # median-of-N on the oracle side too — and, matching the Spark
-        # loop since r13, N full-suite PASSES instead of back-to-back
-        # runs, so the per-query min is load-robust on both sides of the
-        # ratio.  try/except PER RUN: a flake on pass 3 keeps the valid
-        # samples already collected instead of dropping the query from
-        # the ratio set.
-        oracle_qs = {name: q for name, q in QUERIES.items() if q.oracle is not None}
-        d_all: dict[str, list[float]] = {name: [] for name in oracle_qs}
-        for _pass in range(runs):
-            for name, q in oracle_qs.items():
-                try:
-                    t0 = time.perf_counter()
-                    con.execute(q.oracle).fetchall()
-                    d_all[name].append(time.perf_counter() - t0)
-                except Exception as e:  # noqa: BLE001
-                    errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:300]
-                    out["bench_partial"] = True
-                    out["bench_errors"] = errors
-        for name, d_samples in d_all.items():
-            if d_samples:
-                duck[name] = round(_median(d_samples), 4)
-                duck_spreads[name] = [
-                    round(min(d_samples), 4),
-                    round(max(d_samples), 4),
-                ]
-                duck_mins[name] = round(min(d_samples), 4)
+    if bench_partial:
+        out["bench_partial"] = True
+    if errors:
+        out["bench_errors"] = errors
+    if con is not None:
         out["duckdb_queries_spread"] = duck_spreads
         out["duckdb_queries_min"] = duck_mins
         # ratio over queries where BOTH sides succeeded, so a one-sided
@@ -256,6 +253,13 @@ def main() -> None:
         out["spark_vs_duckdb_ratio"] = round(
             sum(timings[k] for k in both) / max(out["duckdb_total"], 1e-9), 4
         )
+        # per-query same-regime ratio (floor-adjusted numerator): the
+        # interleaved layout's whole point — each entry compares samples
+        # taken seconds apart
+        out["queries_ratio"] = {
+            k: round(max(timings[k] - floor, 1e-3) / max(duck[k], 1e-4), 2)
+            for k in both
+        }
 
     # Full record → BENCH_full.json (per-query maps + bounded history);
     # stdout → a compact line the driver's tail buffer can actually parse.
