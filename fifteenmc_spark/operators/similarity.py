@@ -2849,10 +2849,14 @@ def _ncells_sweep_sql() -> str:
     "25% scan): sf0.001 0.448/0.448/0.572/0.600, sf0.01 "
     "0.436/0.500/0.520/0.608 for ncells 4/8/16/32 — finer cells keep "
     "buying recall at the same bytes read through the r12-extended "
-    "32-cell point, the direction that justifies scaling ncells with "
-    "the corpus; 32 is the measured flip candidate for the serving "
-    "layout once it passes the composed v21-shape strictly-no-worse "
-    "gate that admitted 16.  Each "
+    "32-cell point; r13 ran the composed v21-shape strictly-no-worse "
+    "gate at 32 and FLIPPED the serving layout to it (v25/v26).  The "
+    "sweep deliberately ENDS at 32 on these eval corpora: the sqrt(N) "
+    "sizing rule puts 500-2000 vectors at ~22-45 cells, and a 64-cell "
+    "point would drop per-cell occupancy to ~8 vectors — below the "
+    f"shortlist ({TOP_K}-NN needs the probed slice to hold candidates), "
+    "so its recall row would measure quantizer starvation, not "
+    "capacity; the axis resumes when the eval corpus grows.  Each "
     "point trains its own quantizer from a deterministic seed pool "
     "whose first 8 ids ARE the serving quantizer's, so the ncells=8 "
     "row pins to v20's trained row (test-gated).  Same integer-exact "

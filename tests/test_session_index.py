@@ -116,7 +116,7 @@ def test_warm_session_index_materializes_all_artifacts(spark, sf_small):
     assert set(counts) == {
         "emb", "sig16", "ivf_cells", "ivf_probes", "ivf_probes_eval",
         "ivf_probes_sweep", "tivf_cells", "tivf_probes", "tivf_probes_eval",
-        "tivf_probes_sweep", "tivf16_cells", "tivf16_probes",
+        "tivf_probes_sweep", "tivf32_cells", "tivf32_probes",
         "exact_topk", "exact_topk_v12", "pq_codes",
         "rpq_codes", "trpq_codes", "shingles", "mh_sig16", "simhash16",
         "simhash64",
