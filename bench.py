@@ -150,8 +150,16 @@ def main() -> None:
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
                 )
-        except ImportError:
-            print("bench: duckdb not installed, skipping the DuckDB twin", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — ImportError, duckdb.Error, OSError
+            # A failed import OR a failed CREATE VIEW (missing/corrupt parquet)
+            # must not abort the whole bench before any Spark sample is
+            # recorded — per-query error isolation is the stated goal, so the
+            # Spark half of the round still records with con = None.
+            print(
+                f"bench: DuckDB twin unavailable ({type(e).__name__}: {e}), "
+                "recording the Spark half only",
+                file=sys.stderr,
+            )
             con = None
     # Per-query error isolation: one broken query must never lose the whole
     # round's perf recording (r4 lost BENCH entirely to a single exception).
@@ -220,7 +228,8 @@ def main() -> None:
         "queries_floor_adj": {
             k: round(max(v - floor, 1e-3), 4) for k, v in ok.items()
         },
-        # min across the time-separated passes + its floor-adjusted twin:
+        # min across the back-to-back samples + its floor-adjusted twin
+        # (the interleaved per-query layout — see the module docstring):
         # the load-robust round-over-round columns (r12 verdict item 5)
         "queries_min": mins,
         "queries_min_floor_adj": {
@@ -233,15 +242,11 @@ def main() -> None:
         out["action_floor_cold_s"] = round(floor_cold, 4)
     if errors:
         out["bench_errors"] = errors
-    if any(v is None for v in timings.values()):
-        # partial = a query has NO measured timing at all (a transient flake
-        # with a surviving best-of-N run still counts as measured)
+    # partial = a query has NO measured timing at all (a transient flake
+    # with a surviving best-of-N run still counts as measured), or a
+    # one-sided oracle failure
+    if bench_partial or any(v is None for v in timings.values()):
         out["bench_partial"] = True
-
-    if bench_partial:
-        out["bench_partial"] = True
-    if errors:
-        out["bench_errors"] = errors
     if con is not None:
         out["duckdb_queries_spread"] = duck_spreads
         out["duckdb_queries_min"] = duck_mins

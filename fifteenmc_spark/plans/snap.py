@@ -175,8 +175,29 @@ def snap_single_point_zordered(
     levels = layout_mod.ZORDER_LEVELS if levels is None else levels
     dlat = max_snap_m / _R_MIN_M * 180.0 / math.pi
     dlon = dlat / max(math.cos(math.radians(lat)), 1e-9)
-    box = (lon - dlon, lat - dlat, lon + dlon, lat + dlat)
-    nodes = layout_mod.read_zorder_bbox(
-        spark, layout_path, box, layout_bbox, bits=bits, levels=levels
-    )
+    # Antimeridian wrap (r13 ADVICE): a disc within max_snap_m of lon=±180
+    # extends past the valid longitude range, and a single clamped box would
+    # silently drop nodes on the other side of the dateline — the pruned
+    # snap would miss a true nearest node the full scan finds.  Split the
+    # pruning box into the two wrapped ranges and union the pruned reads;
+    # the exact snap then sees every candidate the disc actually covers.
+    lo, hi = lon - dlon, lon + dlon
+    boxes: list[tuple[float, float, float, float]] = []
+    if dlon >= 180.0:
+        # near-polar disc wraps the whole longitude range — one full-width box
+        boxes.append((-180.0, lat - dlat, 180.0, lat + dlat))
+    elif lo < -180.0:
+        boxes.append((-180.0, lat - dlat, hi, lat + dlat))
+        boxes.append((lo + 360.0, lat - dlat, 180.0, lat + dlat))
+    elif hi > 180.0:
+        boxes.append((lo, lat - dlat, 180.0, lat + dlat))
+        boxes.append((-180.0, lat - dlat, hi - 360.0, lat + dlat))
+    else:
+        boxes.append((lo, lat - dlat, hi, lat + dlat))
+    nodes = None
+    for box in boxes:
+        part = layout_mod.read_zorder_bbox(
+            spark, layout_path, box, layout_bbox, bits=bits, levels=levels
+        )
+        nodes = part if nodes is None else nodes.unionByName(part)
     return snap_single_point(nodes, lon, lat, max_snap_m=max_snap_m)

@@ -291,3 +291,36 @@ def test_zordered_point_reachability_equals_full_scan(spark, geo_layout):
     got_full = [tuple(x) for x in full.collect()]
     got_pruned = [tuple(x) for x in pruned.collect()]
     assert got_pruned == got_full
+
+
+def test_zordered_snap_crosses_antimeridian(spark, tmp_path_factory):
+    """r13 ADVICE: a query point within max_snap_m of lon = ±180 must see
+    nodes on the OTHER side of the dateline — the pruning box splits into
+    the two wrapped longitude ranges instead of silently clamping.  The
+    true nearest node here sits across the seam (~33 m wrapped vs ~89 m on
+    the same side); before the split fix the pruned snap returned the
+    same-side node while the full scan returned the wrapped one."""
+    from fifteenmc_spark.plans import snap
+
+    wbox = (-180.0, -1.0, 180.0, 1.0)
+    nodes = spark.createDataFrame(
+        [
+            (0, 179.9990, 0.0),    # same side, ~89 m from the probe
+            (1, -179.9999, 0.0),   # across the dateline, ~33 m (the winner)
+            (2, 0.0, 0.5),         # filler far away
+            (3, -90.0, -0.5),      # filler far away
+        ],
+        "node_idx int, lon double, lat double",
+    )
+    d = str(tmp_path_factory.mktemp("zorder_wrap") / "graph_nodes")
+    layout.write_zorder_layout(nodes, d, wbox)
+
+    lon, lat = 179.9998, 0.0
+    full = snap.snap_single_point(nodes, lon, lat, max_snap_m=300.0)
+    pruned = snap.snap_single_point_zordered(spark, d, wbox, lon, lat, max_snap_m=300.0)
+    assert full is not None and full[0] == 1, full
+    assert pruned == full, (pruned, full)
+    # and the mirror probe on the west side of the seam
+    full_w = snap.snap_single_point(nodes, -179.9998, 0.0, max_snap_m=300.0)
+    pruned_w = snap.snap_single_point_zordered(spark, d, wbox, -179.9998, 0.0, max_snap_m=300.0)
+    assert pruned_w == full_w and full_w[0] == 1
