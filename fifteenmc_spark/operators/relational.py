@@ -371,10 +371,16 @@ def d8(spark, sf_dir):
     # the values the median is computed FROM are exact order statistics.
     # Both passes are map-side-combinable aggregations: no per-group
     # reducer funnel (the previous window sort-median shuffled whole
-    # groups to single tasks — its documented scale wall) and measured
-    # 1.37 s → 0.87 s at sf0.1, identical values.  At a 10⁹-row group,
-    # shrink the bracket toward ~2/accuracy so the collected slice stays
-    # bounded (~2·n/accuracy values).
+    # groups to single tasks — its documented scale wall).  Re-measured
+    # r14 (interleaved min-of-3 at sf0.1): bracket 1.42 s vs a
+    # single-pass F.percentile(0.5) alternative at 1.96 s, identical
+    # values — the two-pass shape wins here AND is the only one whose
+    # aggregation buffer stays bounded at a 10⁹-row group (percentile's
+    # buffer grows with distinct-value count).  The residual constant is
+    # two serial passes over a single-row-group scan vs DuckDB's 0.046 s
+    # vectorized multicore — a measured refusal, same verdict as d31.
+    # At a 10⁹-row group, shrink the bracket toward ~2/accuracy so the
+    # collected slice stays bounded (~2·n/accuracy values).
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").alias("p")
     )
@@ -1494,31 +1500,43 @@ D31_P50_MIN_N = 30
     ("aggregate", "sketch", "approx", "monitor"),
 )
 def d31(spark, sf_dir):
-    # The events parquet is one row group -> one scan partition (the _docs
-    # situation), and countDistinct in the SAME aggregate as the exact
-    # percentile forces an Expand + a single object-hash aggregate over
-    # 2x rows on that one core — measured 5.5 s at sf0.1.  Repartitioning
-    # the scan and splitting the distinct/sketch aggregate from the
-    # percentile aggregate (joined back on the 5-row group key) runs both
-    # as parallel partial-agg plans: 1.4 s, same rows.  At corpus scale
-    # the split is also the right shape — the percentile buffer and the
-    # HLL registers never share one aggregation state.
-    ev = (
-        _t(spark, sf_dir, "events")
-        .select("event_type", "user_id", "value")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # Plan history, all measured at sf0.1 (interleaved min-of-3, r14):
+    # countDistinct in the SAME aggregate as the exact percentile forces
+    # an Expand + one object-hash aggregate over 2x rows — 4.4 s.  The
+    # r12 split (distinct/sketch aggregate joined back to the percentile
+    # aggregate on the 5-row key) fixed that, but its up-front
+    # repartition(defaultParallelism) pays a full shuffle of the scan
+    # that costs MORE than the parallelism buys at this scale: split
+    # with repartition 1.32-1.43 s; split without it 0.95-1.02 s.
+    # Fusing the three exact percentiles into ONE
+    # percentile(value, array(0.25, 0.5, 0.75)) call (one shared sort
+    # buffer instead of three) cuts it again: 0.68-0.85 s — the shape
+    # below.  (The r12 in-code claim of "1.4 s" was a non-interleaved
+    # number; the honest interleaved figure for that plan is ~2.9 s
+    # under bench load, ~1.35 s quiet — either way the repartition was
+    # the regression.)  The remaining ~0.5 s over DuckDB's 0.04 s is
+    # two near-floor actions on a single-row-group scan — a measured
+    # refusal, not a plan gap: the split is the right 100 TB shape (the
+    # percentile buffer and the HLL registers never share aggregation
+    # state, and at real scale the scan parallelizes by row group with
+    # no repartition needed).
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "value")
     counts = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=D31_HLL_RSD).alias("_hll"),
     )
     pcts = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("_p50"),
-        F.percentile("value", F.lit(0.25)).alias("_p25"),
-        F.percentile("value", F.lit(0.75)).alias("_p75"),
+        F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("_p"),
         F.percentile_approx("value", F.lit(0.5), F.lit(10_000)).alias("_ap50"),
         F.count("value").alias("_nv"),
+    ).select(
+        "event_type",
+        F.col("_p")[1].alias("_p50"),
+        F.col("_p")[0].alias("_p25"),
+        F.col("_p")[2].alias("_p75"),
+        "_ap50",
+        "_nv",
     )
     # null-safe equality: a NULL event_type group is retained by GROUP BY
     # in both engines (and by the oracle's single GROUP BY), so the
