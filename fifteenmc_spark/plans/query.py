@@ -120,7 +120,7 @@ def _reach_at_snap(reach, snapped, radius_m, categories):
 
 def point_reachability_zordered(
     spark,
-    reach: DataFrame,
+    reach: DataFrame | None,
     nodes_layout_path: str,
     layout_bbox: tuple[float, float, float, float],
     lon: float,
@@ -128,6 +128,7 @@ def point_reachability_zordered(
     radius_m: float = 1000.0,
     categories: list[str] | None = None,
     max_snap_m: float = MAX_SNAP_M_DEFAULT,
+    reach_layout_path: str | None = None,
 ) -> DataFrame:
     """G7 served end-to-end from the z-ordered geo layout: the snap (J4)
     reads only the quadtree cells intersecting the max_snap_m disc around
@@ -137,10 +138,23 @@ def point_reachability_zordered(
     form by construction; this closes the loop plans/layout.py promises —
     the reference re-runs ``osmium extract`` over the planet file per
     bbox, the Spark answer writes the node table once (write_zorder_layout)
-    and serves every later point query from the pruned read."""
+    and serves every later point query from the pruned read.
+
+    With ``reach_layout_path`` (a reach.write_reach_zordered table on the
+    SAME layout_bbox) the reach side prunes too: the snapped node lies
+    within max_snap_m of the query point, so its reach rows live inside
+    the same disc boxes the snap enumerated — both halves of the query
+    are partition-pruned reads and the full reach table is never
+    scanned.  ``reach`` may then be None (it is ignored)."""
     snapped = snap_mod.snap_single_point_zordered(
         spark, nodes_layout_path, layout_bbox, lon, lat, max_snap_m=max_snap_m
     )
+    if reach_layout_path is not None:
+        reach = snap_mod.read_zordered_disc(
+            spark, reach_layout_path, layout_bbox, lon, lat, max_snap_m
+        )
+    elif reach is None:
+        raise ValueError("point_reachability_zordered needs reach or reach_layout_path")
     return _reach_at_snap(reach, snapped, radius_m, categories)
 
 

@@ -472,6 +472,31 @@ def write_reference_shaped(reach: DataFrame, path: str, nodes: DataFrame | None 
     write_parquet(reach_with_sentinels(reach), path, partition_by=["category"])
 
 
+def write_reach_zordered(
+    reach: DataFrame,
+    nodes: DataFrame,
+    out_dir: str,
+    layout_bbox: tuple[float, float, float, float],
+) -> None:
+    """Write the reach gold table through the Z-order layout, keyed on
+    each row's NODE coordinates (r13 verdict item 7): reach is node-keyed
+    (not spatial), so the spatial key comes from joining the node table
+    once at write time — after that, a point query's reach lookup reads
+    only the quadtree cells under its max-snap disc (the snapped node is
+    within max_snap_m of the query point, so its reach rows are inside
+    the pruned listing by the same containment argument as the node
+    read).  The reference precomputes per-tile npz artifacts and loads a
+    whole tile per query (poi_query.py); the Spark answer is write-once
+    spatial clustering on the SAME layout geometry as the node table, so
+    both halves of G7 prune together.  The written table carries
+    (node_idx, category, dist_m, time_s, poi_id, lon, lat) + the layout
+    columns."""
+    from . import layout as layout_mod
+
+    keyed = reach.join(nodes.select("node_idx", "lon", "lat"), "node_idx")
+    layout_mod.write_zorder_layout(keyed, out_dir, layout_bbox)
+
+
 def reach_summary(
     reach: DataFrame, pois: DataFrame, nodes: DataFrame, limit_m: float = LIMIT_M_DEFAULT
 ) -> DataFrame:

@@ -144,6 +144,61 @@ def snap_single_point(
 _R_MIN_M = 6_356_752.3
 
 
+def snap_disc_boxes(
+    lon: float, lat: float, max_snap_m: float
+) -> list[tuple[float, float, float, float]]:
+    """The pruning bbox(es) containing every point within ``max_snap_m``
+    of (lon, lat): the degree box is derived with the SMALLEST earth
+    radius so it always contains the haversine disc, and a disc crossing
+    lon = ±180 splits into the two wrapped longitude ranges (full-width
+    at near-polar latitudes) — see the antimeridian note in
+    snap_single_point_zordered.  Shared by the z-ordered snap and the
+    z-ordered reach read so the two prune with identical geometry."""
+    import math
+
+    dlat = max_snap_m / _R_MIN_M * 180.0 / math.pi
+    dlon = dlat / max(math.cos(math.radians(lat)), 1e-9)
+    lo, hi = lon - dlon, lon + dlon
+    boxes: list[tuple[float, float, float, float]] = []
+    if dlon >= 180.0:
+        boxes.append((-180.0, lat - dlat, 180.0, lat + dlat))
+    elif lo < -180.0:
+        boxes.append((-180.0, lat - dlat, hi, lat + dlat))
+        boxes.append((lo + 360.0, lat - dlat, 180.0, lat + dlat))
+    elif hi > 180.0:
+        boxes.append((lo, lat - dlat, 180.0, lat + dlat))
+        boxes.append((-180.0, lat - dlat, hi - 360.0, lat + dlat))
+    else:
+        boxes.append((lo, lat - dlat, hi, lat + dlat))
+    return boxes
+
+
+def read_zordered_disc(
+    spark,
+    layout_path: str,
+    layout_bbox: tuple[float, float, float, float],
+    lon: float,
+    lat: float,
+    max_snap_m: float,
+    bits: int | None = None,
+    levels: int | None = None,
+):
+    """Partition-pruned read of every row whose (lon, lat) could lie
+    within ``max_snap_m`` of the query point — the union of the disc's
+    pruning boxes over a write_zorder_layout table."""
+    from . import layout as layout_mod
+
+    bits = layout_mod.ZORDER_BITS if bits is None else bits
+    levels = layout_mod.ZORDER_LEVELS if levels is None else levels
+    out = None
+    for box in snap_disc_boxes(lon, lat, max_snap_m):
+        part = layout_mod.read_zorder_bbox(
+            spark, layout_path, box, layout_bbox, bits=bits, levels=levels
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def snap_single_point_zordered(
     spark,
     layout_path: str,
@@ -165,39 +220,18 @@ def snap_single_point_zordered(
     it contains the haversine disc), and nodes beyond it can only lose the
     TakeOrdered or fall to the max_snap_m gate — same winner, same None.
 
+    Antimeridian wrap (r13 ADVICE): a disc within max_snap_m of lon=±180
+    extends past the valid longitude range, and a single clamped box
+    would silently drop nodes on the other side of the dateline — the
+    pruned snap would miss a true nearest node the full scan finds.
+    snap_disc_boxes splits the pruning box into the two wrapped
+    longitude ranges (full-width at near-polar latitudes) and the pruned
+    reads are unioned, so the exact snap sees every candidate the disc
+    actually covers.
+
     At 100 TB this is the difference between a point query touching a
     handful of files and touching the planet table."""
-    import math
-
-    from . import layout as layout_mod
-
-    bits = layout_mod.ZORDER_BITS if bits is None else bits
-    levels = layout_mod.ZORDER_LEVELS if levels is None else levels
-    dlat = max_snap_m / _R_MIN_M * 180.0 / math.pi
-    dlon = dlat / max(math.cos(math.radians(lat)), 1e-9)
-    # Antimeridian wrap (r13 ADVICE): a disc within max_snap_m of lon=±180
-    # extends past the valid longitude range, and a single clamped box would
-    # silently drop nodes on the other side of the dateline — the pruned
-    # snap would miss a true nearest node the full scan finds.  Split the
-    # pruning box into the two wrapped ranges and union the pruned reads;
-    # the exact snap then sees every candidate the disc actually covers.
-    lo, hi = lon - dlon, lon + dlon
-    boxes: list[tuple[float, float, float, float]] = []
-    if dlon >= 180.0:
-        # near-polar disc wraps the whole longitude range — one full-width box
-        boxes.append((-180.0, lat - dlat, 180.0, lat + dlat))
-    elif lo < -180.0:
-        boxes.append((-180.0, lat - dlat, hi, lat + dlat))
-        boxes.append((lo + 360.0, lat - dlat, 180.0, lat + dlat))
-    elif hi > 180.0:
-        boxes.append((lo, lat - dlat, 180.0, lat + dlat))
-        boxes.append((-180.0, lat - dlat, hi - 360.0, lat + dlat))
-    else:
-        boxes.append((lo, lat - dlat, hi, lat + dlat))
-    nodes = None
-    for box in boxes:
-        part = layout_mod.read_zorder_bbox(
-            spark, layout_path, box, layout_bbox, bits=bits, levels=levels
-        )
-        nodes = part if nodes is None else nodes.unionByName(part)
+    nodes = read_zordered_disc(
+        spark, layout_path, layout_bbox, lon, lat, max_snap_m, bits=bits, levels=levels
+    )
     return snap_single_point(nodes, lon, lat, max_snap_m=max_snap_m)

@@ -176,6 +176,62 @@ def topk_stream(
     )
 
 
+def adaptive_filtered_topk_stream(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cells: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    label_nprobe: DataFrame,
+    k: int = TOP_K,
+    ttl_ms: int = STATE_TTL_MS,
+) -> DataFrame:
+    """v29's ONLINE form — filtered serving with the per-predicate probe
+    dispatch: each arriving (qid, qe, qlabel) probes ``npl(qlabel)``
+    cells instead of a fixed nprobe, so a selective label (a small slice
+    of the corpus) probes deeper instead of starving the re-rank, and an
+    unselective one keeps the serving scan fraction.  ``label_nprobe``
+    is the STATIC (label, npl) selectivity table — the |labels|-row
+    broadcast aggregate v29 computes (_label_nprobe); passing it in
+    keeps this tier quantizer- and layout-agnostic like the rest of the
+    module (at 100 TB it comes from table statistics, refreshed with the
+    index, never from the stream).  Plan shape: the probe kernel ranks
+    ALL cells once (the same one-matmul scan-side projection), posexplode
+    carries the rank, and the per-label depth is a WHERE on that rank
+    after the broadcast stream-static join — the streaming form of v29's
+    ``rn <= npl`` gate.  Everything downstream (label predicate composed
+    into the candidate join before the cosine, O(k)-state merge, TTL)
+    is shared with filtered_topk_stream.  Stream≡batch is pinned to the
+    declared v29 in test_streaming."""
+    probed = (
+        queries.join(F.broadcast(label_nprobe), queries["qlabel"] == label_nprobe["label"])
+        .drop(label_nprobe["label"])
+        .select(
+            "qid",
+            "qe",
+            "qlabel",
+            "npl",
+            F.posexplode(probe_cells_col(centroids, len(centroids))(F.col("qe"))).alias(
+                "pos", "cell"
+            ),
+        )
+        .where(F.col("pos") < F.col("npl"))
+        .drop("pos", "npl")
+    )
+    indexed = cells.join(corpus, "vec_id")  # static side: (vec_id, cell, embedding, label)
+    cand = (
+        probed.join(indexed, "cell")
+        .where((F.col("vec_id") != F.col("qid")) & (F.col("label") == F.col("qlabel")))
+        .select("qid", "vec_id", cosine(F.col("qe"), F.col("embedding")).alias("sim"))
+    )
+    return cand.groupBy("qid").applyInPandasWithState(
+        _merge_factory(k, ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def filtered_topk_stream(
     queries: DataFrame,
     corpus: DataFrame,

@@ -324,3 +324,76 @@ def test_zordered_snap_crosses_antimeridian(spark, tmp_path_factory):
     full_w = snap.snap_single_point(nodes, -179.9998, 0.0, max_snap_m=300.0)
     pruned_w = snap.snap_single_point_zordered(spark, d, wbox, -179.9998, 0.0, max_snap_m=300.0)
     assert pruned_w == full_w and full_w[0] == 1
+
+
+def test_zordered_reach_table_serves_g7_pruned(spark, geo_layout, tmp_path_factory):
+    """r13 verdict item 7: the reach gold table written through the
+    z-order layout (keyed on node lon/lat) serves G7's reach side from a
+    partition-pruned read — identical rows to the full-scan form, and the
+    observed reach file set shrinks (execution-observed, same evidence as
+    the node-table tests)."""
+    from fifteenmc_spark.plans import query as query_mod
+    from fifteenmc_spark.plans import reach as reach_mod
+    from fifteenmc_spark.plans import snap as snap_mod
+
+    gnodes = geo_layout["gnodes"]
+    reach = spark.createDataFrame(
+        [
+            (int(r["node_idx"]), cat, float(50 + 10 * k), float(5 + k), 2000 + k)
+            for k, r in enumerate(gnodes.limit(80).collect())
+            for cat in ("shop", "park")
+        ],
+        "node_idx int, category string, dist_m double, time_s double, poi_id long",
+    )
+    d = str(tmp_path_factory.mktemp("zorder_reach") / "reach")
+    reach_mod.write_reach_zordered(reach, gnodes, d, geo_layout["bbox"])
+
+    probes = [r for r in gnodes.limit(120).collect()][::41]
+    assert probes
+    for r in probes:
+        lon, lat = float(r["lon"]) + 1e-4, float(r["lat"]) - 1e-4
+        full = query_mod.point_reachability(reach, gnodes, lon, lat, radius_m=1000.0)
+        pruned = query_mod.point_reachability_zordered(
+            spark, None, geo_layout["path"], geo_layout["bbox"], lon, lat,
+            radius_m=1000.0, reach_layout_path=d,
+        )
+        assert [tuple(x) for x in pruned.collect()] == [tuple(x) for x in full.collect()]
+
+    # observed file-set shrink on the REACH side: the disc boxes list
+    # strictly fewer reach files than the layout holds.  Probe from the
+    # reach-carrying node NEAREST the layout center (an edge cell's
+    # pruning extent is unbounded outward, and the disc must actually
+    # contain reach rows for the file-set read to be non-empty)
+    minlon, minlat, maxlon, maxlat = geo_layout["bbox"]
+    c0lon, c0lat = (minlon + maxlon) / 2, (minlat + maxlat) / 2
+    reach_nodes = {int(r["node_idx"]) for r in reach.select("node_idx").distinct().collect()}
+    clon, clat = min(
+        (
+            (float(r["lon"]), float(r["lat"]))
+            for r in gnodes.collect()
+            if int(r["node_idx"]) in reach_nodes
+        ),
+        key=lambda p: (p[0] - c0lon) ** 2 + (p[1] - c0lat) ** 2,
+    )
+
+    def files_read(df):
+        return {x["f"] for x in df.select(F.input_file_name().alias("f")).distinct().collect()}
+
+    full_files = files_read(spark.read.parquet(d))
+    pruned_files = files_read(
+        snap_mod.read_zordered_disc(spark, d, geo_layout["bbox"], clon, clat, 60.0)
+    )
+    assert pruned_files and pruned_files < full_files
+    assert len(pruned_files) <= len(full_files) // 2, (
+        f"{len(pruned_files)}/{len(full_files)} reach files for a 60 m disc"
+    )
+
+    # the unsnappable probe keeps the empty-result contract on the
+    # both-halves-pruned path
+    assert (
+        query_mod.point_reachability_zordered(
+            spark, None, geo_layout["path"], geo_layout["bbox"], 10.0, 50.0,
+            radius_m=1000.0, reach_layout_path=d,
+        ).count()
+        == 0
+    )

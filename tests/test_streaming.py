@@ -586,6 +586,54 @@ def test_streaming_filtered_ann_equals_batch_v27(spark, sf_small, tmp_path_facto
     assert got == want
 
 
+def test_streaming_adaptive_filtered_ann_equals_batch_v29(spark, sf_small, tmp_path_factory):
+    """The ADAPTIVE filtered tier's online twin (r13 verdict item 6): the
+    per-label probe-depth rule composes into the stream the same way it
+    does into v29's batch plan — the (label, npl) selectivity table is a
+    broadcast stream-static join and the depth gate is a WHERE on the
+    probe rank — and the stream top-k equals the declared v29 exactly.
+    The selectivity table is v29's own (_label_nprobe), so the twin
+    moves with any future budget-rule change automatically."""
+    from fifteenmc_spark import serving
+    from fifteenmc_spark.operators.relational import QUERIES
+    from fifteenmc_spark.operators.similarity import N_QUERY_VECS, _emb, _label_nprobe
+    from fifteenmc_spark.streaming import ann as ANN
+
+    e, tcells, _ = serving.serving_cells_probes(spark, sf_small)
+    corpus = _emb(spark, sf_small).select("vec_id", "embedding", "label")
+    centroids = serving.serving_centroids(spark, sf_small)
+    npl = _label_nprobe(corpus, len(centroids), serving.SERVING_NPROBE)
+    # the dispatch must be LIVE at this scale (some label probes deeper
+    # than the serving nprobe) or this test degenerates into the v27 twin
+    assert any(r["npl"] > serving.SERVING_NPROBE for r in npl.collect())
+    queries = corpus.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    want = {
+        (r["qid"], r["vec_id"], r["rnk"], round(r["sim"], 4))
+        for r in QUERIES["v29_adaptive_filtered_topk"].build(spark, sf_small).collect()
+    }
+    assert want
+
+    out = tmp_path_factory.mktemp("adaptive_filtered_ann_stream")
+    queries.coalesce(1).write.mode("overwrite").parquet(str(out / "f0"))
+    stream = spark.readStream.schema(queries.schema).parquet(str(out) + "/*/")
+    W.run_to_memory(
+        ANN.adaptive_filtered_topk_stream(
+            stream, corpus, tcells, centroids, label_nprobe=npl
+        ),
+        "sink_ann_adaptive",
+        output_mode="append",
+    )
+    got = {
+        (r["qid"], r["vec_id"], r["rnk"], round(r["sim"], 4))
+        for r in spark.table("sink_ann_adaptive").distinct().collect()
+    }
+    assert got == want
+
+
 def test_streaming_span_registry_equals_batch_x9(spark, sf_small, tmp_path_factory):
     # stream≡batch contract for the span registry (x9's online twin —
     # the last dedup family with a bounded-state form): the distinct
