@@ -2856,7 +2856,13 @@ def _ncells_sweep_sql() -> str:
     "point would drop per-cell occupancy to ~8 vectors — below the "
     f"shortlist ({TOP_K}-NN needs the probed slice to hold candidates), "
     "so its recall row would measure quantizer starvation, not "
-    "capacity; the axis resumes when the eval corpus grows.  Each "
+    "capacity; the axis RESUMED in r14 on the 20k-vector synth corpus "
+    "(sqrt(N)=141 — 64 and 128 cells supportable there): membership "
+    "recall keeps rising 0.584/0.656/0.728/0.796 at ncells 16/32/64/128 "
+    "under the same constant 25% scan, and the composed strictly-no-"
+    "worse gate passes at 64 vs 32 (0.188 vs 0.156 recall@5) — recorded "
+    "in SCALE_SLOPE.json ncells_axis; the DECLARED serving layout stays "
+    "32 because it serves THESE corpora, where 64 still starves.  Each "
     "point trains its own quantizer from a deterministic seed pool "
     "whose first 8 ids ARE the serving quantizer's, so the ncells=8 "
     "row pins to v20's trained row (test-gated).  Same integer-exact "

@@ -738,10 +738,21 @@ def main() -> None:
     # the seed count grows with it, which is how a planet-scale road graph
     # actually scales.  SLOPE_GEO_CORE=0 skips.
     if os.environ.get("SLOPE_GEO_CORE", "1") != "0" and not qfilter:
+        from pyspark.sql import functions as F
+
         from fifteenmc_spark.plans import reach as reach_mod
         from fifteenmc_spark.plans import snap as snap_mod
 
-        geo_floor = _warm_floor_only(spark)
+        # inputs are range()-generated — no tables to warm; measure the
+        # noop action floor only (the same probe _warm ends with)
+        par = spark.sparkContext.defaultParallelism
+        geo_floor = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(par).repartition(par).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            geo_floor = min(geo_floor, time.perf_counter() - t0)
         geo: dict = {"action_floor_s": round(geo_floor, 4)}
 
         # g2 snap: bucketed kNN(k=1) join vs DuckDB's exact cross-join
@@ -779,7 +790,10 @@ def main() -> None:
                     snap_mod.snap_points_to_nodes(pts, nodes, point_id_col="point_id")
                     .select(
                         "point_id", "node_idx",
-                        F.round(F.col("dist_to_node_m").cast("double"), 4).alias("d"),
+                        # 2 decimals: snap distances are float32 (the J2
+                        # contract) and the float64 oracle differs in the
+                        # 4th decimal on ~0.5% of rows — winners identical
+                        F.round(F.col("dist_to_node_m").cast("double"), 2).alias("d"),
                     )
                     .orderBy("point_id")
                 )
@@ -808,13 +822,21 @@ def main() -> None:
                   SELECT point_id, node_idx, d,
                          ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY d, node_idx) AS rn
                   FROM scored)
-                SELECT point_id, node_idx, ROUND(d, 4) AS d
+                SELECT point_id, node_idx, ROUND(d, 2) AS d
                 FROM best WHERE rn = 1 ORDER BY point_id
                 """
             con4 = duckdb.connect()
             got = [(r["point_id"], r["node_idx"], r["d"]) for r in g2_df().collect()]
             ora = [tuple(r) for r in con4.execute(sql).fetchall()]
-            assert got == ora, f"g2 f={f}: spark/duck rows differ"
+            # winners must match exactly; distances within 1 cm (the snap
+            # contract stores float32, and the oracle's POW vs the plan's
+            # x*x differ in the last ulp — rounding both sides still flips
+            # at .xx5 boundaries, so the compare is tolerance, not ROUND)
+            assert len(got) == len(ora), f"g2 f={f}: row counts differ"
+            for (gp, gn, gd), (op_, on_, od) in zip(got, ora):
+                assert gp == op_ and gn == on_ and abs(gd - od) < 0.01, (
+                    f"g2 f={f}: {(gp, gn, gd)} vs {(op_, on_, od)}"
+                )
             g2_df().write.format("noop").mode("overwrite").save()  # warm
             t0 = time.perf_counter()
             g2_df().write.format("noop").mode("overwrite").save()
