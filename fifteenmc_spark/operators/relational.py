@@ -978,6 +978,15 @@ def d18b(spark, sf_dir):
     ("datetime", "window-agg", "streaming-equivalent"),
 )
 def d19(spark, sf_dir):
+    # Constant audited r14 (interleaved min-of-3 at sf0.1, the r13
+    # verdict's stretch item): full plan 0.79 s = ~0.2 s floor + ~0.3 s
+    # the output ORDER BY's range exchange + ~0.3 s scan/agg.  The
+    # DECIMAL(25,6) sum costs only ~0.12 s here (isum4 0.68 s, plain
+    # double sum 0.67 s — identical rows on current testdata), and the
+    # module discipline keeps events.value on _dsum (arbitrary-double
+    # contract; _isum4 is only exact for <=4-decimal values).  The sort
+    # is the declared contract.  Measured refusal: nothing left that
+    # isn't floor or contract.
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy("user_id", F.floor(F.unix_timestamp("ts") / 900).alias("w"))
