@@ -666,10 +666,14 @@ def main() -> None:
     # pass then runs=1 per point (read with run-noise error bars, like
     # the shape sections).  SLOPE_TIME_FAMILY=0 skips.
     if os.environ.get("SLOPE_TIME_FAMILY", "1") != "0" and not qfilter:
-        t_names = ("d26_asof_join", "d27_range_join")
+        # d19/d28 joined in r14's second pass: the remaining heavy
+        # events-family shapes (tumbling-window agg; two-window-pass
+        # sessionization) — same decades, same engines, so the WHOLE
+        # time family carries crossover evidence
+        t_names = ("d26_asof_join", "d27_range_join", "d19_tumbling_window", "d28_sessionize")
         tfam: dict = {
             "method": (
-                "d26/d27 at 1x (sf0.1) / 10x / 30x / 100x key-offset "
+                "d26/d27/d19/d28 at 1x (sf0.1) / 10x / 30x / 100x key-offset "
                 "events+orders replicas (more users, constant per-user "
                 "density), Spark AND DuckDB, warm pass then runs=1; exponent "
                 "= least-squares log-log slope over all points (Spark "
