@@ -1286,6 +1286,14 @@ def interval_join(
     ("join", "range", "time-series"),
 )
 def d27(spark, sf_dir):
+    # Measured refusal (r14): checkpointing the projected scan once and
+    # deriving both self-join sides from it wins ~20% locally (1.19 ->
+    # 0.96 s at sf0.1; 5.44 -> 4.37 s at the 100x decade) — but a
+    # localCheckpoint pins the whole projected corpus in the block
+    # manager, which at 100 TB is an OOM, not an optimization.  Two
+    # column-pruned scans of the same lake table are the shape that
+    # survives scale; the slope rows (time_family_points) carry the
+    # evidence that the bucketed join itself is the flat curve.
     e = _t(spark, sf_dir, "events")
     probe = e.select(F.col("event_id").alias("b_id"), "user_id", F.col("ts").alias("b_ts"))
     intervals = e.select(
