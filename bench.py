@@ -206,11 +206,15 @@ def main() -> None:
                     d_samples.append(time.perf_counter() - t0)
                 except Exception as e:  # noqa: BLE001
                     errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:300]
-                    bench_partial = True
             if d_samples:
                 duck[name] = round(_median(d_samples), 4)
                 duck_spreads[name] = [round(min(d_samples), 4), round(max(d_samples), 4)]
                 duck_mins[name] = round(min(d_samples), 4)
+            else:
+                # partial only when the oracle has NO surviving sample —
+                # a transient flake with a valid median still counts as
+                # measured, matching the Spark side's rule
+                bench_partial = True
 
     ok = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(ok.values()), 4)

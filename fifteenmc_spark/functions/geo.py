@@ -62,10 +62,21 @@ def edge_weight_m(lon1, lat1, lon2, lat2) -> Column:
 def equirectangular_m2(lon, lat, lon0, lat0) -> Column:
     """F3: cheap squared-distance pre-filter (poi_query.py:29-47) — used to
     prune kNN candidates before one exact haversine.  Returns squared
-    degrees scaled by cos(lat0); monotone in true distance locally."""
+    degrees scaled by cos(lat0); monotone in true distance locally.
+
+    The longitude delta is WRAPPED (min(|dl|, 360-|dl|)): a raw
+    difference ranks a cross-dateline candidate ~360 deg away, so the
+    256-candidate shortlist in snap_single_point would drop the true
+    nearest node near lon=±180 (and the pruned/full snap paths could
+    diverge there — r14 review finding).  The reference's prefilter has
+    the same latent defect on raw deltas; the exact haversine downstream
+    was always wrap-correct, so wrapping here only ever improves the
+    shortlist's monotonicity."""
     lon, lat = _c(lon).cast("double"), _c(lat).cast("double")
     lon0, lat0 = _c(lon0).cast("double"), _c(lat0).cast("double")
-    x = (lon - lon0) * F.cos(F.radians(lat0))
+    dl = F.abs(lon - lon0)
+    dl = F.least(dl, F.lit(360.0) - dl)
+    x = dl * F.cos(F.radians(lat0))
     y = lat - lat0
     return x * x + y * y
 

@@ -148,28 +148,53 @@ def snap_disc_boxes(
     lon: float, lat: float, max_snap_m: float
 ) -> list[tuple[float, float, float, float]]:
     """The pruning bbox(es) containing every point within ``max_snap_m``
-    of (lon, lat): the degree box is derived with the SMALLEST earth
-    radius so it always contains the haversine disc, and a disc crossing
-    lon = ±180 splits into the two wrapped longitude ranges (full-width
-    at near-polar latitudes) — see the antimeridian note in
-    snap_single_point_zordered.  Shared by the z-ordered snap and the
-    z-ordered reach read so the two prune with identical geometry."""
+    of (lon, lat): the angular radius is derived with the SMALLEST earth
+    radius so the boxes always contain the haversine disc.  Three
+    geometry cases (r14 review findings):
+
+    - A disc whose cap CONTAINS a pole (lat ± r crosses ±90) spans every
+      longitude — one full-width box extended to that pole.
+    - The longitude half-width is the EXACT spherical-cap extent
+      asin(sin r / cos lat) (Matuschek's bounding-box formula), not the
+      flat-earth r / cos lat, which UNDERESTIMATES the cap within ~2.5 km
+      of the poles and would drop true nearest rows there.
+    - A disc crossing lon = ±180 splits into the two wrapped longitude
+      ranges; every east edge clamped at 180 is nudged one ulp past it so
+      the half-open residual filter (lon < maxlon) keeps a row stored at
+      exactly lon = +180.0 — a legal WGS84 longitude the raw unclamped
+      box used to include.
+
+    Shared by the z-ordered snap and the z-ordered reach read so the two
+    prune with identical geometry."""
     import math
 
-    dlat = max_snap_m / _R_MIN_M * 180.0 / math.pi
-    dlon = dlat / max(math.cos(math.radians(lat)), 1e-9)
+    r = max_snap_m / _R_MIN_M  # cap angular radius, radians
+    dlat = math.degrees(r)
+    east = math.nextafter(180.0, math.inf)  # includes lon == +180.0 rows
+    lat_lo, lat_hi = lat - dlat, lat + dlat
+    if lat_hi >= 90.0 or lat_lo <= -90.0:
+        # the cap contains a pole: all longitudes, lat range to the pole
+        # (north edge nudged past 90 — the residual is half-open on lat
+        # too, and lat == 90.0 is a legal coordinate)
+        if lat_hi >= 90.0:
+            return [(-180.0, max(lat_lo, -90.0), east, math.nextafter(90.0, math.inf))]
+        return [(-180.0, -90.0, east, lat_hi)]
+    # exact cap longitude half-width: asin(sin r / cos lat); the argument
+    # is < 1 here (pole-crossing handled above), but clamp for float edge
+    s = min(math.sin(r) / math.cos(math.radians(lat)), 1.0)
+    dlon = math.degrees(math.asin(s))
     lo, hi = lon - dlon, lon + dlon
     boxes: list[tuple[float, float, float, float]] = []
     if dlon >= 180.0:
-        boxes.append((-180.0, lat - dlat, 180.0, lat + dlat))
+        boxes.append((-180.0, lat_lo, east, lat_hi))
     elif lo < -180.0:
-        boxes.append((-180.0, lat - dlat, hi, lat + dlat))
-        boxes.append((lo + 360.0, lat - dlat, 180.0, lat + dlat))
+        boxes.append((-180.0, lat_lo, hi, lat_hi))
+        boxes.append((lo + 360.0, lat_lo, east, lat_hi))
     elif hi > 180.0:
-        boxes.append((lo, lat - dlat, 180.0, lat + dlat))
-        boxes.append((-180.0, lat - dlat, hi - 360.0, lat + dlat))
+        boxes.append((lo, lat_lo, east, lat_hi))
+        boxes.append((-180.0, lat_lo, hi - 360.0, lat_hi))
     else:
-        boxes.append((lo, lat - dlat, hi, lat + dlat))
+        boxes.append((lo, lat_lo, hi, lat_hi))
     return boxes
 
 

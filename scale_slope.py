@@ -88,6 +88,27 @@ WATCH = 0.9
 SUPERLINEAR = 1.1
 
 
+def _replicate_keyed(table, offsets: dict, factor: int):
+    """``factor`` key-offset replicas of a pyarrow table: replica r shifts
+    each column in ``offsets`` by r*stride.  Pure-pyarrow so every non-key
+    column (dates, decimals, strings) keeps its EXACT parquet type — a
+    pandas roundtrip would e.g. widen DATE to TIMESTAMP and break
+    read_table's schema contract on the synth corpora.  Shared by the
+    trade-table decade (x10) and the events decade (d26/d27/d19/d28)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    reps = []
+    for r in range(factor):
+        t = table
+        for col, stride in offsets.items():
+            idx = t.schema.get_field_index(col)
+            shifted = pc.add(t.column(col), pa.scalar(r * stride, pa.int64()))
+            t = t.set_column(idx, t.schema.field(idx), shifted.cast(t.schema.field(idx).type))
+        reps.append(t)
+    return pa.concat_tables(reps)
+
+
 def synth_10x(
     src_dir: str, out_dir: str, factor: int = SYNTH_FACTOR, vocab: str = "matched"
 ) -> str:
@@ -226,19 +247,7 @@ def synth_10x(
         import pyarrow.compute as pc
 
         def _replicate(table: pa.Table, offsets: dict[str, int]) -> pa.Table:
-            # pure-pyarrow key shifting: every non-key column (dates,
-            # decimals, strings) keeps its EXACT parquet type — a pandas
-            # roundtrip would e.g. widen DATE to TIMESTAMP and break
-            # read_table's schema contract on the synth corpus
-            reps = []
-            for r in range(factor):
-                t = table
-                for col, stride in offsets.items():
-                    idx = t.schema.get_field_index(col)
-                    shifted = pc.add(t.column(col), pa.scalar(r * stride, pa.int64()))
-                    t = t.set_column(idx, t.schema.field(idx), shifted.cast(t.schema.field(idx).type))
-                reps.append(t)
-            return pa.concat_tables(reps)
+            return _replicate_keyed(table, offsets, factor)
 
         ordr = pq.read_table(os.path.join(src_dir, "orders.parquet"))
         li = pq.read_table(os.path.join(src_dir, "lineitem.parquet"))
@@ -298,15 +307,7 @@ def synth_events(src_dir: str, out_dir: str, factor: int) -> str:
     os.makedirs(out_dir, exist_ok=True)
 
     def _replicate(table: pa.Table, offsets: dict[str, int]) -> pa.Table:
-        reps = []
-        for r in range(factor):
-            t = table
-            for col, stride in offsets.items():
-                idx = t.schema.get_field_index(col)
-                shifted = pc.add(t.column(col), pa.scalar(r * stride, pa.int64()))
-                t = t.set_column(idx, t.schema.field(idx), shifted.cast(t.schema.field(idx).type))
-            reps.append(t)
-        return pa.concat_tables(reps)
+        return _replicate_keyed(table, offsets, factor)
 
     ev = pq.read_table(os.path.join(src_dir, "events.parquet"))
     ordr = pq.read_table(os.path.join(src_dir, "orders.parquet"))
@@ -837,8 +838,12 @@ def main() -> None:
             # x*x differ in the last ulp — rounding both sides still flips
             # at .xx5 boundaries, so the compare is tolerance, not ROUND)
             assert len(got) == len(ora), f"g2 f={f}: row counts differ"
+            # <= 0.011: both sides are ALREADY rounded to 2 decimals, so
+            # a .xx5 rounding flip yields a diff of exactly ~0.01 (plus
+            # float representation error) — a strict < 0.01 would abort
+            # the run on the very case the tolerance exists for
             for (gp, gn, gd), (op_, on_, od) in zip(got, ora):
-                assert gp == op_ and gn == on_ and abs(gd - od) < 0.01, (
+                assert gp == op_ and gn == on_ and abs(gd - od) <= 0.011, (
                     f"g2 f={f}: {(gp, gn, gd)} vs {(op_, on_, od)}"
                 )
             g2_df().write.format("noop").mode("overwrite").save()  # warm

@@ -397,3 +397,70 @@ def test_zordered_reach_table_serves_g7_pruned(spark, geo_layout, tmp_path_facto
         ).count()
         == 0
     )
+
+
+def test_snap_prefilter_wrap_aware_beyond_shortlist(spark, tmp_path_factory):
+    """r14 review finding: the equirectangular prefilter ranked a
+    cross-dateline candidate ~360 deg away, so with MORE than 256 nodes
+    on the same side the true (wrapped) nearest node fell out of the
+    exact-snap shortlist on BOTH the full-scan and pruned paths.  301
+    nodes: 300 same-side (100-900 m away) + the wrapped winner (~33 m);
+    both paths must return the wrapped node."""
+    from fifteenmc_spark.plans import snap
+
+    wbox = (-180.0, -1.0, 180.0, 1.0)
+    rows = [(0, -179.9999, 0.0)]  # the wrapped true nearest (~33 m)
+    rows += [
+        (1 + j, 179.990 - (j % 100) * 1e-5, -0.004 + (j // 100) * 0.004)
+        for j in range(300)
+    ]
+    nodes = spark.createDataFrame(rows, "node_idx int, lon double, lat double")
+    d = str(tmp_path_factory.mktemp("zorder_wrap_many") / "graph_nodes")
+    layout.write_zorder_layout(nodes, d, wbox)
+
+    lon, lat = 179.9998, 0.0
+    full = snap.snap_single_point(nodes, lon, lat, max_snap_m=300.0)
+    assert full is not None and full[0] == 0, full
+    pruned = snap.snap_single_point_zordered(spark, d, wbox, lon, lat, max_snap_m=300.0)
+    assert pruned == full, (pruned, full)
+
+
+def test_snap_disc_boxes_geometry():
+    """Pure geometry contract of the shared pruning helper (r14 review):
+    polar caps span all longitudes up to the pole, the exact cap
+    longitude half-width is used (not the flat-earth underestimate), and
+    boxes clamped at the east/north edge still include rows stored at
+    exactly lon=180.0 / lat=90.0 (the residual filter is half-open)."""
+    from fifteenmc_spark.plans.snap import snap_disc_boxes
+
+    def contains(boxes, lo, la):
+        return any(
+            lo >= b[0] and lo < b[2] and la >= b[1] and la < b[3] for b in boxes
+        )
+
+    # cap containing the north pole: a node directly across the pole
+    # (~440 m away through it) must be inside the listing
+    boxes = snap_disc_boxes(0.0, 89.998, 500.0)
+    assert contains(boxes, 180.0, 89.998)
+    assert contains(boxes, -90.0, 89.9995)
+    assert contains(boxes, 0.0, 90.0)  # the pole itself (lat half-open)
+    # near-polar but NOT pole-crossing: flat-earth dlon = r/cos(lat)
+    # underestimates the cap extent; the exact asin form must cover a
+    # node at the cap's widest longitude deviation.  At lat 89.9 a 500 m
+    # disc spans ~2.58 deg of longitude (exact) vs 2.577 flat — and the
+    # haversine-nearest check is what the residual decides; containment
+    # of the exact-width corner is the contract
+    import math
+
+    lat0 = 89.9
+    r = 500.0 / 6_356_752.3
+    dlon_exact = math.degrees(math.asin(math.sin(r) / math.cos(math.radians(lat0))))
+    boxes = snap_disc_boxes(0.0, lat0, 500.0)
+    assert contains(boxes, dlon_exact * 0.999, lat0)
+    # antimeridian split still includes a row at exactly lon = +180.0
+    boxes = snap_disc_boxes(179.9998, 0.0, 300.0)
+    assert contains(boxes, 180.0, 0.0)
+    assert contains(boxes, -179.9999, 0.0)
+    # plain mid-latitude disc: two-sided containment, no wrap
+    boxes = snap_disc_boxes(18.6, 54.3, 300.0)
+    assert len(boxes) == 1 and contains(boxes, 18.6027, 54.3) and contains(boxes, 18.5973, 54.3)
