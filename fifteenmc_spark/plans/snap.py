@@ -26,6 +26,14 @@ Scale notes
 - Candidate fan-out is bounded: 9 cells/point × nodes-per-cell; cell size
   tunes the tradeoff (default 600 m > the 300 m default snap radius).
 - No driver-side index, no collect: both sides stream.
+- Known domain limits (documented, matching the reference's city-extract
+  scope): the Web-Mercator cell keys do NOT wrap at lon=±180 — a point
+  within cell_m of the seam will not see nodes on the other side (the
+  single-point path handles the wrap, see snap_disc_boxes; a planet-wide
+  bucketed deployment would add the seam cells' mirror keys the same
+  way) — and Mercator y diverges toward the poles (the projection is
+  undefined at ±90; the reference KD-tree shares both limits since it
+  uses the same EPSG:3857 metric).
 """
 
 from __future__ import annotations
