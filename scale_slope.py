@@ -78,6 +78,13 @@ SLOPE_QUERIES = (
     # replicas (nodes AND edges x10), so the slope measures edge-volume
     # scaling of the join+agg iteration, not a degenerate constant graph
     "x10_link_pagerank",
+    # r14: the filtered serving tier — v27 fixed-nprobe label-filtered
+    # search and v29's adaptive per-label probe dispatch — so the
+    # predicate axis carries the same crossover evidence as the rest of
+    # the v-family (both flat vs the oracle's 0.6-0.8 exponents; Spark
+    # wins 10x / 7.8x at the 10x corpus point)
+    "v27_filtered_tivf_topk",
+    "v29_adaptive_filtered_topk",
 )
 SF_LO = os.environ.get("SLOPE_SF_LO", "/root/testdata/sf0.01")
 SF_HI = os.environ.get("SLOPE_SF_HI", "/root/testdata/sf0.1")
