@@ -288,3 +288,52 @@ def test_chunk_batch_matches_reference():
                 want_w = w if i < len(chunks) - 1 else len(toks) - w * i
                 assert len(c.split(" ")) == want_w
             assert cks == [hashlib.md5(c.encode("utf-8")).hexdigest() for c in chunks]
+
+
+class TestSnapDiscBoxes:
+    """Containment property of the shared z-order pruning geometry
+    (plans/snap.snap_disc_boxes, rewritten r14): EVERY point within
+    max_snap_m haversine meters of the query point must fall inside one
+    of the returned boxes — across the antimeridian, at the poles, and
+    at box-edge coordinates.  The destination points are generated with
+    the spherical direct formula at R_QUERY (6371000 m) > R_MIN, so
+    their angular distance is strictly inside the boxes' R_MIN-derived
+    radius by construction; a containment failure is a geometry bug,
+    never a margin artifact."""
+
+    @staticmethod
+    def _dest(lon, lat, bearing_deg, dist_m, radius=6_371_000.0):
+        import math
+
+        d = dist_m / radius
+        th = math.radians(bearing_deg)
+        p1, l1 = math.radians(lat), math.radians(lon)
+        p2 = math.asin(
+            math.sin(p1) * math.cos(d) + math.cos(p1) * math.sin(d) * math.cos(th)
+        )
+        l2 = l1 + math.atan2(
+            math.sin(th) * math.sin(d) * math.cos(p1),
+            math.cos(d) - math.sin(p1) * math.sin(p2),
+        )
+        lon2 = math.degrees(l2)
+        # normalize to [-180, 180) — the storage convention the residual
+        # filter sees
+        lon2 = (lon2 + 180.0) % 360.0 - 180.0
+        return lon2, math.degrees(p2)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.floats(min_value=-180.0, max_value=180.0),
+        st.floats(min_value=-90.0, max_value=90.0),
+        st.floats(min_value=1.0, max_value=5000.0),
+        st.floats(min_value=0.0, max_value=360.0),
+        st.floats(min_value=0.0, max_value=1.0),
+    )
+    def test_disc_points_always_contained(self, lon, lat, snap_m, bearing, frac):
+        from fifteenmc_spark.plans.snap import snap_disc_boxes
+
+        boxes = snap_disc_boxes(lon, lat, snap_m)
+        plon, plat = self._dest(lon, lat, bearing, snap_m * frac)
+        assert any(
+            b[0] <= plon < b[2] and b[1] <= plat < b[3] for b in boxes
+        ), (lon, lat, snap_m, bearing, frac, plon, plat, boxes)
