@@ -678,7 +678,16 @@ def main() -> None:
         # events-family shapes (tumbling-window agg; two-window-pass
         # sessionization) — same decades, same engines, so the WHOLE
         # time family carries crossover evidence
-        t_names = ("d26_asof_join", "d27_range_join", "d19_tumbling_window", "d28_sessionize")
+        # r14 third pass: every remaining events-family query whose bench
+        # ratio is >2x at meaningful oracle time — range-frame window,
+        # first-occurrence dedup, and the salted skew join (its customer
+        # dim stays fixed while users grow, the realistic new-users
+        # shape; the fact-side shuffle is the cost being measured)
+        t_names = (
+            "d26_asof_join", "d27_range_join", "d19_tumbling_window",
+            "d28_sessionize", "d11_range_frame", "d23_first_occurrence",
+            "d30_salted_join",
+        )
         tfam: dict = {
             "method": (
                 "d26/d27/d19/d28 at 1x (sf0.1) / 10x / 30x / 100x key-offset "
@@ -706,7 +715,9 @@ def main() -> None:
                 synth_events(SF_HI, sf_dir, fac)
             tf_floors.append(_warm(spark, sf_dir))
             con3 = duckdb.connect()
-            for t in ("events", "orders"):
+            # every table: the synth dirs symlink the non-scaled ones, and
+            # d30 joins the (fixed) customer dim
+            for t in TABLES:
                 con3.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
                 )
