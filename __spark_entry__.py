@@ -33,64 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries with no driver CORRECTNESS row yet come first so every declared
 # query accumulates at least one driver-checked green row across rounds.
 _CHECK_FIRST = (
-    # r14 rotation — the 19 queries whose newest driver row is r11 lead
-    # (r13 verdict item 3: no query's newest row should age past two
-    # rounds), then the queries whose PLAN or measurement changed this
-    # round (d31 aggregate rework, d27 shuffle-hash pin, d8 re-measure),
-    # then the r12-green backlog; with a 50-query window the tail spills
-    # to lead r15.
-    "m3_frame_sample",
-    "v1_cosine_topk",
-    "v3_embedding_near_dup",
-    "v5_ivf_topk",
-    "v6_lsh_recall",
-    "v9_ivf_recall",
-    "v11_pq_topk",
-    "v12_pq_recall",
-    "v13_ivfpq_topk",
-    "v14_ivfpq_recall",
-    "v22_tivf_nprobe_sweep",
-    "v23_tencoding_recall",
-    "v24_ncells_sweep",
-    "v15_dedup_apply",
-    "p2_hash_split",
-    "p3_pack_sequences",
-    "p5_chunk_dedup",
-    "t8_length_quantiles",
-    "t9_unigram_logprob",
-    # changed in r14 — re-attest before the backlog
-    "d31_sketch_bounds",
-    "d27_range_join",
-    "d8_median",
-    # newest driver row is r12 — rotate back through
-    "x7_near_dup_clusters",
-    "x9_span_dedup",
-    "x9_span_dedup_sampled",
-    "x9_span_dedup_prefiltered",
-    "g5_tile_occupancy",
-    "v25_serving_tivf_topk",
-    "v26_serving_ivfpq_topk",
-    "g6_zorder_layout",
-    "d30_salted_join",
-    "t10_gopher_rules",
-    "p9_temperature_mix",
-    "x10_link_pagerank",
-    "v27_filtered_tivf_topk",
-    "t11_bpe_pretoken_count",
-    "t12_winnowing_fingerprint",
-    "v28_filtered_recall",
-    "d32_full_outer",
-    "d1_scan_filter",
-    "d2_inner_join",
-    "d3_dim_chain_join",
-    "d4_left_outer",
-    "d5_semi_join",
-    "d5_anti_join",
-    "d6_groupby_agg",
-    "d7_count_distinct",
-    "d9_rollup",
-    "d10_rank_dense_ntile",
-    "d11_running_total",
+    # r15 rotation — the 20 queries whose newest driver row is r12 lead
+    # (r14 verdict item 3: no query's newest row should age past two
+    # rounds), then the queries whose PLAN or measurement changes this
+    # round (x9 constant attack, batch-snap antimeridian mirror keys,
+    # d23/g3 crossover work), then the r13-green backlog; with a
+    # 50-query window the tail spills to lead r16.
     "d11_range_frame",
     "d12_lag",
     "d29_json_extract",
@@ -111,6 +59,61 @@ _CHECK_FIRST = (
     "v2_lsh_bucket_16",
     "v4_embedding_stats",
     "v7_lsh_banded_near_dup",
+    # plans touched or re-measured in r15 — re-attest before the backlog
+    "x9_span_dedup",
+    "x9_span_dedup_sampled",
+    "x9_span_dedup_prefiltered",
+    "g2_knn_snap",
+    "g3_bounded_reach",
+    "d23_first_occurrence",
+    # newest driver row is r13 — rotate back through (alphabetical; the
+    # tail past the 50-query window leads r16)
+    "d10_topk_per_group",
+    "d13_topk",
+    "d14_except",
+    "d14_intersect",
+    "d14_union",
+    "d15_strings",
+    "d16_haversine",
+    "d17_conditionals",
+    "d18_date_trunc",
+    "d18_year_month",
+    "d19_tumbling_window",
+    "d20_array_ops",
+    "d21_pivot",
+    "d22_graph_relax",
+    "d24_correlated_subquery",
+    "d25_scalar_subquery",
+    "d26_asof_join",
+    "d28_sessionize",
+    "d9_cube",
+    "g1_grid_tiles",
+    "g4_tile_assign",
+    "m1_asset_meta",
+    "m2_feature_extract",
+    "p7_dedup_apply",
+    "v10_embedding_validity",
+    "v16_rivfpq_topk",
+    "v17_encoding_recall",
+    "v18_ivfpq_nprobe_sweep",
+    "v19_tivf_topk",
+    "v20_tivf_recall",
+    "v21_tivfpq_topk",
+    "v29_adaptive_filtered_topk",
+    "v8_embedding_clusters",
+    "x1_dedup_exact",
+    "x2_minhash_signature",
+    "x3_minhash_lsh_pairs",
+    "x3_minhash_lsh_pairs_16",
+    "x4_simhash",
+    "x4_simhash_64",
+    "x5_ngram_jaccard",
+    "x5_ngram_jaccard_capped",
+    "x6_simhash_hamming",
+    "x6_simhash_hamming_64",
+    "x7_hamming_clusters",
+    "x7_jaccard_clusters",
+    "x8_decontaminate",
 )
 
 

@@ -141,6 +141,11 @@ def main() -> None:
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     with_duck = os.environ.get("BENCH_DUCKDB", "1") != "0"
     con = None
+    # partial = a missing Spark timing OR a missing/unavailable oracle half
+    # (r14 ADVICE: a failed DuckDB setup must not record a line that is
+    # flag-indistinguishable from a complete two-sided round)
+    bench_partial = False
+    errors: dict[str, str] = {}
     if with_duck:
         try:
             import duckdb
@@ -161,6 +166,8 @@ def main() -> None:
                 file=sys.stderr,
             )
             con = None
+            bench_partial = True
+            errors["duckdb:setup"] = f"{type(e).__name__}: {e}"[:300]
     # Per-query error isolation: one broken query must never lose the whole
     # round's perf recording (r4 lost BENCH entirely to a single exception).
     # Failures record null and the line carries bench_partial + the errors.
@@ -168,11 +175,9 @@ def main() -> None:
     spreads: dict[str, list[float]] = {}
     mins: dict[str, float] = {}
     run1: dict[str, float] = {}
-    errors: dict[str, str] = {}
     duck: dict[str, float] = {}
     duck_spreads: dict[str, list[float]] = {}
     duck_mins: dict[str, float] = {}
-    bench_partial = False
     for name, q in QUERIES.items():
         samples: list[float] = []
         # try/except PER RUN: a query that succeeds on run 1 but flakes on a

@@ -1241,11 +1241,13 @@ def interval_join(
     arbitrarily large (measured on 30x events: broadcast plan 6.4 s and
     one-node build of a ~6M-row hashed relation, vs 2.35 s shuffled-hash
     — and at 100 TB the broadcast is an OOM, not a slowdown).  The
-    probe side is the build side because it never explodes, and
-    per-(key, bucket) groups are bounded by rows-per-bucket, so the
-    per-partition hash map stays small; no sort is needed on either
-    side (the sort-merge alternative pays two large sorts for nothing
-    — the bucket groups are tiny)."""
+    probe side is the build side because it never explodes, so its
+    partitions are the smaller of the two; the per-partition hash map
+    holds ALL build-side rows in the partition (not one (key, bucket)
+    group), so memory is bounded by rows-per-partition — tunable via
+    shuffle parallelism — not by group size.  No sort is needed on
+    either side (the sort-merge alternative pays two large sorts for
+    nothing — the bucket groups are tiny)."""
     lkey, rkey = (on, on) if isinstance(on, str) else on
     w = int(max_interval_us)
     lb = left.hint("shuffle_hash").withColumn(

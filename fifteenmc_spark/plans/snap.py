@@ -192,10 +192,11 @@ def snap_disc_boxes(
     s = min(math.sin(r) / math.cos(math.radians(lat)), 1.0)
     dlon = math.degrees(math.asin(s))
     lo, hi = lon - dlon, lon + dlon
+    # dlon = degrees(asin(...)) is bounded at 90°, and the pole-crossing
+    # case (the only way a cap spans all longitudes) returned above — so
+    # no dlon >= 180 full-width branch can ever be reached here.
     boxes: list[tuple[float, float, float, float]] = []
-    if dlon >= 180.0:
-        boxes.append((-180.0, lat_lo, east, lat_hi))
-    elif lo < -180.0:
+    if lo < -180.0:
         boxes.append((-180.0, lat_lo, hi, lat_hi))
         boxes.append((lo + 360.0, lat_lo, east, lat_hi))
     elif hi > 180.0:
