@@ -85,6 +85,18 @@ SLOPE_QUERIES = (
     # wins 10x / 7.8x at the 10x corpus point)
     "v27_filtered_tivf_topk",
     "v29_adaptive_filtered_topk",
+    # r15: direct rows for the queries the r14 borderline sweep covered
+    # only by family proxy (r14 verdict item 1 — >2x floor-adjusted at
+    # >=0.15s oracle minimum on the recorded BENCH_full).  d12_lag is
+    # events-family and measures in the time-family section instead.
+    "d10_rank_dense_ntile",
+    "p1_corpus_prep",
+    "t3_lang_id",
+    "t6_vocab_topk",
+    "t10_gopher_rules",
+    "p8_domain_mix",
+    "p9_temperature_mix",
+    "v5_ivf_topk",
 )
 SF_LO = os.environ.get("SLOPE_SF_LO", "/root/testdata/sf0.01")
 SF_HI = os.environ.get("SLOPE_SF_HI", "/root/testdata/sf0.1")
@@ -687,7 +699,20 @@ def main() -> None:
             "d26_asof_join", "d27_range_join", "d19_tumbling_window",
             "d28_sessionize", "d11_range_frame", "d23_first_occurrence",
             "d30_salted_join",
+            # r15: the last events-family query with only a proxy row —
+            # LAG over (user_id, ts) windows (r14 verdict item 1)
+            "d12_lag",
         )
+        # SLOPE_TIME_FAMILY_FILTER=a,b: re-measure only those queries and
+        # MERGE their points/exponents into the existing time_family_points
+        # (same contract as SLOPE_QUERIES_FILTER for the 3-point section)
+        tf_filter = tuple(
+            q
+            for q in os.environ.get("SLOPE_TIME_FAMILY_FILTER", "").split(",")
+            if q
+        )
+        if tf_filter:
+            t_names = tuple(n for n in t_names if n in tf_filter)
         tfam: dict = {
             "method": (
                 "d26/d27/d19/d28 at 1x (sf0.1) / 10x / 30x / 100x key-offset "
@@ -750,7 +775,21 @@ def main() -> None:
                 _fit(tf_logx, [math.log10(t) for t in tf_times[name]["duck"]]), 3
             )
         tfam["action_floor_s"] = [round(f, 4) for f in tf_floors]
-        out["time_family_points"] = tfam
+        if tf_filter and "time_family_points" in out:
+            # merge: keep every other query's points/exponents; replace
+            # the re-measured ones and record the partial's floors
+            merged = out["time_family_points"]
+            for fac in tf_dirs:
+                merged.setdefault(f"{fac}x", {}).update(tfam[f"{fac}x"])
+            for name in t_names:
+                merged[f"{name}_spark_exponent"] = tfam[f"{name}_spark_exponent"]
+                merged[f"{name}_duckdb_exponent"] = tfam[f"{name}_duckdb_exponent"]
+            merged["partial_update"] = {
+                "queries": list(t_names),
+                "action_floor_s": tfam["action_floor_s"],
+            }
+        else:
+            out["time_family_points"] = tfam
         _write(out)  # persist before the geo-core section
 
     # --- g2/g3 geo compute core (r13 verdict item 4: the one operator
