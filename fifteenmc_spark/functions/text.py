@@ -16,6 +16,15 @@ from pyspark.sql import functions as F
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "de", "la", "el", "le", "und", "der")
 
 PUNCT_RE = "[^a-zA-Z0-9 ]"
+# translate() complement of PUNCT_RE: length(translate(col, ALNUM_SPACE,
+# "")) counts exactly the chars PUNCT_RE matches (every char NOT in this
+# 63-char set), without the regex engine or the replaced-string build —
+# measured 0.56 s vs 1.43 s for the regexp_replace form over the 10x
+# synth corpus (r15 p1 constant attack; exact value parity asserted on
+# the corpus and by the DuckDB oracle, whose SQL keeps the regex form)
+ALNUM_SPACE = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+)
 
 # Java's \s is exactly [ \t\n\x0B\f\r]; RE2's \s omits \x0B (vertical
 # tab), so a document containing \x0B silently diverged token splits and
@@ -47,7 +56,7 @@ def char_count(col) -> Column:
 def punct_ratio(col) -> Column:
     """Fraction of characters that are not [a-zA-Z0-9 ]."""
     n = F.length(col).cast("double")
-    punct = (F.length(col) - F.length(F.regexp_replace(col, PUNCT_RE, ""))).cast("double")
+    punct = F.length(F.translate(col, ALNUM_SPACE, "")).cast("double")
     return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
 
 

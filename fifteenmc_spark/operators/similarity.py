@@ -637,7 +637,18 @@ def _cells_probes(spark, sf_dir, scored, key_prefix: str, max_probe: int, nq: in
     "partition key — a query touches nprobe/ncells of the corpus instead "
     "of scanning it (v1 is the exact baseline; recall is tunable via "
     "nprobe).  Centroids broadcast; the cell assignment is a map-side "
-    "max-struct aggregate, no window shuffle of the vectors.",
+    "max-struct aggregate, no window shuffle of the vectors.  r15 direct "
+    "slope row (the r14 sweep had only the v-family proxy): Spark "
+    "1.35/0.69/2.06 s vs DuckDB 0.15/0.30/0.63 at 1x/10x/100x-relative "
+    "corpus points — exponents 0.20 vs 0.31, closing but ~3x at the 10x "
+    "point.  The constant is the five-stage pipeline (assign, probe, "
+    "candidate join, rank) paying ~4 small-stage floors; per-decade "
+    "growth is flatter than the oracle's, and the SERVING tier "
+    "(v25/v26: pre-assigned codes, broadcast centroids, no per-query "
+    "assignment pass) is the declared scale path — v25 wins 5-10x at "
+    "the 10x corpus point.  Measured refusal: fusing v5's stages would "
+    "re-derive the serving layout per query, which is exactly what the "
+    "serving tier exists to amortize.",
     f"""
     WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
                WHERE vec_id IN {IVF_SEED_IDS}),

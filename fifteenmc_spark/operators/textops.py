@@ -278,6 +278,21 @@ def p1(spark, sf_dir):
     # happens BEFORE dedup; that is equivalent to the oracle's
     # score-after-dedup because the canonical filter keeps whole rows —
     # each surviving row's score is computed from its own raw text.
+    #
+    # r15 direct slope row + constant attack: the cost is the SCAN-SIDE
+    # kernel, not any exchange — at the 10x synth point the decomposition
+    # is quality_score 4.0 s / fingerprint 0.8 / token_count 0.65 / the
+    # dedup window +0.3 (the shuffle is already negligible).  Swapping
+    # punct_ratio's regexp_replace for the translate() complement cut the
+    # punct pass 1.43 -> 0.56 s (functions/text.py); regexp_count and
+    # translate variants of the other passes measured NO win (Java regex
+    # match cost, not string building).  Honest post-fix numbers: Spark
+    # 1.45/1.42/5.59 vs DuckDB 0.07/0.26/1.69 — 3.3x at 10x, tail
+    # segments 0.64 vs 0.82 (closing per decade; DuckDB's RE2-family
+    # regex engine is simply faster per byte, and the remaining passes
+    # are each already single-scan codegen).  Measured refusal: a
+    # mapInPandas kernel for the metrics would leave codegen and move
+    # full text through Arrow — the wrong trade at any scale.
     d = read_table(spark, sf_dir, "documents")
     fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+", " ").cast("binary"))
     scored = d.select(

@@ -375,3 +375,52 @@ def path_to_nearest_poi(
         )
         .orderBy("seq")
     )
+
+
+def path_to_nearest_poi_zordered(
+    spark,
+    nodes: DataFrame,
+    edges: DataFrame,
+    poi_layout_path: str,
+    layout_bbox: tuple[float, float, float, float],
+    lon: float,
+    lat: float,
+    category: str,
+    limit_m: float = reach_mod.LIMIT_M_DEFAULT,
+    max_snap_m: float = MAX_SNAP_M_DEFAULT,
+    poi_snap_m: float = MAX_SNAP_M_DEFAULT,
+) -> DataFrame:
+    """§3.3 with the POI side served from the Z-order layout (r14 verdict
+    item 6 — the last full-scan in the point-query family): seeds are read
+    only from the quadtree cells under the disc of radius
+
+        max_snap_m + limit_m + poi_snap_m
+
+    around the query point.  Identical output to path_to_nearest_poi by
+    containment: the winning POI's seed node settles the start node within
+    limit_m of NETWORK distance, network distance >= great-circle
+    distance, the start node lies within max_snap_m of the query point,
+    and the POI's own coordinates lie within poi_snap_m of its seed node
+    (the snap radius the POI table was built with) — so any POI outside
+    the disc either cannot reach the start node inside the limit_m bound
+    or was never a valid seed, and pruning it cannot change the winner or
+    the path.  ``poi_snap_m`` must be >= the snap radius used when the
+    POI table's node_idx was assigned."""
+    pruned = snap_mod.read_zordered_disc(
+        spark,
+        poi_layout_path,
+        layout_bbox,
+        lon,
+        lat,
+        max_snap_m + limit_m + poi_snap_m,
+    )
+    return path_to_nearest_poi(
+        nodes,
+        edges,
+        pruned,
+        lon,
+        lat,
+        category,
+        limit_m=limit_m,
+        max_snap_m=max_snap_m,
+    )

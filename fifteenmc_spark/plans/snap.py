@@ -26,17 +26,25 @@ Scale notes
 - Candidate fan-out is bounded: 9 cells/point × nodes-per-cell; cell size
   tunes the tradeoff (default 600 m > the 300 m default snap radius).
 - No driver-side index, no collect: both sides stream.
-- Known domain limits (documented, matching the reference's city-extract
-  scope): the Web-Mercator cell keys do NOT wrap at lon=±180 — a point
-  within cell_m of the seam will not see nodes on the other side (the
-  single-point path handles the wrap, see snap_disc_boxes; a planet-wide
-  bucketed deployment would add the seam cells' mirror keys the same
-  way) — and Mercator y diverges toward the poles (the projection is
-  undefined at ±90; the reference KD-tree shares both limits since it
-  uses the same EPSG:3857 metric).
+- Antimeridian (r15): EPSG:3857 x is periodic with the world width
+  2*pi*R, so the seam at lon=±180 wraps by GHOSTING seam-adjacent
+  nodes — a node within 2*cell_m of either seam edge also registers
+  under the cell of x -/+ world-width.  A point whose 3x3 ring crosses
+  the seam then finds other-side nodes in its ring, and the Euclidean
+  distance computed from the ghost's shifted x IS the wrapped metric
+  (Mercator is a cylinder).  2*cell_m because a point at the far edge
+  of a seam cell reaches one full ring cell past the seam; with it the
+  seam behaves exactly like grid interior, matching the single-point
+  path's wrap (snap_disc_boxes).  The ghost rows are bounded by seam
+  node density — a planet corpus adds a vanishing fraction of rows.
+- Known domain limit (documented, matching the reference's KD-tree in
+  the same metric): Mercator y diverges toward the poles (the
+  projection is undefined at ±90).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -44,6 +52,10 @@ from pyspark.sql import functions as F
 from ..functions import geo
 
 DEFAULT_CELL_M = 600.0  # 2x the reference's 300 m max snap (test_path.py:374)
+
+# EPSG:3857 x period (world width) and east-edge x, meters
+_WORLD_W_M = 2.0 * math.pi * geo.R_WGS84_EQUATORIAL_M
+_HALF_W_M = math.pi * geo.R_WGS84_EQUATORIAL_M
 
 
 def _cell(coord: Column, cell_m: float) -> Column:
@@ -75,11 +87,32 @@ def snap_points_to_nodes(
 
     npx = geo.web_mercator_x(F.col("lon"))
     npy = geo.web_mercator_y(F.col("lat"))
-    n = nodes.select(
-        "node_idx",
-        npx.alias("nx"),
-        npy.alias("ny"),
-        _cell_key(_cell(npx, cell_m), _cell(npy, cell_m)).alias("cell"),
+    # Antimeridian mirror keys (module docstring): a node within
+    # 2*cell_m of either seam edge also registers as a ghost shifted by
+    # -/+ one world width, so seam-crossing rings see it and the
+    # Euclidean distance from the shifted x is the wrapped metric.
+    # Generated scan-side (explode over a 1-2 element array); interior
+    # nodes emit exactly one row, so a non-seam corpus pays nothing.
+    seam = F.lit(2.0 * cell_m)
+    shifts = (
+        F.when(npx > F.lit(_HALF_W_M) - seam, F.array(F.lit(0.0), F.lit(-_WORLD_W_M)))
+        .when(npx < F.lit(-_HALF_W_M) + seam, F.array(F.lit(0.0), F.lit(_WORLD_W_M)))
+        .otherwise(F.array(F.lit(0.0)))
+    )
+    nx = F.col("__nx0") + F.col("__sh")
+    n = (
+        nodes.select(
+            "node_idx",
+            npx.alias("__nx0"),
+            npy.alias("ny"),
+            F.explode(shifts).alias("__sh"),
+        )
+        .select(
+            "node_idx",
+            nx.alias("nx"),
+            "ny",
+            _cell_key(_cell(nx, cell_m), _cell(F.col("ny"), cell_m)).alias("cell"),
+        )
     )
 
     ppx = geo.web_mercator_x(F.col("lon"))

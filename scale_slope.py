@@ -815,7 +815,11 @@ def main() -> None:
                 "overwrite"
             ).save()
             geo_floor = min(geo_floor, time.perf_counter() - t0)
-        geo: dict = {"action_floor_s": round(geo_floor, 4)}
+        # merge-by-default: SLOPE_GEO_G2=0 / SLOPE_GEO_G3=0 skip one
+        # half and keep the other's existing artifact rows (r15: g3
+        # extends to 300x without re-paying g2's 100x cross-join oracle)
+        geo: dict = dict(out.get("geo_core_points") or {})
+        geo["action_floor_s"] = round(geo_floor, 4)
 
         # g2 snap: bucketed kNN(k=1) join vs DuckDB's exact cross-join
         # argmin.  Node lattice grows by area (k = 20*sqrt(f), so nodes =
@@ -823,104 +827,105 @@ def main() -> None:
         # rounded rows (asserted per point).  The oracle's pair volume is
         # (400f)(60f) ~ f^2 — the shape that dies at scale; the bucketed
         # join's candidate volume is f * ring-occupancy ~ f.
-        g2rows: dict = {"method": (
-            "bucketed snap vs exact cross-join argmin at f=1/10/30/100 "
-            "(nodes=400f area-scaled, points=60f, constant density); rows "
-            "value-compared per point; Spark floor-subtracted exponent "
-            "over log10(f)"
-        )}
-        g2_s, g2_d, g2_logf = [], [], []
-        for f in (1, 10, 30, 100):
-            k = int(round(20 * f**0.5))
-            npts = 60 * f
-            i = F.col("id")
-            nodes = spark.range(k * k).select(
-                i.cast("int").alias("node_idx"),
-                (F.lit(18.60) + (i % k).cast("double") * 0.001).alias("lon"),
-                (F.lit(54.35) + F.floor(i / k).cast("double") * 0.0006).alias("lat"),
-            )
-            pts = spark.range(npts).select(
-                i.cast("int").alias("point_id"),
-                (F.lit(18.60) + (((i * 37 + 11) % 1933).cast("double") / 1933.0)
-                 * (k * 0.001 - 0.001)).alias("lon"),
-                (F.lit(54.35) + (((i * 53 + 29) % 1811).cast("double") / 1811.0)
-                 * (k * 0.0006 - 0.0006)).alias("lat"),
-            )
+        if os.environ.get("SLOPE_GEO_G2", "1") != "0":
+            g2rows: dict = {"method": (
+                "bucketed snap vs exact cross-join argmin at f=1/10/30/100 "
+                "(nodes=400f area-scaled, points=60f, constant density); rows "
+                "value-compared per point; Spark floor-subtracted exponent "
+                "over log10(f)"
+            )}
+            g2_s, g2_d, g2_logf = [], [], []
+            for f in (1, 10, 30, 100):
+                k = int(round(20 * f**0.5))
+                npts = 60 * f
+                i = F.col("id")
+                nodes = spark.range(k * k).select(
+                    i.cast("int").alias("node_idx"),
+                    (F.lit(18.60) + (i % k).cast("double") * 0.001).alias("lon"),
+                    (F.lit(54.35) + F.floor(i / k).cast("double") * 0.0006).alias("lat"),
+                )
+                pts = spark.range(npts).select(
+                    i.cast("int").alias("point_id"),
+                    (F.lit(18.60) + (((i * 37 + 11) % 1933).cast("double") / 1933.0)
+                     * (k * 0.001 - 0.001)).alias("lon"),
+                    (F.lit(54.35) + (((i * 53 + 29) % 1811).cast("double") / 1811.0)
+                     * (k * 0.0006 - 0.0006)).alias("lat"),
+                )
 
-            def g2_df():
-                return (
-                    snap_mod.snap_points_to_nodes(pts, nodes, point_id_col="point_id")
-                    .select(
-                        "point_id", "node_idx",
-                        # 2 decimals: snap distances are float32 (the J2
-                        # contract) and the float64 oracle differs in the
-                        # 4th decimal on ~0.5% of rows — winners identical
-                        F.round(F.col("dist_to_node_m").cast("double"), 2).alias("d"),
+                def g2_df():
+                    return (
+                        snap_mod.snap_points_to_nodes(pts, nodes, point_id_col="point_id")
+                        .select(
+                            "point_id", "node_idx",
+                            # 2 decimals: snap distances are float32 (the J2
+                            # contract) and the float64 oracle differs in the
+                            # 4th decimal on ~0.5% of rows — winners identical
+                            F.round(F.col("dist_to_node_m").cast("double"), 2).alias("d"),
+                        )
+                        .orderBy("point_id")
                     )
-                    .orderBy("point_id")
-                )
 
-            mx = "(6378137.0 * RADIANS({lon}))"
-            my = "(6378137.0 * LN(TAN(PI() / 4.0 + RADIANS({lat}) / 2.0)))"
-            sql = f"""
-                WITH nodes AS (
-                  SELECT CAST(range AS INT) AS node_idx,
-                         18.60 + CAST(range % {k} AS DOUBLE) * 0.001 AS lon,
-                         54.35 + CAST(range // {k} AS DOUBLE) * 0.0006 AS lat
-                  FROM range(0, {k * k})),
-                pts AS (
-                  SELECT CAST(range AS INT) AS point_id,
-                         18.60 + (CAST((range * 37 + 11) % 1933 AS DOUBLE) / 1933.0)
-                             * {k * 0.001 - 0.001!r} AS lon,
-                         54.35 + (CAST((range * 53 + 29) % 1811 AS DOUBLE) / 1811.0)
-                             * {k * 0.0006 - 0.0006!r} AS lat
-                  FROM range(0, {npts})),
-                scored AS (
-                  SELECT p.point_id, n.node_idx,
-                         SQRT(POW({mx.format(lon="p.lon")} - {mx.format(lon="n.lon")}, 2)
-                            + POW({my.format(lat="p.lat")} - {my.format(lat="n.lat")}, 2)) AS d
-                  FROM pts p CROSS JOIN nodes n),
-                best AS (
-                  SELECT point_id, node_idx, d,
-                         ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY d, node_idx) AS rn
-                  FROM scored)
-                SELECT point_id, node_idx, ROUND(d, 2) AS d
-                FROM best WHERE rn = 1 ORDER BY point_id
-                """
-            con4 = duckdb.connect()
-            got = [(r["point_id"], r["node_idx"], r["d"]) for r in g2_df().collect()]
-            ora = [tuple(r) for r in con4.execute(sql).fetchall()]
-            # winners must match exactly; distances within 1 cm (the snap
-            # contract stores float32, and the oracle's POW vs the plan's
-            # x*x differ in the last ulp — rounding both sides still flips
-            # at .xx5 boundaries, so the compare is tolerance, not ROUND)
-            assert len(got) == len(ora), f"g2 f={f}: row counts differ"
-            # <= 0.011: both sides are ALREADY rounded to 2 decimals, so
-            # a .xx5 rounding flip yields a diff of exactly ~0.01 (plus
-            # float representation error) — a strict < 0.01 would abort
-            # the run on the very case the tolerance exists for
-            for (gp, gn, gd), (op_, on_, od) in zip(got, ora):
-                assert gp == op_ and gn == on_ and abs(gd - od) <= 0.011, (
-                    f"g2 f={f}: {(gp, gn, gd)} vs {(op_, on_, od)}"
-                )
-            g2_df().write.format("noop").mode("overwrite").save()  # warm
-            t0 = time.perf_counter()
-            g2_df().write.format("noop").mode("overwrite").save()
-            s = time.perf_counter() - t0
-            con4.execute(sql).fetchall()
-            t0 = time.perf_counter()
-            con4.execute(sql).fetchall()
-            d = time.perf_counter() - t0
-            con4.close()
-            g2rows[f"{f}x"] = {"spark": round(s, 3), "duckdb": round(d, 3),
-                               "nodes": k * k, "points": npts}
-            g2_s.append(max(s - geo_floor, 1e-3))
-            g2_d.append(d)
-            g2_logf.append(math.log10(f))
-        g2rows["spark_exponent"] = round(_fit(g2_logf, [math.log10(t) for t in g2_s]), 3)
-        g2rows["duckdb_exponent"] = round(_fit(g2_logf, [math.log10(t) for t in g2_d]), 3)
-        geo["g2_snap"] = g2rows
-        _write(out | {"geo_core_points": geo})
+                mx = "(6378137.0 * RADIANS({lon}))"
+                my = "(6378137.0 * LN(TAN(PI() / 4.0 + RADIANS({lat}) / 2.0)))"
+                sql = f"""
+                    WITH nodes AS (
+                      SELECT CAST(range AS INT) AS node_idx,
+                             18.60 + CAST(range % {k} AS DOUBLE) * 0.001 AS lon,
+                             54.35 + CAST(range // {k} AS DOUBLE) * 0.0006 AS lat
+                      FROM range(0, {k * k})),
+                    pts AS (
+                      SELECT CAST(range AS INT) AS point_id,
+                             18.60 + (CAST((range * 37 + 11) % 1933 AS DOUBLE) / 1933.0)
+                                 * {k * 0.001 - 0.001!r} AS lon,
+                             54.35 + (CAST((range * 53 + 29) % 1811 AS DOUBLE) / 1811.0)
+                                 * {k * 0.0006 - 0.0006!r} AS lat
+                      FROM range(0, {npts})),
+                    scored AS (
+                      SELECT p.point_id, n.node_idx,
+                             SQRT(POW({mx.format(lon="p.lon")} - {mx.format(lon="n.lon")}, 2)
+                                + POW({my.format(lat="p.lat")} - {my.format(lat="n.lat")}, 2)) AS d
+                      FROM pts p CROSS JOIN nodes n),
+                    best AS (
+                      SELECT point_id, node_idx, d,
+                             ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY d, node_idx) AS rn
+                      FROM scored)
+                    SELECT point_id, node_idx, ROUND(d, 2) AS d
+                    FROM best WHERE rn = 1 ORDER BY point_id
+                    """
+                con4 = duckdb.connect()
+                got = [(r["point_id"], r["node_idx"], r["d"]) for r in g2_df().collect()]
+                ora = [tuple(r) for r in con4.execute(sql).fetchall()]
+                # winners must match exactly; distances within 1 cm (the snap
+                # contract stores float32, and the oracle's POW vs the plan's
+                # x*x differ in the last ulp — rounding both sides still flips
+                # at .xx5 boundaries, so the compare is tolerance, not ROUND)
+                assert len(got) == len(ora), f"g2 f={f}: row counts differ"
+                # <= 0.011: both sides are ALREADY rounded to 2 decimals, so
+                # a .xx5 rounding flip yields a diff of exactly ~0.01 (plus
+                # float representation error) — a strict < 0.01 would abort
+                # the run on the very case the tolerance exists for
+                for (gp, gn, gd), (op_, on_, od) in zip(got, ora):
+                    assert gp == op_ and gn == on_ and abs(gd - od) <= 0.011, (
+                        f"g2 f={f}: {(gp, gn, gd)} vs {(op_, on_, od)}"
+                    )
+                g2_df().write.format("noop").mode("overwrite").save()  # warm
+                t0 = time.perf_counter()
+                g2_df().write.format("noop").mode("overwrite").save()
+                s = time.perf_counter() - t0
+                con4.execute(sql).fetchall()
+                t0 = time.perf_counter()
+                con4.execute(sql).fetchall()
+                d = time.perf_counter() - t0
+                con4.close()
+                g2rows[f"{f}x"] = {"spark": round(s, 3), "duckdb": round(d, 3),
+                                   "nodes": k * k, "points": npts}
+                g2_s.append(max(s - geo_floor, 1e-3))
+                g2_d.append(d)
+                g2_logf.append(math.log10(f))
+            g2rows["spark_exponent"] = round(_fit(g2_logf, [math.log10(t) for t in g2_s]), 3)
+            g2rows["duckdb_exponent"] = round(_fit(g2_logf, [math.log10(t) for t in g2_d]), 3)
+            geo["g2_snap"] = g2rows
+            _write(out | {"geo_core_points": geo})
 
         # g3 bounded reach on an L x L 4-neighbor lattice: the frontier
         # loop (forced) vs the engine's auto dispatch vs the reference's
@@ -929,166 +934,177 @@ def main() -> None:
         # cyclic lattice that is ~4^hops per seed regardless of graph
         # size, the per-seed constant the Dijkstra families don't pay.
         # Rows value-compared per point (spark auto vs CTE min).
-        g3rows: dict = {"method": (
-            "L x L lattice (L = 64*sqrt(f): nodes=4096f area-scaled), "
-            "seeds = 8f, edge weights 95-107 m, limit 600 m (fixed reach "
-            "radius ~6 hops).  Columns: spark_auto (the engine's dispatch "
-            "— local single-task heap at/below 150k edges, frontier loop "
-            "above), spark_frontier (forced loop), python_heapq (the "
-            "reference's single-node shape, in-process), duckdb_cte "
-            "(recursive walk enumeration + per-node min)"
-        )}
-        g3_cols: dict[str, list[float]] = {
-            "spark_auto": [], "spark_frontier": [], "python_heapq": [], "duckdb_cte": []
-        }
-        g3_logf = []
-        LIMIT = 600.0
-        for f in (1, 10, 30):
-            L = int(round(64 * f**0.5))
-            n_seeds = 8 * f
-            i = F.col("id")
-            dirs = F.array(
-                *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                  for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))]
+        if os.environ.get("SLOPE_GEO_G3", "1") != "0":
+            g3rows: dict = {"method": (
+                "L x L lattice (L = 64*sqrt(f): nodes=4096f area-scaled) at "
+                "f=1/10/30/100/300, seeds = 8f, edge weights 95-107 m, limit "
+                "600 m (fixed reach radius ~6 hops).  Columns: spark_auto (the engine's dispatch "
+                "— local single-task heap at/below 150k edges, frontier loop "
+                "above), spark_frontier (forced loop), python_heapq (the "
+                "reference's single-node shape, in-process), duckdb_cte "
+                "(recursive walk enumeration + per-node min)"
+            )}
+            g3_cols: dict[str, list[float]] = {
+                "spark_auto": [], "spark_frontier": [], "python_heapq": [], "duckdb_cte": []
+            }
+            g3_logf = []
+            LIMIT = 600.0
+            # r15 (r14 verdict item 4): the r14 run stopped at 30x and
+            # extrapolated the ~135x crossover vs the reference heapq
+            # shape; 100x/300x land it inside the measured range
+            # (SLOPE_G3_FACTORS overrides, e.g. a quick 1,10 smoke)
+            g3_factors = tuple(
+                int(x)
+                for x in os.environ.get(
+                    "SLOPE_G3_FACTORS", "1,10,30,100,300"
+                ).split(",")
             )
-            base = spark.range(L * L).select(
-                i.cast("int").alias("src"),
-                (i % L).cast("int").alias("cx"),
-                F.floor(i / L).cast("int").alias("cy"),
-                F.explode(dirs).alias("o"),
-            )
-            edges = (
-                base.where(
-                    F.col("cx") + F.col("o.dx") >= 0)
-                .where(F.col("cx") + F.col("o.dx") < L)
-                .where(F.col("cy") + F.col("o.dy") >= 0)
-                .where(F.col("cy") + F.col("o.dy") < L)
-                .select(
-                    "src",
-                    ((F.col("cy") + F.col("o.dy")) * L + F.col("cx") + F.col("o.dx"))
-                    .cast("int").alias("dst"),
+            for f in g3_factors:
+                L = int(round(64 * f**0.5))
+                n_seeds = 8 * f
+                i = F.col("id")
+                dirs = F.array(
+                    *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                      for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))]
                 )
-                .select(
-                    "src", "dst",
-                    (F.lit(95.0)
-                     + ((F.col("src") * 7 + F.col("dst") * 11) % 13).cast("double"))
-                    .alias("w"),
+                base = spark.range(L * L).select(
+                    i.cast("int").alias("src"),
+                    (i % L).cast("int").alias("cx"),
+                    F.floor(i / L).cast("int").alias("cy"),
+                    F.explode(dirs).alias("o"),
                 )
-            )
-            seeds = spark.range(n_seeds).select(
-                ((i * 2654435761) % (L * L)).cast("int").alias("node_idx"),
-                F.lit("c").alias("category"),
-                (F.lit(1000) + i).cast("bigint").alias("poi_id"),
-            )
-            sql = f"""
-                WITH RECURSIVE dirs(dx, dy) AS (VALUES (1,0),(-1,0),(0,1),(0,-1)),
-                e AS (
-                  SELECT CAST(n.range AS INT) AS src,
-                         CAST((n.range // {L} + dy) * {L} + (n.range % {L} + dx) AS INT) AS dst
-                  FROM range(0, {L * L}) n CROSS JOIN dirs
-                  WHERE n.range % {L} + dx BETWEEN 0 AND {L - 1}
-                    AND n.range // {L} + dy BETWEEN 0 AND {L - 1}),
-                ew AS (SELECT src, dst,
-                              95.0 + CAST((src * 7 + dst * 11) % 13 AS DOUBLE) AS w
-                       FROM e),
-                sp(node_idx, dist_m, poi_id) AS (
-                  SELECT CAST((range * 2654435761) % {L * L} AS INT),
-                         CAST(0.0 AS DOUBLE), CAST(1000 + range AS BIGINT)
-                  FROM range(0, {n_seeds})
-                  UNION ALL
-                  SELECT ew.dst, sp.dist_m + ew.w, sp.poi_id
-                  FROM sp JOIN ew ON ew.src = sp.node_idx
-                  WHERE sp.dist_m + ew.w <= {LIMIT}),
-                best AS (
-                  SELECT node_idx, dist_m, poi_id,
-                         ROW_NUMBER() OVER (PARTITION BY node_idx
-                                            ORDER BY dist_m, poi_id) AS rn
-                  FROM sp)
-                SELECT node_idx, ROUND(dist_m, 4) AS dist_m, poi_id
-                FROM best WHERE rn = 1 ORDER BY node_idx
-                """
-
-            def g3_df(strategy):
-                sp = reach_mod.shortest_paths_bounded(
-                    edges, seeds, limit_m=LIMIT, strategy=strategy
-                )
-                return (
-                    sp.select(
-                        "node_idx", F.round(F.col("dist_m"), 4).alias("dist_m"), "poi_id"
+                edges = (
+                    base.where(
+                        F.col("cx") + F.col("o.dx") >= 0)
+                    .where(F.col("cx") + F.col("o.dx") < L)
+                    .where(F.col("cy") + F.col("o.dy") >= 0)
+                    .where(F.col("cy") + F.col("o.dy") < L)
+                    .select(
+                        "src",
+                        ((F.col("cy") + F.col("o.dy")) * L + F.col("cx") + F.col("o.dx"))
+                        .cast("int").alias("dst"),
                     )
-                    .localCheckpoint(eager=False)
-                    .orderBy("node_idx")
+                    .select(
+                        "src", "dst",
+                        (F.lit(95.0)
+                         + ((F.col("src") * 7 + F.col("dst") * 11) % 13).cast("double"))
+                        .alias("w"),
+                    )
                 )
+                seeds = spark.range(n_seeds).select(
+                    ((i * 2654435761) % (L * L)).cast("int").alias("node_idx"),
+                    F.lit("c").alias("category"),
+                    (F.lit(1000) + i).cast("bigint").alias("poi_id"),
+                )
+                sql = f"""
+                    WITH RECURSIVE dirs(dx, dy) AS (VALUES (1,0),(-1,0),(0,1),(0,-1)),
+                    e AS (
+                      SELECT CAST(n.range AS INT) AS src,
+                             CAST((n.range // {L} + dy) * {L} + (n.range % {L} + dx) AS INT) AS dst
+                      FROM range(0, {L * L}) n CROSS JOIN dirs
+                      WHERE n.range % {L} + dx BETWEEN 0 AND {L - 1}
+                        AND n.range // {L} + dy BETWEEN 0 AND {L - 1}),
+                    ew AS (SELECT src, dst,
+                                  95.0 + CAST((src * 7 + dst * 11) % 13 AS DOUBLE) AS w
+                           FROM e),
+                    sp(node_idx, dist_m, poi_id) AS (
+                      SELECT CAST((range * 2654435761) % {L * L} AS INT),
+                             CAST(0.0 AS DOUBLE), CAST(1000 + range AS BIGINT)
+                      FROM range(0, {n_seeds})
+                      UNION ALL
+                      SELECT ew.dst, sp.dist_m + ew.w, sp.poi_id
+                      FROM sp JOIN ew ON ew.src = sp.node_idx
+                      WHERE sp.dist_m + ew.w <= {LIMIT}),
+                    best AS (
+                      SELECT node_idx, dist_m, poi_id,
+                             ROW_NUMBER() OVER (PARTITION BY node_idx
+                                                ORDER BY dist_m, poi_id) AS rn
+                      FROM sp)
+                    SELECT node_idx, ROUND(dist_m, 4) AS dist_m, poi_id
+                    FROM best WHERE rn = 1 ORDER BY node_idx
+                    """
 
-            def heapq_solve():
-                import heapq
+                def g3_df(strategy):
+                    sp = reach_mod.shortest_paths_bounded(
+                        edges, seeds, limit_m=LIMIT, strategy=strategy
+                    )
+                    return (
+                        sp.select(
+                            "node_idx", F.round(F.col("dist_m"), 4).alias("dist_m"), "poi_id"
+                        )
+                        .localCheckpoint(eager=False)
+                        .orderBy("node_idx")
+                    )
 
-                adj: dict = {}
-                for cy in range(L):
-                    for cx in range(L):
-                        src = cy * L + cx
-                        lst = []
-                        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-                            nx2, ny2 = cx + dx, cy + dy
-                            if 0 <= nx2 < L and 0 <= ny2 < L:
-                                dst = ny2 * L + nx2
-                                lst.append((dst, 95.0 + (src * 7 + dst * 11) % 13))
-                        adj[src] = lst
-                state: dict = {}
-                heap: list = []
-                for s_i in range(n_seeds):
-                    node = (s_i * 2654435761) % (L * L)
-                    cand = (0.0, 1000 + s_i)
-                    if node not in state or cand < state[node]:
-                        state[node] = cand
-                        heapq.heappush(heap, (0.0, 1000 + s_i, node))
-                while heap:
-                    d, p, node = heapq.heappop(heap)
-                    if state.get(node) != (d, p):
-                        continue
-                    for dst, w in adj[node]:
-                        nd = d + w
-                        if nd > LIMIT:
+                def heapq_solve():
+                    import heapq
+
+                    adj: dict = {}
+                    for cy in range(L):
+                        for cx in range(L):
+                            src = cy * L + cx
+                            lst = []
+                            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                                nx2, ny2 = cx + dx, cy + dy
+                                if 0 <= nx2 < L and 0 <= ny2 < L:
+                                    dst = ny2 * L + nx2
+                                    lst.append((dst, 95.0 + (src * 7 + dst * 11) % 13))
+                            adj[src] = lst
+                    state: dict = {}
+                    heap: list = []
+                    for s_i in range(n_seeds):
+                        node = (s_i * 2654435761) % (L * L)
+                        cand = (0.0, 1000 + s_i)
+                        if node not in state or cand < state[node]:
+                            state[node] = cand
+                            heapq.heappush(heap, (0.0, 1000 + s_i, node))
+                    while heap:
+                        d, p, node = heapq.heappop(heap)
+                        if state.get(node) != (d, p):
                             continue
-                        cand = (nd, p)
-                        if dst not in state or cand < state[dst]:
-                            state[dst] = cand
-                            heapq.heappush(heap, (nd, p, dst))
-                return sorted(
-                    (n, round(dv[0], 4), dv[1]) for n, dv in state.items()
-                )
+                        for dst, w in adj[node]:
+                            nd = d + w
+                            if nd > LIMIT:
+                                continue
+                            cand = (nd, p)
+                            if dst not in state or cand < state[dst]:
+                                state[dst] = cand
+                                heapq.heappush(heap, (nd, p, dst))
+                    return sorted(
+                        (n, round(dv[0], 4), dv[1]) for n, dv in state.items()
+                    )
 
-            con5 = duckdb.connect()
-            got = [(r["node_idx"], r["dist_m"], r["poi_id"])
-                   for r in g3_df("auto").collect()]
-            ora = [tuple(r) for r in con5.execute(sql).fetchall()]
-            hpq = heapq_solve()
-            assert got == ora == hpq, f"g3 f={f}: engines disagree"
-            row: dict = {"nodes": L * L, "seeds": n_seeds, "reach_rows": len(got)}
-            for col, runner in (
-                ("spark_auto", lambda: g3_df("auto").write.format("noop")
-                 .mode("overwrite").save()),
-                ("spark_frontier", lambda: g3_df("frontier").write.format("noop")
-                 .mode("overwrite").save()),
-                ("python_heapq", heapq_solve),
-                ("duckdb_cte", lambda: con5.execute(sql).fetchall()),
-            ):
-                runner()  # warm
-                t0 = time.perf_counter()
-                runner()
-                t = time.perf_counter() - t0
-                row[col] = round(t, 3)
-                g3_cols[col].append(
-                    max(t - geo_floor, 1e-3) if col.startswith("spark") else max(t, 1e-3)
+                con5 = duckdb.connect()
+                got = [(r["node_idx"], r["dist_m"], r["poi_id"])
+                       for r in g3_df("auto").collect()]
+                ora = [tuple(r) for r in con5.execute(sql).fetchall()]
+                hpq = heapq_solve()
+                assert got == ora == hpq, f"g3 f={f}: engines disagree"
+                row: dict = {"nodes": L * L, "seeds": n_seeds, "reach_rows": len(got)}
+                for col, runner in (
+                    ("spark_auto", lambda: g3_df("auto").write.format("noop")
+                     .mode("overwrite").save()),
+                    ("spark_frontier", lambda: g3_df("frontier").write.format("noop")
+                     .mode("overwrite").save()),
+                    ("python_heapq", heapq_solve),
+                    ("duckdb_cte", lambda: con5.execute(sql).fetchall()),
+                ):
+                    runner()  # warm
+                    t0 = time.perf_counter()
+                    runner()
+                    t = time.perf_counter() - t0
+                    row[col] = round(t, 3)
+                    g3_cols[col].append(
+                        max(t - geo_floor, 1e-3) if col.startswith("spark") else max(t, 1e-3)
+                    )
+                con5.close()
+                g3rows[f"{f}x"] = row
+                g3_logf.append(math.log10(f))
+            for col, ts in g3_cols.items():
+                g3rows[f"{col}_exponent"] = round(
+                    _fit(g3_logf, [math.log10(t) for t in ts]), 3
                 )
-            con5.close()
-            g3rows[f"{f}x"] = row
-            g3_logf.append(math.log10(f))
-        for col, ts in g3_cols.items():
-            g3rows[f"{col}_exponent"] = round(
-                _fit(g3_logf, [math.log10(t) for t in ts]), 3
-            )
-        geo["g3_lattice"] = g3rows
+            geo["g3_lattice"] = g3rows
         out["geo_core_points"] = geo
         _write(out)  # persist before the ncells section
 

@@ -178,6 +178,47 @@ def test_snap_single_point(fx):
     assert snap.snap_single_point(fx["gnodes"], 10.0, 50.0, max_snap_m=300.0) is None
 
 
+def test_snap_batch_wraps_antimeridian(spark):
+    """r15 (r14 verdict item 5): the BUCKETED batch snap must agree with
+    the single-point path across lon=±180 — seam-adjacent nodes register
+    ghost cell keys shifted by one world width, so a point near the seam
+    sees other-side nodes and the Euclidean 3857 distance computed from
+    the shifted x is the wrapped metric."""
+    nodes = spark.createDataFrame(
+        [
+            (0, 179.9990, 0.0),  # ~89 m west of the east-side probe
+            (1, -179.9999, 0.0),  # across the seam, ~33 m (the winner)
+            (2, 179.5, 0.0),  # interior control, far from both probes
+        ],
+        "node_idx int, lon double, lat double",
+    )
+    points = spark.createDataFrame(
+        [
+            (10, 179.9998, 0.0),  # east-side probe: winner is node 1 ACROSS the seam
+            (11, -179.9995, 0.0),  # west-side probe: winner node 1 same-side (~44 m)
+            (12, 179.5002, 0.0),  # interior probe: winner node 2 (~22 m)
+        ],
+        "poi_id int, lon double, lat double",
+    )
+    got = {
+        r["poi_id"]: r
+        for r in snap.snap_points_to_nodes(points, nodes, max_snap_m=300.0).collect()
+    }
+    # batch ≡ single-point winner on every probe, seam and interior alike
+    for pid, lon, lat in [(10, 179.9998, 0.0), (11, -179.9995, 0.0), (12, 179.5002, 0.0)]:
+        single = snap.snap_single_point(nodes, lon, lat, max_snap_m=300.0)
+        assert single is not None
+        assert got[pid]["node_idx"] == single[0], f"poi {pid}"
+        # metrics differ (Euclidean 3857 vs haversine) but at the equator
+        # both reduce to R * dlon — agree to ~0.2%
+        assert abs(got[pid]["dist_to_node_m"] - single[1]) <= 0.01 * single[1] + 0.1
+    # the wrapped distance is the short way around (~33 m), not ~40000 km
+    assert got[10]["dist_to_node_m"] < 40.0
+    # no duplicate rows from ghost keys: one row per input point
+    n_rows = snap.snap_points_to_nodes(points, nodes, max_snap_m=300.0).count()
+    assert n_rows == 3
+
+
 # ---------------------------------------------------------------------------
 # G2 bounded multi-source Dijkstra vs scipy golden (B6)
 # ---------------------------------------------------------------------------

@@ -464,3 +464,70 @@ def test_snap_disc_boxes_geometry():
     # plain mid-latitude disc: two-sided containment, no wrap
     boxes = snap_disc_boxes(18.6, 54.3, 300.0)
     assert len(boxes) == 1 and contains(boxes, 18.6027, 54.3) and contains(boxes, 18.5973, 54.3)
+
+
+def test_zordered_poi_table_serves_path_query_pruned(spark, geo_layout, tmp_path_factory):
+    """r14 verdict item 6: the classified POI table written through the
+    Z-order layout serves the path query's seed side from a
+    partition-pruned read — identical path rows to the full-scan form
+    (containment: winning seeds lie within max_snap+limit+poi_snap of
+    the query point), and the observed POI file set shrinks."""
+    from fifteenmc_spark.plans import poi as poi_mod
+    from fifteenmc_spark.plans import query as query_mod
+    from fifteenmc_spark.plans import snap as snap_mod
+    from fifteenmc_spark.plans import graph_build
+
+    from . import geo_fixtures as gf
+
+    gnodes = geo_layout["gnodes"]
+    nodes_pdf = gf.lattice_nodes()
+    edges_pdf = gf.lattice_edges_raw(nodes_pdf)
+    _, gedges = graph_build.build_graph(
+        spark.createDataFrame(nodes_pdf),
+        graph_build.clean_walkable_edges(spark.createDataFrame(edges_pdf)),
+    )
+    # POIs sitting on a spread of lattice nodes, snapped to them
+    picked = gnodes.orderBy("node_idx").collect()[::29]
+    pois = spark.createDataFrame(
+        [
+            (3000 + i, "shop" if i % 2 == 0 else "park", float(r["lon"]),
+             float(r["lat"]), int(r["node_idx"]))
+            for i, r in enumerate(picked)
+        ],
+        "poi_id long, category string, lon double, lat double, node_idx int",
+    )
+    d = str(tmp_path_factory.mktemp("zorder_poi") / "pois")
+    poi_mod.write_pois_zordered(pois, d, geo_layout["bbox"])
+
+    limit_m, snap_m, poi_snap_m = 150.0, 60.0, 60.0
+    probes = [r for r in gnodes.limit(120).collect()][::37]
+    assert probes
+    matched = 0
+    for r in probes:
+        lon, lat = float(r["lon"]) + 1e-4, float(r["lat"]) - 1e-4
+        full = query_mod.path_to_nearest_poi(
+            gnodes, gedges, pois, lon, lat, "shop",
+            limit_m=limit_m, max_snap_m=snap_m,
+        ).collect()
+        pruned = query_mod.path_to_nearest_poi_zordered(
+            spark, gnodes, gedges, d, geo_layout["bbox"], lon, lat, "shop",
+            limit_m=limit_m, max_snap_m=snap_m, poi_snap_m=poi_snap_m,
+        ).collect()
+        assert [tuple(x) for x in pruned] == [tuple(x) for x in full]
+        matched += bool(full)
+    assert matched, "no probe produced a path — fixture radii too tight"
+
+    # observed file-set shrink on the POI side for the pruned disc
+    minlon, minlat, maxlon, maxlat = geo_layout["bbox"]
+    clon, clat = (minlon + maxlon) / 2, (minlat + maxlat) / 2
+
+    def files_read(df):
+        return {x["f"] for x in df.select(F.input_file_name().alias("f")).distinct().collect()}
+
+    full_files = files_read(spark.read.parquet(d))
+    pruned_files = files_read(
+        snap_mod.read_zordered_disc(
+            spark, d, geo_layout["bbox"], clon, clat, snap_m + limit_m + poi_snap_m
+        )
+    )
+    assert pruned_files < full_files, (len(pruned_files), len(full_files))
