@@ -295,10 +295,33 @@ def test_x9_span_kernel_executes_once(spark, sf_small):
     # hash projection (concat_ws inside md5) would reappear in this plan
     assert "sequence(" not in tree
     assert "concat_ws" not in tree
-    assert tree.count("Scan ExistingRDD") >= 2  # both branches read the checkpoint
     # and the parquet scan of documents is gone from the final plan — the
     # only corpus read happens inside the (single) checkpoint job
     assert "Scan parquet" not in tree
+    # since the r15 window rework the final plan is just sort-over-the-
+    # output-pin; the two-consumer evidence lives on the PRE-pin subtree
+    # (reconstructed the same way the narrow-key test inspects the
+    # semi-join): both phase-1 branches read the ONE spans checkpoint
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    from fifteenmc_spark.io import read_table
+    from fifteenmc_spark.operators import dedup as D
+
+    spans = D._pack_spans(
+        D.span_rows(read_table(spark, sf_small, "documents").select("doc_id", "text"))
+    ).localCheckpoint(eager=False)
+    wnd = W.partitionBy("hb")
+    back = (
+        D._span_candidates(spans)
+        .withColumn("lo", SF.min("doc_id").over(wnd))
+        .withColumn("hi", SF.max("doc_id").over(wnd))
+        .where(SF.col("lo") != SF.col("hi"))
+    )
+    btree = back._jdf.queryExecution().executedPlan().toString()
+    assert btree.count("Scan ExistingRDD") >= 2  # agg + probe branches
+    assert "sequence(" not in btree and "concat_ws" not in btree
+    assert "Scan parquet" not in btree
 
 
 def test_m5_decode_kernel_executes_once(spark, sf_small):
@@ -438,7 +461,9 @@ def test_x9_narrow_key_shape_and_collision_exactness(spark, sf_small, monkeypatc
     # the narrow key is computed ONCE, inside the checkpointed kernel —
     # no conv()/substring-of-md5 re-derivation downstream of the pin
     assert "conv(" not in tree
-    assert "h60" in tree  # the checkpointed span table carries the BIGINT key
+    # (the h60 BIGINT-key evidence moved to the ctree subtree assert
+    # below — since the r15 window rework the final plan is just the
+    # sort over the output pin and shows no back-half columns)
     # the semi-join sits inside the candidate checkpoint; assert its
     # shape on the subtree the pin would otherwise hide: broadcast
     # LeftSemi on the bounded bucket flag, aggregate keyed on h60 (the
