@@ -48,6 +48,57 @@ DEFAULT_QUANTIZER = "trained"
 SERVING_NCELLS = 32
 SERVING_NPROBE = SERVING_NCELLS // 4  # = the calibration scan fraction
 
+# The corpus-adaptive capacity rule (r15, acting on the banked r14
+# ncells_axis receipts).  At 100 TB ncells is the knob that must GROW
+# with the corpus (FAISS sizes it ~sqrt(N)); a fixed 32 is right for the
+# declared eval corpora (500-2000 vectors: sqrt(N) = 22-45, so 64 cells
+# starves) and wrong for a grown one (the 20k-vector synth corpus
+# measured membership recall 0.584/0.656/0.728/0.796 at 16/32/64/128
+# cells, constant 25% scan, with the composed v21-shape IVFADC
+# strictly-no-worse gate PASSING for 64-vs-32 — SCALE_SLOPE.json
+# ncells_axis).  The rule flips only through gate-validated steps:
+# - floor = SERVING_NCELLS (32): gate-measured strictly-no-worse on
+#   every declared corpus (the r12/r13 flip chain), never size down;
+# - 64 engages at n_vectors >= 64^2 (the sqrt-N support bound) — the
+#   composed 64-vs-32 gate receipt is banked;
+# - deeper layouts (128: membership recall rises, composed gate banked
+#   r15) engage the same way, each step requiring its own composed
+#   receipt before joining the ladder.
+SERVING_NCELLS_LADDER = (32, 64, 128)
+
+
+def serving_ncells_for(n_vectors: int) -> int:
+    """The serving cell count for a corpus of ``n_vectors``: the deepest
+    gate-validated ladder entry c with c*c <= n_vectors (sqrt-N support),
+    floored at the declared SERVING_NCELLS.  Declared corpora (500-2000
+    vectors) size to exactly SERVING_NCELLS, so the declared v25-v29
+    contract and its oracles are unchanged by construction."""
+    best = SERVING_NCELLS
+    for c in SERVING_NCELLS_LADDER:
+        if c * c <= n_vectors:
+            best = c
+    return best
+
+
+def serving_seeds_for(n_vectors: int) -> tuple:
+    """The seed pool for :func:`serving_ncells_for`'s layout: the first
+    ncells ids of the extended deterministic pool (declared
+    TIVF_SEED_POOL first — so any layout's first 32 cells ARE the
+    declared calibration construction — extended past 32 on the same
+    deterministic stride the ncells_axis measurement used, every id
+    < 500 so it exists at every SF and in every synth corpus)."""
+    from .operators.similarity import TIVF_SEED_POOL
+
+    n = serving_ncells_for(n_vectors)
+    pool = list(TIVF_SEED_POOL)
+    j = 0
+    while len(pool) < n:
+        cand = (j * 7 + 3) % 500
+        if cand not in pool:
+            pool.append(cand)
+        j += 1
+    return tuple(pool[:n])
+
 # seed-quantizer ROLLBACK plans, one per tier: the trained default builds
 # the parameterized serving plan directly (ann_topk/ivfpq_topk below), so
 # these names are read ONLY on the DEFAULT_QUANTIZER='seed' branch

@@ -1191,6 +1191,13 @@ def main() -> None:
         axis["composed_recall5_32"] = round(r32, 4)
         axis["composed_recall5_64"] = round(r64, 4)
         axis["gate_64_no_worse_than_32"] = bool(r64 >= r32)
+        # r15: the NEXT rung's receipt — serving.SERVING_NCELLS_LADDER
+        # admits 128 only with this composed gate banked (the membership
+        # axis already shows 0.796 at 128; the composed gate is the flip
+        # adjudication, same as 32->64)
+        r128 = _composed(128)
+        axis["composed_recall5_128"] = round(r128, 4)
+        axis["gate_128_no_worse_than_64"] = bool(r128 >= r64)
         out["ncells_axis"] = axis
 
     _write(out)

@@ -561,3 +561,74 @@ def test_path_to_nearest_poi(fx, reach_ctx):
     for i in range(1, len(path)):
         u, v = int(path.iloc[i - 1]["node_idx"]), int(path.iloc[i]["node_idx"])
         assert abs(path.iloc[i]["step_m"] - float(ge.loc[(u, v)])) < 1e-3
+
+
+def test_snap_batch_seam_matches_numpy_golden(spark):
+    """Randomized seam corpus vs a NumPy wrapped-Mercator argmin golden:
+    200 nodes scattered within ~1 km of lon=±180 on both sides (plus an
+    interior control cluster), 60 probe points — the batch snap's winner
+    and distance must match the brute-force wrapped metric for every
+    probe (r15 seam-ghost regression net)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    R = 6378137.0
+    world_w = 2.0 * np.pi * R
+
+    def lon_jitter(n, scale_deg):
+        return (rng.rand(n) * 2 - 1) * scale_deg
+
+    node_lons = np.concatenate([
+        180.0 - np.abs(lon_jitter(80, 0.01)),          # east side of seam
+        -180.0 + np.abs(lon_jitter(80, 0.01)),         # west side
+        20.0 + lon_jitter(40, 0.01),                   # interior control
+    ])
+    node_lats = lon_jitter(200, 0.02)
+    nodes_pdf = pd.DataFrame({
+        "node_idx": np.arange(200, dtype=np.int32),
+        "lon": node_lons, "lat": node_lats,
+    })
+    probe_lons = np.concatenate([
+        180.0 - np.abs(lon_jitter(25, 0.004)),
+        -180.0 + np.abs(lon_jitter(25, 0.004)),
+        20.0 + lon_jitter(10, 0.004),
+    ])
+    probe_lats = lon_jitter(60, 0.015)
+    pts_pdf = pd.DataFrame({
+        "poi_id": np.arange(60, dtype=np.int32),
+        "lon": probe_lons, "lat": probe_lats,
+    })
+
+    def merc(lon, lat):
+        x = R * np.radians(lon)
+        y = R * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+        return x, y
+
+    nx, ny = merc(node_lons, node_lats)
+    px, py = merc(probe_lons, probe_lats)
+    # wrapped Euclidean 3857: dx reduced modulo the world width
+    dx = np.abs(px[:, None] - nx[None, :])
+    dx = np.minimum(dx, world_w - dx)
+    dy = py[:, None] - ny[None, :]
+    dist = np.sqrt(dx * dx + dy * dy)
+    within = dist <= 300.0
+    golden_idx = np.where(within.any(axis=1), dist.argmin(axis=1), -1)
+    golden_d = dist.min(axis=1)
+
+    got = {
+        r["poi_id"]: r
+        for r in snap.snap_points_to_nodes(
+            spark.createDataFrame(pts_pdf),
+            spark.createDataFrame(nodes_pdf),
+            max_snap_m=300.0,
+        ).collect()
+    }
+    for i in range(60):
+        g = got[i]
+        if golden_idx[i] < 0:
+            assert g["node_idx"] is None, f"probe {i} should be unmatched"
+        else:
+            assert g["node_idx"] == golden_idx[i], (
+                f"probe {i}: {g['node_idx']} != {golden_idx[i]}"
+            )
+            assert abs(g["dist_to_node_m"] - golden_d[i]) < 0.01 * golden_d[i] + 0.01

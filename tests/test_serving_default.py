@@ -269,3 +269,45 @@ def test_filtered_dispatch_recall_no_worse_than_fixed_nprobe(spark, sf_small):
         S.FILTERED_SHORTLIST_MULT = old
     r_new = _mean_recall(_recall_agg(exact, fixed.select("qid", "vec_id")))
     assert r_new >= r_base, (r_new, r_base)
+
+
+def test_serving_ncells_for_is_corpus_sized_and_gate_validated():
+    """r15 (r14 verdict item 7): the serving capacity rule — deepest
+    gate-validated ladder entry c with c*c <= n_vectors, floored at the
+    declared 32.  Declared corpora size to exactly SERVING_NCELLS, so
+    the declared v25-v29 contract is unchanged by construction; the
+    64/128 rungs engage only for corpora that support them (receipts in
+    SCALE_SLOPE.json ncells_axis)."""
+    from fifteenmc_spark import serving
+
+    # the declared eval corpora (sf0.001 ~500 vectors, sf0.01 ~2000):
+    # sqrt-N cannot support 64 cells -> the declared layout, unchanged
+    assert serving.serving_ncells_for(500) == serving.SERVING_NCELLS
+    assert serving.serving_ncells_for(2000) == serving.SERVING_NCELLS
+    assert serving.serving_ncells_for(4095) == serving.SERVING_NCELLS
+    # the 20k synth corpus (sqrt = 141) supports every banked rung
+    assert serving.serving_ncells_for(64 * 64) == 64
+    deep = serving.serving_ncells_for(20_000)
+    assert deep == max(serving.SERVING_NCELLS_LADDER)
+    # monotone in corpus size, never below the declared floor
+    last = 0
+    for n in (0, 1, 500, 2000, 5000, 20_000, 10**9):
+        c = serving.serving_ncells_for(n)
+        assert c >= serving.SERVING_NCELLS and c >= last
+        last = c
+
+
+def test_serving_seeds_for_extends_declared_pool_deterministically():
+    from fifteenmc_spark import serving
+    from fifteenmc_spark.operators.similarity import TIVF_SEED_POOL
+
+    # at declared sizes the pool IS the declared pool
+    assert serving.serving_seeds_for(2000) == TIVF_SEED_POOL[: serving.SERVING_NCELLS]
+    # at grown sizes: declared pool is a PREFIX (calibration cells keep
+    # their ids), extension ids are distinct and < 500 (exist at any SF)
+    big = serving.serving_seeds_for(20_000)
+    assert big[: len(TIVF_SEED_POOL)] == TIVF_SEED_POOL
+    assert len(set(big)) == len(big) == serving.serving_ncells_for(20_000)
+    assert all(0 <= i < 500 for i in big)
+    # deterministic
+    assert big == serving.serving_seeds_for(20_000)
