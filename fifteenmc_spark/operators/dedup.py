@@ -1756,22 +1756,45 @@ def _pack_spans(s):
 
 def _span_candidates(spans):
     """Phase 1 of the x9 back half: nominate candidate spans on the
-    NARROW key.  Buckets whose h60 group spans >=2 distinct docs are
-    flagged into a mod-X9_PREFILTER_BUCKETS one-hash Bloom
-    (distinct-compressed, bounded, broadcastable at any corpus size) and
-    the span table broadcast-SEMI-joins against it.  Returns the
-    candidate span rows (dup occurrences + rare 60-bit collisions +
-    Bloom FPs), un-pinned — _span_dup's phase-2 window is its single
-    consumer since the r15 rework; split out so the
-    plan tests can assert the semi-join shape on the subtree the
-    checkpoint would otherwise hide."""
+    NARROW key.  Buckets (pmod(h60, X9_PREFILTER_BUCKETS)) whose doc set
+    spans >=2 distinct docs are flagged into a one-hash Bloom and the
+    span table broadcast-SEMI-joins against it.  Returns the candidate
+    span rows (dup occurrences + rare 60-bit collisions + Bloom FPs),
+    un-pinned — _span_dup's phase-2 window is its single consumer since
+    the r15 rework; split out so the plan tests can assert the semi-join
+    shape on the subtree the checkpoint would otherwise hide.
+
+    r15 optimization pass: the flag aggregate keys DIRECTLY on the
+    bucket.  The previous form aggregated per h60 (min/max doc), then
+    projected the bucket and ran a second DISTINCT aggregate to compress
+    the flag side — two exchanges and two aggregation passes, with the
+    first exchange's row count growing with the corpus's distinct-span
+    count.  Grouping on the bucket itself gives the same guarantee in
+    ONE exchange: any true dup h60 (>=2 distinct docs) makes its
+    bucket's min(doc) != max(doc), so no dup span is ever lost; a bucket
+    whose >=2 docs come from DIFFERENT singleton hashes is a false
+    positive exactly like a Bloom collision, and phase 2's exact-md5 dup
+    test removes it (the collision-forcing test pins this).  The map-side
+    partial aggregate is now bounded at X9_PREFILTER_BUCKETS rows per
+    task — the phase-1 exchange no longer scales with corpus size at
+    all, only with the fixed bucket space (~2^22 x 24 bytes worst case
+    per task).  Measured (sf0.1, alternating same-session A/B over the
+    full x9 plan, 7 samples each): old min/med 1.67/1.80 s vs new
+    1.68/1.75 s — a wash at this scale (the dropped exchange is a few
+    hundred kB here); the change is carried for the PLAN delta — one
+    Exchange + one HashAggregate pair removed from all three x9
+    variants, and a phase-1 shuffle whose per-task volume is bounded by
+    the bucket space instead of growing with the corpus's distinct-span
+    count.  Answer equality pinned by the same run (21,543 identical
+    rows) and by the collision-forcing test."""
     cand_buckets = (
-        spans.select("h60", "doc_id")
-        .groupBy("h60")
+        spans.select(
+            F.pmod(F.col("h60"), F.lit(X9_PREFILTER_BUCKETS)).alias("bkt"), "doc_id"
+        )
+        .groupBy("bkt")
         .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
         .where(F.col("lo") != F.col("hi"))
-        .select(F.pmod(F.col("h60"), F.lit(X9_PREFILTER_BUCKETS)).alias("bkt"))
-        .distinct()
+        .select("bkt")
     )
     return (
         spans.withColumn("bkt", F.pmod(F.col("h60"), F.lit(X9_PREFILTER_BUCKETS)))
@@ -1786,18 +1809,21 @@ def _span_dup(spans):
     32-char md5-hex string, the engine's heaviest per-row shuffle at
     100 TB and the r12 verdict's one measured-weak family):
 
-    Phase 1 — candidates on the NARROW key.  The df aggregate groups on
-    h60, the X9_KEY_HEX-hex-char (60-bit) BIGINT projection of the span
-    md5, so the only corpus-sized exchange carries (h60, lo, hi) — an
-    8-byte key + two doc ids — instead of 32+ bytes of hex key.  Buckets
-    whose h60 group spans >=2 distinct docs are flagged into a
-    mod-X9_PREFILTER_BUCKETS one-hash Bloom (distinct-compressed, so
-    the flag side is bounded and broadcastable at ANY corpus size) and
-    the span table broadcast-SEMI-joins against it — r12's mitigation (c)
-    prefilter, now STRUCTURAL rather than size-dispatched: the join-back
-    input is always dup occurrences + rare collisions/FPs, never the
-    full span table, so the old X9_PREFILTER_MIN_SPANS crossover constant
-    is gone along with its count() probe job.
+    Phase 1 — candidates on the NARROW key.  The flag aggregate groups
+    on pmod(h60, X9_PREFILTER_BUCKETS) — h60 is the X9_KEY_HEX-hex-char
+    (60-bit) BIGINT projection of the span md5 — so the only corpus-sized
+    exchange carries (bkt, lo, hi): an 8-byte key + two doc ids, with the
+    map-side partial aggregate bounded at the bucket-space size per task
+    (r15: previously the aggregate keyed on raw h60 and needed a second
+    DISTINCT pass to compress to buckets — see _span_candidates).
+    Buckets whose doc set spans >=2 distinct docs are flagged into a
+    mod-X9_PREFILTER_BUCKETS one-hash Bloom (bounded and broadcastable
+    at ANY corpus size) and the span table broadcast-SEMI-joins against
+    it — r12's mitigation (c) prefilter, now STRUCTURAL rather than
+    size-dispatched: the join-back input is always dup occurrences +
+    rare collisions/FPs, never the full span table, so the old
+    X9_PREFILTER_MIN_SPANS crossover constant is gone along with its
+    count() probe job.
 
     Phase 2 — exact boundary on the tiny candidate set, as ONE window.
     min/max(doc_id) and count over a Window.partitionBy(hb) give the

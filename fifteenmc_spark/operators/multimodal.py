@@ -241,7 +241,13 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
     A NULL payload (missing asset) yields NULL stats — the row survives so
     ingest QA can count the gap, matching the oracle's NULL propagation
-    (pinned by the edge-corpus test)."""
+    (pinned by the edge-corpus test).
+
+    Only the columns the kernel touches cross the Python boundary
+    (guide §4.1: Spark cannot see inside an opaque function, so an
+    unprojected mapInPandas ships — and Arrow-serializes — every input
+    column; the r15 plan audit caught the synthesized ``meta`` struct
+    riding along and being built per row just to be discarded)."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -272,7 +278,9 @@ def extract_features(assets: DataFrame) -> DataFrame:
                 }
             )
 
-    return assets.mapInPandas(feats, schema=FEATURE_SCHEMA)
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        feats, schema=FEATURE_SCHEMA
+    )
 
 
 @_register(
@@ -353,7 +361,10 @@ def sample_frames(assets: DataFrame) -> DataFrame:
     kept — the stand-in for decode→frame-extract→thumbnail, which needs
     codec libs this container lacks).  The Spark-side shape is the real
     thing: Arrow batches in, a different (longer) frame table out, payloads
-    never shuffled."""
+    never shuffled.  Only (asset_id, payload) crosses the Python boundary
+    — the kernel reads nothing else, and an unprojected mapInPandas would
+    ship (and per-row build) the modality string and meta struct through
+    Arrow just to drop them (guide §4.1; r15 plan audit)."""
     import hashlib
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -391,7 +402,7 @@ def sample_frames(assets: DataFrame) -> DataFrame:
                 }
             )
 
-    return assets.mapInPandas(frames, schema=FRAME_SCHEMA)
+    return assets.select("asset_id", "payload").mapInPandas(frames, schema=FRAME_SCHEMA)
 
 
 @_register(

@@ -56,6 +56,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Env-parameterized overrides (guide §9 discipline: scale-dependent
+    # settings stay conf/env-tunable with local defaults): semicolon-
+    # separated k=v pairs, e.g.
+    #   SPARK_GRAFT_CONF="spark.sql.adaptive.advisoryPartitionSizeInBytes=256m"
+    # Applied before extra_conf so programmatic callers still win.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        if k and v:
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
