@@ -977,8 +977,12 @@ def v9(spark, sf_dir):
     # not plan; the joined data is k x |queries| rows.
     _, cells, probes = _ivf_cells_probes(spark, sf_dir, V9_MAX_PROBE)
     exact = _exact_topk(spark, sf_dir).select("qid", "vec_id")
+    # broadcast the |eval queries| x k ground truth against the corpus-
+    # sized cells table (r15): bounded by construction, but the estimate
+    # through the checkpoint planned a SortMergeJoin — i.e. a shuffle of
+    # the WHOLE cells table to meet a k x |queries|-row side
     hit = (
-        exact.join(cells, "vec_id")
+        F.broadcast(exact).join(cells, "vec_id")
         .join(F.broadcast(probes), ["qid", "cell"], "left")
         .groupBy("qid", "vec_id")
         .agg(F.min("rn").alias("min_rn"))
@@ -1491,10 +1495,21 @@ def _exact_topk_v12(spark, sf_dir):
 def _recall_agg(exact, got):
     """(qid, n_topk, n_recovered, recall): per-query recall of a
     (qid, vec_id) result set against the exact ground truth — the shared
-    back half of every ANN calibration eval (v12, v14, v17)."""
+    back half of every ANN calibration eval (v12, v14, v17).
+
+    The result side is BROADCAST explicitly (r15): ``got`` is a top-k
+    result set, bounded at |eval queries| x k rows by construction, but
+    Catalyst's size estimate propagated through the serving plan's
+    windows/joins lands far above the auto-broadcast threshold, so the
+    recall join planned as SortMergeJoin — two hashpartitioning(qid,
+    vec_id) exchanges plus two sorts of subtrees whose real output is a
+    few hundred rows.  Broadcast is legal for a LeftOuter build-right
+    and removes both (plan: SortMergeJoin LeftOuter -> BroadcastHashJoin
+    in every recall eval; the same reasoning as the broadcast ground
+    truth in the v9 probe stack)."""
     g = got.select("qid", "vec_id", F.lit(1).alias("hit"))
     return (
-        exact.join(g, ["qid", "vec_id"], "left")
+        exact.join(F.broadcast(g), ["qid", "vec_id"], "left")
         .groupBy("qid")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_topk"),
@@ -2282,8 +2297,12 @@ def _nprobe_sweep_plan(spark, sf_dir, trained: bool):
         ],
     )
     exact = _exact_topk_v12(spark, sf_dir).select("qid", "vec_id")
+    # hits is bounded at |eval queries| x shortlist-union rows; broadcast
+    # for the same reason as _recall_agg (Catalyst's estimate through the
+    # sweep's window stack otherwise plans a SortMergeJoin of a
+    # few-hundred-row side)
     agg = (
-        exact.join(hits, ["qid", "vec_id"], "left")
+        exact.join(F.broadcast(hits), ["qid", "vec_id"], "left")
         .groupBy("qid")
         .agg(
             F.count(F.lit(1)).alias("n_topk"),
@@ -2639,8 +2658,9 @@ def v20(spark, sf_dir):
     out = None
     for qname, cpfn in (("seed", _ivf_cells_probes), ("trained", _tivf_cells_probes)):
         _, cells, probes = cpfn(spark, sf_dir, N_PROBE, V12_NQ)
+        # broadcast ground truth vs corpus-sized cells — the v9 rationale
         hit = (
-            exact.join(cells, "vec_id")
+            F.broadcast(exact).join(cells, "vec_id")
             .join(
                 F.broadcast(probes.select("qid", "cell", F.lit(1).alias("hit"))),
                 ["qid", "cell"],
@@ -2889,8 +2909,9 @@ def v24(spark, sf_dir):
         _, cells, probes = _tivf_cells_probes(
             spark, sf_dir, max(1, n // 4), V12_NQ, seeds=TIVF_SEED_POOL[:n]
         )
+        # broadcast ground truth vs corpus-sized cells — the v9 rationale
         hit = (
-            exact.join(cells, "vec_id")
+            F.broadcast(exact).join(cells, "vec_id")
             .join(
                 F.broadcast(probes.select("qid", "cell", F.lit(1).alias("hit"))),
                 ["qid", "cell"],
@@ -3123,7 +3144,10 @@ def v28(spark, sf_dir):
         .where(F.col("rnk") <= TOP_K)
         .select("qid", "vec_id")
     )
-    ap = v27(spark, sf_dir).select("qid", F.col("vec_id").alias("ap_vec"))
+    # v27's result is a bounded per-query top-k — broadcast it for the
+    # same reason as _recall_agg (the estimate through its serving plan
+    # otherwise forces a SortMergeJoin of a few-hundred-row side)
+    ap = F.broadcast(v27(spark, sf_dir).select("qid", F.col("vec_id").alias("ap_vec")))
     hit = gt.join(
         ap, (ap.qid == gt.qid) & (ap.ap_vec == gt.vec_id), "left"
     ).select(gt.qid.alias("qid"), F.when(ap.ap_vec.isNotNull(), 1).otherwise(0).alias("got"))
