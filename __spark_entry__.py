@@ -60,12 +60,24 @@ _CHECK_FIRST = (
     "v4_embedding_stats",
     "v7_lsh_banded_near_dup",
     # plans touched or re-measured in r15 — re-attest before the backlog
+    # (build half: x9 rework, seam snap, d23/g3 adjudications; optimization
+    # half: x9 phase-1 fusion, mapInPandas column pruning, recall-stack
+    # broadcasts)
     "x9_span_dedup",
     "x9_span_dedup_sampled",
     "x9_span_dedup_prefiltered",
     "g2_knn_snap",
     "g3_bounded_reach",
     "d23_first_occurrence",
+    "m2_feature_extract",
+    "m3_frame_sample",
+    "v9_ivf_recall",
+    "v12_pq_recall",
+    "v14_ivfpq_recall",
+    "v20_tivf_recall",
+    "v23_tencoding_recall",
+    "v24_ncells_sweep",
+    "v28_filtered_recall",
     # newest driver row is r13 — rotate back through (alphabetical; the
     # tail past the 50-query window leads r16)
     "d10_topk_per_group",
