@@ -69,7 +69,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import fifteenmc_spark.operators  # noqa: F401  (registers all query modules)
 from fifteenmc_spark.io import TABLES, read_table
 from fifteenmc_spark.operators.relational import QUERIES
-from fifteenmc_spark.session import get_spark
+from fifteenmc_spark.session import applied_env_conf, get_spark
 
 
 def main() -> None:
@@ -245,8 +245,17 @@ def main() -> None:
             k: round(max(v - floor, 1e-3), 4) for k, v in mins.items()
         },
         "sf": sf,
+        # core count recorded so the full record can be keyed by
+        # (sf, cpus) — the driver's 8-core scaling run used to CLOBBER
+        # the 32-core per-query map (r15 verdict item 5)
+        "cpus": par,
         "action_floor_s": round(floor, 4),
     }
+    env_overrides = applied_env_conf()
+    if env_overrides:
+        # r15 ADVICE: silently-applied SPARK_GRAFT_CONF pairs made runs
+        # environment-dependent with no record of what was applied
+        out["env_conf"] = env_overrides
     if floor_cold is not None:
         out["action_floor_cold_s"] = round(floor_cold, 4)
     if errors:
@@ -318,9 +327,20 @@ def _compact_line(out: dict) -> dict:
 
 
 def _write_full_record(out: dict, path: str | None = None) -> None:
+    """Persist the full per-query record, multi-run-safe (r15 verdict
+    item 5): the driver's 8-core scaling run used to CLOBBER the 32-core
+    per-query map.  Layout now: the top level stays the LATEST run (back-
+    compatible with every prior reader), plus
+
+    - ``records``: one full per-query record per (sf, cpus) key — a
+      scaling run updates its own slot and leaves the main-run record
+      intact;
+    - ``history``: bounded headline entries (now tagged with cpus).
+    """
     path = path or os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
     record = dict(out)
     history: list = []
+    records: dict = {}
     try:
         with open(path) as f:
             prev = json.load(f)
@@ -335,9 +355,13 @@ def _write_full_record(out: dict, path: str | None = None) -> None:
             # AFTER the whole suite has run — the exact lose-the-record
             # failure mode this function defends against
             history = []
+        records = prev.get("records", {})
+        if not isinstance(records, dict):
+            records = {}
         prev.pop("history", None)
+        prev.pop("records", None)
         # previous latest run joins the history (headline numbers only —
-        # per-query maps are only kept for the latest run)
+        # full per-query maps live under ``records``)
         history.append(
             {
                 k: prev.get(k)
@@ -346,6 +370,7 @@ def _write_full_record(out: dict, path: str | None = None) -> None:
                     "duckdb_total",
                     "spark_vs_duckdb_ratio",
                     "sf",
+                    "cpus",
                     "action_floor_s",
                 )
                 if k in prev
@@ -355,6 +380,9 @@ def _write_full_record(out: dict, path: str | None = None) -> None:
         history = history[-20:]
     except (OSError, ValueError):
         pass
+    key = f"sf{out.get('sf')}_c{out.get('cpus')}"
+    records[key] = dict(out)
+    record["records"] = records
     record["history"] = history
     with open(path, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)

@@ -1731,8 +1731,12 @@ def _parallel_docs(d):
 X9_KEY_HEX = 15
 
 # bucket-space size for the structural singleton prefilter: the flagged
-# side is bounded by min(#dup buckets, this) rows — ALWAYS broadcastable,
-# independent of corpus size (2^22 longs ~ 34 MB worst case)
+# side is bounded by min(#dup h60 groups, this) rows — ALWAYS
+# broadcastable, independent of corpus size (2^22 longs ~ 34 MB worst
+# case).  The flag aggregate itself keys on h60 (dup detection), and only
+# the FLAGGED groups are projected into this bucket space (compression
+# for the broadcast) — so bucket density never affects which spans pass,
+# only the Bloom's false-positive rate on non-dup spans.
 X9_PREFILTER_BUCKETS = 1 << 22
 
 
@@ -1756,45 +1760,48 @@ def _pack_spans(s):
 
 def _span_candidates(spans):
     """Phase 1 of the x9 back half: nominate candidate spans on the
-    NARROW key.  Buckets (pmod(h60, X9_PREFILTER_BUCKETS)) whose doc set
-    spans >=2 distinct docs are flagged into a one-hash Bloom and the
-    span table broadcast-SEMI-joins against it.  Returns the candidate
-    span rows (dup occurrences + rare 60-bit collisions + Bloom FPs),
-    un-pinned — _span_dup's phase-2 window is its single consumer since
-    the r15 rework; split out so the plan tests can assert the semi-join
-    shape on the subtree the checkpoint would otherwise hide.
+    NARROW key.  h60 groups whose doc set spans >=2 distinct docs are
+    dup candidates; the flagged groups are distinct-compressed into a
+    mod-X9_PREFILTER_BUCKETS one-hash Bloom and the span table
+    broadcast-SEMI-joins against it.  Returns the candidate span rows
+    (dup occurrences + rare 60-bit collisions + Bloom FPs), un-pinned —
+    _span_dup's phase-2 window is its single consumer since the r15
+    rework; split out so the plan tests can assert the semi-join shape
+    on the subtree the checkpoint would otherwise hide.
 
-    r15 optimization pass: the flag aggregate keys DIRECTLY on the
-    bucket.  The previous form aggregated per h60 (min/max doc), then
-    projected the bucket and ran a second DISTINCT aggregate to compress
-    the flag side — two exchanges and two aggregation passes, with the
-    first exchange's row count growing with the corpus's distinct-span
-    count.  Grouping on the bucket itself gives the same guarantee in
-    ONE exchange: any true dup h60 (>=2 distinct docs) makes its
-    bucket's min(doc) != max(doc), so no dup span is ever lost; a bucket
-    whose >=2 docs come from DIFFERENT singleton hashes is a false
-    positive exactly like a Bloom collision, and phase 2's exact-md5 dup
-    test removes it (the collision-forcing test pins this).  The map-side
-    partial aggregate is now bounded at X9_PREFILTER_BUCKETS rows per
-    task — the phase-1 exchange no longer scales with corpus size at
-    all, only with the fixed bucket space (~2^22 x 24 bytes worst case
-    per task).  Measured (sf0.1, alternating same-session A/B over the
-    full x9 plan, 7 samples each): old min/med 1.67/1.80 s vs new
-    1.68/1.75 s — a wash at this scale (the dropped exchange is a few
-    hundred kB here); the change is carried for the PLAN delta — one
-    Exchange + one HashAggregate pair removed from all three x9
-    variants, and a phase-1 shuffle whose per-task volume is bounded by
-    the bucket space instead of growing with the corpus's distinct-span
-    count.  Answer equality pinned by the same run (21,543 identical
-    rows) and by the collision-forcing test."""
+    r16 revert of the r15 "bucket fusion" (the r15 verdict's one wrong
+    optimization): r15 re-keyed this flag aggregate from h60 directly
+    onto pmod(h60, X9_PREFILTER_BUCKETS), which changed the flag
+    semantics from "group contains a dup h60" to "bucket touches >=2
+    docs".  With a FIXED 2^22 bucket space, that flag saturates as the
+    corpus grows: once distinct spans far exceed the bucket count
+    (billions of spans at 100 TB vs 4.2M buckets), virtually every
+    bucket is multi-doc, the Bloom passes ~the entire span table, and
+    phase 2's Window.partitionBy(hb) degenerates into a full-corpus
+    16-byte-md5 shuffle — the exact shuffle the r13 two-phase design
+    exists to avoid.  Keying the flag aggregate on h60 keeps the
+    candidate volume bounded by DUP MASS at every scale: a span passes
+    the semi-join only if (a) its own h60 group is a true dup (>=2
+    docs), or (b) it collides mod 2^22 with a flagged dup group (Bloom
+    FP, rate = |dup groups| / 2^22 <= 1 regardless of corpus size, and
+    in practice bounded by the broadcast cap on flagged groups).  The
+    cost of the h60 keying is the corpus-sized phase-1 exchange —
+    8-byte key + two doc ids, map-side partially aggregated — plus a
+    tiny second DISTINCT to compress flagged groups into the bucket
+    space; that narrow pre-aggregated exchange is the documented
+    acceptable shape (r13), and it is the cheap, bounded pass.  sf0.1
+    A/B (alternating same-session, full x9 plan) measured the two forms
+    as a wash locally — the r15 fusion was carried for a −1 Exchange
+    plan delta that does not survive the scale argument.  Exactness is
+    unchanged in both forms (collision-forcing test: the phase-2
+    exact-md5 dup test removes every FP)."""
     cand_buckets = (
-        spans.select(
-            F.pmod(F.col("h60"), F.lit(X9_PREFILTER_BUCKETS)).alias("bkt"), "doc_id"
-        )
-        .groupBy("bkt")
+        spans.select("h60", "doc_id")
+        .groupBy("h60")
         .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
         .where(F.col("lo") != F.col("hi"))
-        .select("bkt")
+        .select(F.pmod(F.col("h60"), F.lit(X9_PREFILTER_BUCKETS)).alias("bkt"))
+        .distinct()
     )
     return (
         spans.withColumn("bkt", F.pmod(F.col("h60"), F.lit(X9_PREFILTER_BUCKETS)))
@@ -1810,20 +1817,19 @@ def _span_dup(spans):
     100 TB and the r12 verdict's one measured-weak family):
 
     Phase 1 — candidates on the NARROW key.  The flag aggregate groups
-    on pmod(h60, X9_PREFILTER_BUCKETS) — h60 is the X9_KEY_HEX-hex-char
-    (60-bit) BIGINT projection of the span md5 — so the only corpus-sized
-    exchange carries (bkt, lo, hi): an 8-byte key + two doc ids, with the
-    map-side partial aggregate bounded at the bucket-space size per task
-    (r15: previously the aggregate keyed on raw h60 and needed a second
-    DISTINCT pass to compress to buckets — see _span_candidates).
-    Buckets whose doc set spans >=2 distinct docs are flagged into a
-    mod-X9_PREFILTER_BUCKETS one-hash Bloom (bounded and broadcastable
-    at ANY corpus size) and the span table broadcast-SEMI-joins against
-    it — r12's mitigation (c) prefilter, now STRUCTURAL rather than
-    size-dispatched: the join-back input is always dup occurrences +
-    rare collisions/FPs, never the full span table, so the old
-    X9_PREFILTER_MIN_SPANS crossover constant is gone along with its
-    count() probe job.
+    on h60 — the X9_KEY_HEX-hex-char (60-bit) BIGINT projection of the
+    span md5 — so the only corpus-sized exchange carries (h60, lo, hi):
+    an 8-byte key + two doc ids, map-side partially aggregated.  Groups
+    whose doc set spans >=2 distinct docs are flagged, distinct-
+    compressed to a mod-X9_PREFILTER_BUCKETS one-hash Bloom (bounded
+    and broadcastable at ANY corpus size) and the span table
+    broadcast-SEMI-joins against it — r12's mitigation (c) prefilter,
+    now STRUCTURAL rather than size-dispatched: the join-back input is
+    bounded by dup mass + the Bloom FP rate (|flagged groups| / 2^22,
+    <=1 at every corpus size because the flag is keyed on h60 dup-ness,
+    NOT on raw bucket density — see the r16 note in _span_candidates),
+    never the full span table, so the old X9_PREFILTER_MIN_SPANS
+    crossover constant is gone along with its count() probe job.
 
     Phase 2 — exact boundary on the tiny candidate set, as ONE window.
     min/max(doc_id) and count over a Window.partitionBy(hb) give the

@@ -1495,7 +1495,9 @@ def _exact_topk_v12(spark, sf_dir):
 def _recall_agg(exact, got):
     """(qid, n_topk, n_recovered, recall): per-query recall of a
     (qid, vec_id) result set against the exact ground truth — the shared
-    back half of every ANN calibration eval (v12, v14, v17).
+    back half of the single-encoding ANN calibration evals (v12, v14;
+    v17/v23 run the stacked (encoding, qid) twin inside
+    _encoding_recall_plan since r16).
 
     The result side is BROADCAST explicitly (r15): ``got`` is a top-k
     result set, bounded at |eval queries| x k rows by construction, but
@@ -1870,6 +1872,25 @@ def _ivfpq_topk_plan(
     default actually uses, since v17's verdict was conditional on seed-
     cell tightness).  All variants share the ADC tail and the candidate
     shape; only the cell tables and/or code tables differ."""
+    e, q, adc = _ivfpq_adc(
+        spark, sf_dir, nq, residual=residual, trained=trained, nprobe=nprobe, seeds=seeds
+    )
+    return _pq_rank_tail(e, q, adc)
+
+
+def _ivfpq_adc(
+    spark,
+    sf_dir,
+    nq: int,
+    residual: bool,
+    trained: bool,
+    nprobe: int = N_PROBE,
+    seeds: tuple = IVF_SEED_IDS,
+):
+    """The IVFADC front half — coarse pruning + ADC scoring — returning
+    (e, q, adc) BEFORE the shortlist/re-rank tail, so a caller can either
+    finish one plan (_ivfpq_topk_plan -> _pq_rank_tail) or stack several
+    encodings' adc streams under ONE tail (_encoding_recall_plan, r16)."""
     if trained:
         _, cells, probes = _tivf_cells_probes(spark, sf_dir, nprobe, nq, seeds=seeds)
     else:
@@ -1901,7 +1922,7 @@ def _ivfpq_topk_plan(
                 (F.sum("cw_ss6").cast("double") / 1e6).alias("recon_ss"),
             )
         )
-        return _pq_rank_tail(e, q, adc)
+        return e, q, adc
     e, cw, codes, cents, cents6 = _rpq_index(spark, sf_dir, trained=trained)
     q, qparts, qcent = _rpq_query_side(e, cw, cents, nq)
     adc = (
@@ -1918,7 +1939,7 @@ def _ivfpq_topk_plan(
             ((F.col("cent_ss6") + F.col("rr6")).cast("double") / 1e6).alias("recon_ss"),
         )
     )
-    return _pq_rank_tail(e, q, adc)
+    return e, q, adc
 
 
 @_register(
@@ -2094,16 +2115,97 @@ def v17(spark, sf_dir):
 def _encoding_recall_plan(spark, sf_dir, trained: bool):
     """raw-vs-residual composed recall over one quantizer's cells —
     v17's eval body, quantizer-parametrized so v23 re-runs the identical
-    adjudication over the trained cells."""
+    adjudication over the trained cells.
+
+    r16 stacked form (the r15 "not yet optimized" item 1): the two
+    encodings' serving plans used to run two COMPLETE rank tails —
+    2 shortlist windows, 2 exact re-rank joins against the corpus
+    embedding table, 2 rank windows, 2 recall joins + aggregates — then
+    union the five-row-per-query results.  Everything past the ADC
+    scoring is encoding-independent except the partition key, so the
+    union now happens at the ADC/approx stream (a zero-exchange
+    operator) tagged with the encoding, and ONE shortlist window, ONE
+    re-rank join (the corpus table is scanned once, not twice), ONE
+    rank window and ONE recall aggregate run over the stacked
+    (encoding, qid) key.  Per-encoding results are bit-identical by
+    construction: row_number() partitioned by (encoding, qid) over the
+    same ordering picks exactly the rows each per-encoding window
+    picked (ties still broken by vec_id within one encoding), and the
+    recall aggregate groups by (qid, encoding) over an exact side
+    exploded per encoding, so every count matches the per-encoding
+    aggregates row for row.  The ADC front halves (different codes and
+    codebooks per encoding) stay separate — only the bounded
+    (|eval queries| x candidates) streams stack."""
     exact = _exact_topk_v12(spark, sf_dir).select("qid", "vec_id")
-    out = None
+    appx = None
+    e_ref = None
     for enc, res in (("raw", False), ("residual", True)):
-        r = _recall_agg(
-            exact,
-            _ivfpq_topk_plan(spark, sf_dir, V12_NQ, residual=res, trained=trained),
-        ).select("qid", F.lit(enc).alias("encoding"), "n_topk", "n_recovered", "recall")
-        out = r if out is None else out.unionByName(r)
+        e, _q, adc = _ivfpq_adc(spark, sf_dir, V12_NQ, residual=res, trained=trained)
+        e_ref = e
+        s = adc.where(F.col("vec_id") != F.col("qid")).select(
+            F.lit(enc).alias("encoding"),
+            "qid",
+            "vec_id",
+            (F.col("adc") / F.sqrt("recon_ss")).alias("approx"),
+        )
+        appx = s if appx is None else appx.unionByName(s)
+    got = _stacked_topk(e_ref, V12_NQ, appx)
+    # recall agg over the stacked key: the exact side exploded per
+    # encoding, the (bounded) stacked result broadcast — _recall_agg's
+    # shape with (encoding, qid) in place of qid
+    ex2 = exact.withColumn(
+        "encoding", F.explode(F.array(F.lit("raw"), F.lit("residual")))
+    )
+    g = got.select("encoding", "qid", "vec_id", F.lit(1).alias("hit"))
+    out = (
+        ex2.join(F.broadcast(g), ["encoding", "qid", "vec_id"], "left")
+        .groupBy("qid", "encoding")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_topk"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_recovered"),
+        )
+        .select(
+            "qid",
+            "encoding",
+            "n_topk",
+            "n_recovered",
+            F.round(F.col("n_recovered") / F.col("n_topk"), 4).alias("recall"),
+        )
+    )
     return out.orderBy("qid", "encoding")
+
+
+def _stacked_topk(e, nq: int, appx):
+    """_pq_rank_tail's shortlist + exact re-rank, partitioned by
+    (encoding, qid) instead of qid — the shared tail of the stacked
+    encoding evals.  Identical ordering expressions, identical
+    shortlist/top-k bounds; returns (encoding, qid, vec_id) for the
+    recall join."""
+    wshort = Window.partitionBy("encoding", "qid").orderBy(
+        F.round("approx", 6).desc(), "vec_id"
+    )
+    shortlist = (
+        appx.select(
+            "encoding", "qid", "vec_id", F.row_number().over(wshort).alias("srn")
+        )
+        .where(F.col("srn") <= PQ_SHORTLIST)
+        .drop("srn")
+    )
+    qv = e.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    rer = shortlist.join(e, "vec_id").join(F.broadcast(qv), "qid").select(
+        "encoding",
+        "qid",
+        "vec_id",
+        cosine(F.col("qe"), F.col("embedding")).alias("sim"),
+    )
+    wrank = Window.partitionBy("encoding", "qid").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        rer.select("encoding", "qid", "vec_id", F.row_number().over(wrank).alias("rnk"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("encoding", "qid", "vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------

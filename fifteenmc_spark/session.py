@@ -14,12 +14,28 @@ but every knob here is what you'd set on a 1000-executor cluster too:
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def applied_env_conf() -> dict[str, str]:
+    """The SPARK_GRAFT_CONF overrides as a dict — exposed so the bench can
+    RECORD what was applied (r15 ADVICE: silently-applied env confs make
+    results environment-dependent with no audit trail).  Correctness-
+    affecting confs (ANSI mode, session timezone) are out of contract:
+    the oracle comparison is only defined for the defaults above."""
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    out: dict[str, str] = {}
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        if k and v:
+            out[k] = v
+    return out
 
 
 def get_spark(
@@ -61,11 +77,13 @@ def get_spark(
     # separated k=v pairs, e.g.
     #   SPARK_GRAFT_CONF="spark.sql.adaptive.advisoryPartitionSizeInBytes=256m"
     # Applied before extra_conf so programmatic callers still win.
-    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
-    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
-        k, _, v = pair.partition("=")
-        if k and v:
-            builder = builder.config(k, v)
+    env_overrides = applied_env_conf()
+    for k, v in env_overrides.items():
+        builder = builder.config(k, v)
+    if env_overrides:
+        # audit trail on stderr (and bench records the pairs in
+        # BENCH_full.json) so no run is silently non-default
+        print(f"session: SPARK_GRAFT_CONF applied: {env_overrides}", file=sys.stderr)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

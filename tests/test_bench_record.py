@@ -62,3 +62,38 @@ def test_full_record_keeps_bounded_history(tmp_path):
     assert rec["value"] == 24.0  # latest run is the record
     assert len(rec["history"]) == 20  # bounded
     assert rec["history"][-1]["value"] == 23.0  # previous run rotated in
+
+
+def test_full_record_is_multi_run_safe(tmp_path):
+    # r15 verdict item 5: the driver's 8-core scaling run clobbered the
+    # 32-core per-query map.  Records are now keyed by (sf, cpus): a
+    # scaling run updates its own slot and leaves the main run's full
+    # per-query record readable.
+    bench = _bench()
+    path = str(tmp_path / "BENCH_full.json")
+    run32 = {
+        "metric": "m",
+        "value": 100.0,
+        "unit": "sec",
+        "sf": "0.1",
+        "cpus": 32,
+        "queries": {"q_main": 100.0},
+    }
+    run8 = {
+        "metric": "m",
+        "value": 80.0,
+        "unit": "sec",
+        "sf": "0.1",
+        "cpus": 8,
+        "queries": {"q_main": 80.0},
+    }
+    bench._write_full_record(run32, path=path)
+    bench._write_full_record(run8, path=path)
+    rec = json.load(open(path))
+    # top level stays the latest run (back-compat with prior readers)
+    assert rec["value"] == 80.0 and rec["cpus"] == 8
+    # ... but the 32-core per-query map survives under its own key
+    assert rec["records"]["sf0.1_c32"]["queries"] == {"q_main": 100.0}
+    assert rec["records"]["sf0.1_c8"]["queries"] == {"q_main": 80.0}
+    # headline history entries are cpus-tagged
+    assert rec["history"][-1]["cpus"] == 32

@@ -389,6 +389,34 @@ def test_v23_trained_residual_plan_shape(spark, sf_small):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_v17_stacked_tail_equals_per_encoding_plans(spark, sf_small):
+    # r16: v17/v23 serve both encodings from ONE stacked rank tail
+    # (single shortlist window, single exact re-rank, single recall
+    # aggregate over (encoding, qid)).  The declared result must be
+    # bit-identical to the per-encoding plans it replaced: recall rows
+    # from _recall_agg over each encoding's complete _ivfpq_topk_plan.
+    from pyspark.sql import functions as SF
+
+    from fifteenmc_spark.operators import similarity as S
+
+    for trained in (False, True):
+        stacked = sorted(
+            map(tuple, S._encoding_recall_plan(spark, sf_small, trained=trained).collect())
+        )
+        exact = S._exact_topk_v12(spark, sf_small).select("qid", "vec_id")
+        un = None
+        for enc, res in (("raw", False), ("residual", True)):
+            r = S._recall_agg(
+                exact,
+                S._ivfpq_topk_plan(spark, sf_small, S.V12_NQ, residual=res, trained=trained),
+            ).select(
+                "qid", SF.lit(enc).alias("encoding"), "n_topk", "n_recovered", "recall"
+            )
+            un = r if un is None else un.unionByName(r)
+        assert stacked == sorted(map(tuple, un.collect()))
+        assert stacked  # non-degenerate: the eval produced rows
+
+
 def test_v18_sweep_scores_corpus_once(spark, sf_small):
     # the fused sweep's whole point: ONE ADC aggregate over the codes
     # table serves all four nprobe levels — the plan must contain exactly
