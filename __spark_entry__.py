@@ -33,68 +33,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries with no driver CORRECTNESS row yet come first so every declared
 # query accumulates at least one driver-checked green row across rounds.
 _CHECK_FIRST = (
-    # r15 rotation — the 20 queries whose newest driver row is r12 lead
-    # (r14 verdict item 3: no query's newest row should age past two
-    # rounds), then the queries whose PLAN or measurement changes this
-    # round (x9 constant attack, batch-snap antimeridian mirror keys,
-    # d23/g3 crossover work), then the r13-green backlog; with a
-    # 50-query window the tail spills to lead r16.
-    "d11_range_frame",
-    "d12_lag",
-    "d29_json_extract",
-    "m4_frame_dedup",
-    "m5_image_meta",
-    "p1_corpus_prep",
-    "p4_stratified_sample",
-    "p6_pii_scrub",
-    "p8_domain_mix",
-    "t1_token_count",
-    "t2_quality_score",
-    "t3_lang_id",
-    "t4_fingerprint",
-    "t5_corpus_stats",
-    "t6_vocab_topk",
-    "t7_repetition",
-    "v2_lsh_bucket",
-    "v2_lsh_bucket_16",
-    "v4_embedding_stats",
-    "v7_lsh_banded_near_dup",
-    # plans touched or re-measured in r15 — re-attest before the backlog
-    # (build half: x9 rework, seam snap, d23/g3 adjudications; optimization
-    # half: x9 phase-1 fusion, mapInPandas column pruning, recall-stack
-    # broadcasts)
+    # r16 rotation.  Lead: queries whose PLAN changes this round (x9 phase-1
+    # prefilter restored to the h60 key; v17/v23 stacked rank tail) plus the
+    # three r15-plan-changed queries the r15 window missed (v17/v18/v22
+    # recall-stack broadcasts — r15 verdict item 2).
     "x9_span_dedup",
     "x9_span_dedup_sampled",
     "x9_span_dedup_prefiltered",
-    "g2_knn_snap",
-    "g3_bounded_reach",
-    "d23_first_occurrence",
-    "m2_feature_extract",
-    "m3_frame_sample",
-    "v9_ivf_recall",
-    "v12_pq_recall",
-    "v14_ivfpq_recall",
-    "v20_tivf_recall",
+    "v17_encoding_recall",
     "v23_tencoding_recall",
-    "v24_ncells_sweep",
-    "v28_filtered_recall",
-    # newest driver row is r13 — rotate back through (alphabetical; the
-    # tail past the 50-query window leads r16)
-    "d10_topk_per_group",
-    "d13_topk",
-    "d14_except",
-    "d14_intersect",
-    "d14_union",
-    "d15_strings",
-    "d16_haversine",
-    "d17_conditionals",
-    "d18_date_trunc",
-    "d18_year_month",
-    "d19_tumbling_window",
-    "d20_array_ops",
-    "d21_pivot",
-    "d22_graph_relax",
-    "d24_correlated_subquery",
+    "v18_ivfpq_nprobe_sweep",
+    "v22_tivf_nprobe_sweep",
+    # newest driver row is r13 — the backlog tail the r15 50-query window
+    # could not reach (alphabetical)
     "d25_scalar_subquery",
     "d26_asof_join",
     "d28_sessionize",
@@ -102,14 +53,10 @@ _CHECK_FIRST = (
     "g1_grid_tiles",
     "g4_tile_assign",
     "m1_asset_meta",
-    "m2_feature_extract",
     "p7_dedup_apply",
     "v10_embedding_validity",
     "v16_rivfpq_topk",
-    "v17_encoding_recall",
-    "v18_ivfpq_nprobe_sweep",
     "v19_tivf_topk",
-    "v20_tivf_recall",
     "v21_tivfpq_topk",
     "v29_adaptive_filtered_topk",
     "v8_embedding_clusters",
@@ -126,6 +73,47 @@ _CHECK_FIRST = (
     "x7_hamming_clusters",
     "x7_jaccard_clusters",
     "x8_decontaminate",
+    # newest driver row is r14 — fill the 50-query window (alphabetical;
+    # the tail past the window leads the next rotation)
+    "d10_rank_dense_ntile",
+    "d11_running_total",
+    "d1_scan_filter",
+    "d27_range_join",
+    "d2_inner_join",
+    "d30_salted_join",
+    "d31_sketch_bounds",
+    "d32_full_outer",
+    "d3_dim_chain_join",
+    "d4_left_outer",
+    "d5_anti_join",
+    "d5_semi_join",
+    "d6_groupby_agg",
+    "d7_count_distinct",
+    "d8_median",
+    "d9_rollup",
+    "g5_tile_occupancy",
+    "g6_zorder_layout",
+    "p2_hash_split",
+    "p3_pack_sequences",
+    "p5_chunk_dedup",
+    "p9_temperature_mix",
+    "t10_gopher_rules",
+    "t11_bpe_pretoken_count",
+    "t12_winnowing_fingerprint",
+    "t8_length_quantiles",
+    "t9_unigram_logprob",
+    "v11_pq_topk",
+    "v13_ivfpq_topk",
+    "v15_dedup_apply",
+    "v1_cosine_topk",
+    "v25_serving_tivf_topk",
+    "v26_serving_ivfpq_topk",
+    "v27_filtered_tivf_topk",
+    "v3_embedding_near_dup",
+    "v5_ivf_topk",
+    "v6_lsh_recall",
+    "x10_link_pagerank",
+    "x7_near_dup_clusters",
 )
 
 
