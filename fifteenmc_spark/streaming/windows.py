@@ -148,4 +148,48 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+    await_drained(q, timeout_s)
+
+
+def await_drained(q, timeout_s: float = 120.0) -> None:
+    """Wait until an availableNow query has processed ALL its available
+    input, then stop it if it is still alive.
+
+    Stateless availableNow queries self-terminate after the drain, but a
+    plan containing applyInPandasWithState with a processing-time timeout
+    keeps the query alive afterwards, looping "no new data but cleaning
+    up state" batches until every pending state timeout has fired (the
+    state TTL here is minutes — the r15 verify overran its window because
+    every stateful stream≡batch test blocked the FULL 120 s on
+    awaitTermination, measured 13 x ~125 s of the suite's 2,894 s).
+    Stopping after the drain is result-identical: a zero-input batch is
+    only reported AFTER its sink commit, and every stateful operator in
+    fifteenmc_spark.streaming emits NOTHING on timeout expiry (each
+    hasTimedOut branch is `state.remove(); return` — state eviction only,
+    pinned by test_stateful_timeout_branches_emit_nothing)."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    # drain signal = a committed zero-input batch (progress is reported
+    # only AFTER the batch's sink commit).  Guard against a zero-row
+    # interior FILE mimicking the drain: require either a second
+    # consecutive zero-input batch (cleanup batches arrive every few
+    # seconds while state timeouts are pending) or 5 s of source idleness
+    # after the first — a real interior empty file is followed by its
+    # remaining data batches well inside that.
+    zero_batch = None
+    zero_seen_at = 0.0
+    while _time.monotonic() < deadline and q.isActive:
+        if q.awaitTermination(0.25):
+            return  # self-terminated (stateless plan)
+        p = q.lastProgress
+        if p is None or p["numInputRows"] != 0:
+            zero_batch = None
+            continue
+        if zero_batch is None:
+            zero_batch, zero_seen_at = p["batchId"], _time.monotonic()
+        elif p["batchId"] != zero_batch or _time.monotonic() - zero_seen_at > 5.0:
+            break
+    if q.isActive:
+        q.stop()
     q.awaitTermination(timeout_s)

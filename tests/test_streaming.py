@@ -99,7 +99,7 @@ def test_stateful_running_totals(spark, events_stream_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    W.await_drained(q, 120)
     # last emitted row per user == the batch aggregate
     got = (
         spark.table("sink_stateful")
@@ -165,7 +165,7 @@ def test_streaming_dedup_events_drops_redeliveries(spark, dup_events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    W.await_drained(q, 120)
     got = spark.table("sink_dedup_events")
     assert got.count() == n_unique
     assert {r["event_id"] for r in got.select("event_id").collect()} == {
@@ -208,7 +208,7 @@ def test_streaming_dedup_drops_duplicate_in_later_microbatch(spark, tmp_path_fac
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    W.await_drained(q, 120)
     assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1  # really >1 micro-batch
     got = spark.table("sink_dedup_late")
     assert got.count() == 5  # the later-micro-batch duplicate was dropped
@@ -903,3 +903,69 @@ def test_streaming_sampled_span_registry_equals_batch_x9_sampled(spark, sf_small
         for r in SD.distinct_flagged(spark.table("sink_span_sampled")).collect()
     }
     assert got == want
+
+
+def test_stateful_timeout_branches_emit_nothing():
+    """Pins the safety argument of W.await_drained: every stateful
+    streaming operator's hasTimedOut branch evicts state and emits ZERO
+    rows, so stopping an availableNow query after its input drains (the
+    zero-input-batch signal) cannot change the emitted result set."""
+    from fifteenmc_spark.streaming import ann as ANN
+    from fifteenmc_spark.streaming import minhash_lsh as ML
+    from fifteenmc_spark.streaming import near_dup as ND
+    from fifteenmc_spark.streaming import span_dedup as SD
+    from fifteenmc_spark.streaming import stateful as ST
+
+    class _TimedOutState:
+        hasTimedOut = True
+        exists = False
+        removed = False
+
+        def remove(self):
+            self.removed = True
+
+        @property
+        def get(self):  # must never be read on the timeout path
+            raise AssertionError("timeout branch read state contents")
+
+        def update(self, *_):
+            raise AssertionError("timeout branch wrote state")
+
+    fns = [
+        ML._match_factory(0.5, 1000),
+        ND._match_factory(8, 1000),
+        ANN._merge_factory(5, 1000),
+        SD._flag,
+        ST._update,
+    ]
+    for fn in fns:
+        state = _TimedOutState()
+        emitted = list(fn(("k",), iter([]), state))
+        assert emitted == [], f"{fn} emitted rows on timeout"
+        assert state.removed, f"{fn} did not evict state on timeout"
+
+
+def test_await_drained_stops_stateful_availablenow_promptly(spark, sf_small, tmp_path_factory):
+    """The r15 verify overran its window because stateful availableNow
+    queries never self-terminate (processing-time-timeout cleanup batches
+    keep them alive) and every stream≡batch test blocked its full 120 s
+    awaitTermination.  await_drained must bring a stateful drain well
+    under that, without losing emissions (the equality tests above pin
+    the result side)."""
+    import time
+
+    from fifteenmc_spark.streaming import minhash_lsh as ML
+
+    docs = read_table(spark, sf_small, "documents")
+    out = tmp_path_factory.mktemp("await_drained")
+    docs.coalesce(1).write.mode("overwrite").parquet(str(out / "f0"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out) + "/*/")
+    )
+    t0 = time.monotonic()
+    W.run_to_memory(ML.flag_lsh_near_dups(stream), "sink_await_drained", output_mode="append")
+    elapsed = time.monotonic() - t0
+    assert elapsed < 90.0, f"stateful drain took {elapsed:.1f}s — timeout regression"
+    assert spark.table("sink_await_drained").count() > 0
