@@ -476,7 +476,14 @@ def grouped_median_ranged(df, keys: list[str], value: str, out: str = "median"):
 @_register(
     "d9_rollup",
     "GROUP BY ROLLUP — grouping-set form of the reference's reach cube "
-    "(precompute_poi_reach.py:168-170).",
+    "(precompute_poi_reach.py:168-170).  r16 floor decomposition of the "
+    "driver's 18x ratio (sf0.1, warm, min-of-5): join-only 0.86 s of the "
+    "1.04 s total, rollup +0.08, orderBy +0.10, against a 0.26 s session "
+    "floor — the plan already has both joins BROADCAST (customer and "
+    "nation build sides) and ONE hash exchange after the partial "
+    "expand+aggregate, so the remainder is the floor plus the "
+    "single-row-group orders scan (one task at sf0.1 regardless of "
+    "config).  Refusal: nothing structural left to remove.",
     """
     SELECT n.n_name, o.o_orderpriority, COUNT(*) AS cnt
     FROM orders o
@@ -1411,7 +1418,15 @@ def d28(spark, sf_dir):
     "malformed JSON (the oracle mirrors that with a json_valid guard — "
     "DuckDB's extractor RAISES), and try_cast NULLs a non-numeric field "
     "value instead of failing the ANSI cast.  Pinned by the edge-events "
-    "test.",
+    "test.  r16 floor decomposition of the driver's 19.5x ratio (sf0.1, "
+    "warm, min-of-5): scan-only 0.39 s ~= the 0.26 s session floor, "
+    "agg+sort without JSON 0.57 s, full query 0.99 s — i.e. ~0.4 s of "
+    "JSON parse executed on ONE core because the sf0.1 events parquet "
+    "is a single row group (one scan task at any config; at scale the "
+    "scan splits and the parse parallelizes with it).  The plan is "
+    "already minimal: 2 exchanges (5-row agg + sort), extraction "
+    "scan-side.  Refusal: repartitioning before the parse would add a "
+    "full shuffle of the props strings to dodge a testdata artifact.",
     """
     SELECT event_type,
            CAST(SUM(TRY_CAST(CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
