@@ -44,6 +44,7 @@ _CHECK_FIRST = (
     "v23_tencoding_recall",
     "v18_ivfpq_nprobe_sweep",
     "v22_tivf_nprobe_sweep",
+    "t9_unigram_logprob",
     # newest driver row is r13 — the backlog tail the r15 50-query window
     # could not reach (alphabetical)
     "d25_scalar_subquery",
@@ -101,7 +102,6 @@ _CHECK_FIRST = (
     "t11_bpe_pretoken_count",
     "t12_winnowing_fingerprint",
     "t8_length_quantiles",
-    "t9_unigram_logprob",
     "v11_pq_topk",
     "v13_ivfpq_topk",
     "v15_dedup_apply",

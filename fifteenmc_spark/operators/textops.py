@@ -1051,7 +1051,18 @@ def t9(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     vocab = dt.groupBy("token").agg(F.sum("k").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
+    # total = SUM(vocab.cnt) == SUM(dt.k) exactly (integer sum of per-token
+    # sums) — computed from dt directly because the executed plan ran the
+    # WHOLE vocab aggregate twice for it (two identical token-keyed
+    # exchanges + partial aggs; ReusedExchange never fired across the
+    # branch split).  r16: one scalar partial-agg over the pinned dt,
+    # 4 exchanges -> 3, one fewer full pass over the (doc, term) table at
+    # any scale.  The vocab JOIN stays join-shaped: locally the vocab side
+    # broadcasts (dt never shuffles); at web scale it degrades to SMJ,
+    # which is the documented acceptable form (a window rewrite would
+    # force the dt shuffle at EVERY scale to save the narrow vocab
+    # exchange — backwards).
+    total = dt.agg(F.sum("k").alias("total"))
     sc = (
         dt.join(vocab, "token")
         .crossJoin(F.broadcast(total))

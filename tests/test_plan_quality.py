@@ -576,3 +576,15 @@ def test_x10_iteration_plan_is_o1_in_k(spark, sf_small):
     # one BHJ per iteration (the formatted plan may render each node
     # twice: once in the tree, once in the details section)
     assert plan.count("BroadcastHashJoin") <= 2 * PR_ITERATIONS
+
+
+def test_t9_vocab_aggregate_runs_once(spark, sf_small):
+    # r16: total == SUM(dt.k) exactly, so the corpus total no longer
+    # re-runs the whole vocab aggregate (the executed plan used to carry
+    # TWO identical token-keyed exchanges + partial aggs; ReusedExchange
+    # never fired across the branch split).  Exactly one token-keyed
+    # exchange must remain — the vocab build feeding the scoring join.
+    df = QUERIES["t9_unigram_logprob"].build(spark, sf_small)
+    df.write.format("noop").mode("overwrite").save()
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("hashpartitioning(token") == 1, tree
